@@ -1,0 +1,54 @@
+"""Per-category aggregate reports.
+
+Reference parity (SURVEY.md §2.3 A7-A9; ref sources/1.5/source/task_1_5.java):
+task 1.5 computes, per category, each term's average TF-IDF
+(sum over the category's docs / number of distinct docs in the category) and
+reports the top-5 terms per category.
+
+The reference derives category from the doc name (P8) and joins term strings
+from a replicated list (J3/J4); here the category is any column of the
+documents table and the "joins" are column references — no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .topk import top_k_per_group
+
+
+def category_avg_tfidf(tfidf_matrix: DataFrame, doc_categories: DataFrame) -> DataFrame:
+    """A7+A8: (category, term, avg_tfidf).
+
+    avg_tfidf = sum(tfidf over docs in category) / countDistinct(doc in
+    category). ``doc_categories`` is (doc_id, category) — tiny relative to
+    the matrix, but the join key is doc_id on the BIG side, so we broadcast
+    the category map and keep the matrix un-shuffled until the group-by.
+    """
+    joined = tfidf_matrix.join(F.broadcast(doc_categories), "doc_id")
+    per_cat_docs = (
+        joined.groupBy("category")
+        .agg(F.countDistinct("doc_id").alias("n_docs_in_cat"))
+    )
+    per_cat_term = (
+        joined.groupBy("category", "term")
+        .agg(F.sum("tfidf").alias("sum_tfidf"))
+    )
+    return (
+        per_cat_term.join(F.broadcast(per_cat_docs), "category")
+        .withColumn("avg_tfidf", F.col("sum_tfidf") / F.col("n_docs_in_cat"))
+        .select("category", "term", "avg_tfidf")
+    )
+
+
+def category_top_terms(tfidf_matrix: DataFrame, doc_categories: DataFrame, k: int = 5) -> DataFrame:
+    """A9 applied to A8: top-k terms per category by average tfidf,
+    term-ascending tie-break for determinism."""
+    avg = category_avg_tfidf(tfidf_matrix, doc_categories)
+    return top_k_per_group(
+        avg,
+        ["category"],
+        [F.col("avg_tfidf").desc(), F.col("term").asc()],
+        k,
+    )

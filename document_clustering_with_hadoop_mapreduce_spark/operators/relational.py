@@ -1,0 +1,137 @@
+"""Relational query shapes over the TPC-H-ish tables.
+
+The reference has no relational joins (SURVEY.md §2.4 — all its "joins" are
+broadcast map-side lookups J1-J5). The engine exposes the full relational
+breadth Spark provides; these composable builders cover the shapes the
+oracle harness sweeps: multi-way joins (broadcast where a side is small),
+grouped aggregates, windows, semi/anti joins, top-k.
+
+Float determinism: money/quantity sums aggregate over DECIMAL(18,4) casts
+(exact, order-independent) and only then convert back to double — a plain
+double sum's value depends on summation order, which differs between Spark
+partitions and the DuckDB oracle (and between cluster sizes!).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Order-independent money sum: exact decimal agg -> double -> round."""
+    return F.round(F.sum(col.cast("decimal(28,6)")).cast("double"), scale)
+
+
+def davg(col: Column, scale: int = 6) -> Column:
+    """Order-independent average via exact decimal sum / count."""
+    return F.round(
+        F.sum(col.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)), scale
+    )
+
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, no joins.
+
+    One exchange on (returnflag, linestatus) — few groups, trivially small
+    final agg; the heavy lifting is the map-side partial aggregate, which
+    scales linearly with executors. The shipdate filter pushes to parquet.
+    """
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def revenue_by_nation(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                      nation: DataFrame, region: DataFrame) -> DataFrame:
+    """TPC-H Q5 shape: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    nation/region/customer broadcast (dimension tables); the only shuffle
+    join is lineitem⋈orders on orderkey — at 100 TB that's the one real
+    exchange, and AQE picks SMJ vs shuffled-hash from runtime stats.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: str = "BUILDING", k: int = 10) -> DataFrame:
+    """TPC-H Q3 shape: selective broadcast join + agg + global top-k.
+
+    Ordering is on the ROUNDED revenue with orderkey tie-break, so the top-k
+    set is stable under fp noise and across engines.
+    """
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer.filter(F.col("c_mktsegment") == segment)),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey")
+        .agg(dsum(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame,
+                             min_total: float = 400000.0) -> DataFrame:
+    """Anti join: customers who never placed an order above ``min_total``.
+
+    The filter keeps the result non-trivial on the synthetic data (every
+    customer has SOME order). At scale the anti join hashes distinct keys of
+    the filtered side; no pre-distinct needed."""
+    big = orders.filter(F.col("o_totalprice") > min_total)
+    return customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def repeat_customers(customer: DataFrame, orders: DataFrame, min_orders: int = 5) -> DataFrame:
+    """Semi-join shape: customers having >= N orders (agg + broadcast semi)."""
+    big = (
+        orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+    )
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "n_orders")
+    )
+
+
+def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -> DataFrame:
+    """Window: each customer's k most recent orders with running spend.
+
+    The cumulative sum's frame is fully ordered (orderdate, orderkey), so the
+    summation order — and hence the double result — is engine-independent.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    wsum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.withColumn("running_spend", F.round(F.sum("o_totalprice").over(wsum), 2))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
+    )

@@ -1,0 +1,47 @@
+"""TF-IDF over the sparse (doc_id, term, cnt) matrix.
+
+Reference parity (SURVEY.md §2.3 A5-A6 and §2.7-N1):
+- A5 tf   = cnt / sum(cnt) per doc        (ref sources/1.4/source/task1_4.java:76-98)
+- A6 idf  = ln(N / df) and tfidf = tf*idf (ref sources/1.4/source/task1_4.java:110-141)
+
+The reference's two chained MR jobs with an HDFS materialization between
+them collapse into ONE lazy plan with two window exchanges; Catalyst
+pipelines them. ``compat_n1=True`` reproduces the reference's defective
+"IDF" that counts distinct terms per DOCUMENT (doc-keyed group, verified to
+6 decimals against the golden output — SURVEY.md §2.7-N1) instead of
+documents per term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tf(matrix: DataFrame) -> DataFrame:
+    """A5: term frequency as a ratio of the document's token mass."""
+    w = Window.partitionBy("doc_id")
+    return matrix.withColumn("tf", F.col("cnt") / F.sum("cnt").over(w))
+
+
+def tfidf(matrix: DataFrame, n_docs: int | None = None, compat_n1: bool = False) -> DataFrame:
+    """(doc_id, term, cnt, tf, idf, tfidf).
+
+    ``n_docs`` may be passed (driver-known scalar, like the reference's
+    config side-channel S8) or derived with a scalar subquery-free window:
+    we use a cheap distinct-count aggregate if omitted.
+    """
+    with_tf = tf(matrix)
+    if n_docs is None:
+        n_docs = matrix.select("doc_id").distinct().count()
+    if compat_n1:
+        # N1: "df" is the number of distinct terms in the same DOCUMENT.
+        w = Window.partitionBy("doc_id")
+    else:
+        w = Window.partitionBy("term")
+    return (
+        with_tf.withColumn("df", F.count(F.lit(1)).over(w))
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .drop("df")
+    )
