@@ -1,0 +1,196 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+North-star extensions (BASELINE.json): the reference deduplicates nothing
+(its only dedup is a LinkedHashSet on output rows, ref sources/1.4/source/
+task1_4.java:151); a 100 TB training-data pipeline lives and dies by these.
+
+Scale design:
+- shingling/hashing is map-side only (no shuffle until the agg);
+- MinHash signatures: ONE groupBy(doc) with H min-aggregates — map-side
+  partial mins make shuffle volume H longs per doc;
+- LSH banding: candidate generation is an equi-join on (band_idx, band_key),
+  i.e. the classic shuffle-bounded MinHash-LSH join — never an O(n²) cross
+  join;
+- exact Jaccard verification joins only on shared shingles; hot shingles
+  (doc_freq caps) are the documented skew hazard — LSH is the scale path,
+  the exact join is the small-scale oracle baseline.
+
+All hashes derive from md5 (``functions.hashing``) so the DuckDB oracle can
+reproduce every bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MERSENNE_P, md5_int60, minhash_params, universal_hash
+from ..functions.text import tokens
+
+
+def exact_dup_groups(documents: DataFrame, key: Column, id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: hash-groupBy on a content key; emits one representative
+    (min id) per group + group size. Single shuffle on the key."""
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), key.alias("dup_key"))
+        .groupBy("dup_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, text_col: str = "text",
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct n-word shingles per document (stopwords KEPT — dedup must
+    see the raw token stream). Map-side explode, one distinct shuffle."""
+    toks = tokens(F.col(text_col))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(doc_shingles: DataFrame, num_hashes: int = 16, seed: int = 42) -> DataFrame:
+    """MinHash signature matrix: (doc_id, h0..h{H-1}).
+
+    h_j(doc) = min over shingles of ((a_j * (md5_60(s) mod 2^30) + b_j) mod P).
+    One aggregate, H partial-min columns — shuffle is H longs per doc.
+    """
+    params = minhash_params(num_hashes, seed)
+    hashed = doc_shingles.withColumn("__h", md5_int60(F.col("shingle")))
+    aggs = [
+        F.min(universal_hash(F.col("__h"), a, b)).alias(f"h{j}")
+        for j, (a, b) in enumerate(params)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, rows_per_band: int = 2) -> DataFrame:
+    """LSH banding: pairs of docs sharing at least one band.
+
+    Bands become (band_idx, band_key) rows; candidates are the equi-join on
+    that key (a < b to dedupe the pair space). Shuffle-bounded — the whole
+    point of LSH at 100 TB.
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(*[
+        F.concat_ws(":", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(n_bands)
+    ])
+    banded = signatures.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard over shared shingles.
+
+    join-on-shingle -> count common -> sizes via broadcast of the per-doc
+    size table. Exact baseline for LSH verification; at scale, run it only
+    on LSH candidates (see ``lsh_candidate_pairs``).
+    """
+    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = doc_shingles.alias("a")
+    b = doc_shingles.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash_fingerprints(term_matrix: DataFrame, bits: int = 32) -> DataFrame:
+    """Frequency-weighted SimHash over the (doc_id, term, cnt) matrix.
+
+    bit_b(doc) = sign of sum over terms of cnt * (±1 per md5 bit b). One
+    aggregate with ``bits`` signed-sum columns, then bit-packing — map-side
+    partial sums keep the shuffle at ``bits`` longs per doc.
+    """
+    h = md5_int60(F.col("term"))
+    aggs = [
+        F.sum(
+            F.when((h.bitwiseAND(F.lit(1 << b))) > 0, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    summed = term_matrix.groupBy("doc_id").agg(*aggs)
+    fp: Column = F.lit(0).cast("long")
+    for b in range(bits):
+        fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return summed.select("doc_id", fp.alias("simhash"))
+
+
+def minhash_oracle_sql(tokens_cte: str, n: int = 3, num_hashes: int = 16, seed: int = 42) -> dict[str, str]:
+    """DuckDB mirrors of the shingle/minhash/LSH/jaccard pipeline, generated
+    from the SAME hash constants as the Spark operators."""
+    params = minhash_params(num_hashes, seed)
+    shingle_cte = f"""
+WITH docs_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '\\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM docs_t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
+  WHERE len(toks) >= {n}
+)"""
+    hash_expr = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+    mins = ", ".join(
+        f"min((({(a & ((1 << 30) - 1)) | 1} * (h % {1 << 30}) + {b & ((1 << 30) - 1)}) % {MERSENNE_P})) AS h{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    sig_cte = f"""{shingle_cte},
+hashed AS (SELECT doc_id, {hash_expr} AS h FROM shingles),
+sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"""
+    n_bands = num_hashes // 2
+    band_keys = ", ".join(f"concat(h{2 * b}, ':', h{2 * b + 1})" for b in range(n_bands))
+    return {
+        "doc_shingles": f"{shingle_cte} SELECT doc_id, shingle FROM shingles",
+        "minhash_signatures": f"{sig_cte} SELECT * FROM sigs",
+        "lsh_candidate_pairs": f"""{sig_cte},
+banded AS (
+  SELECT doc_id, i - 1 AS band_idx, keys[i] AS band_key
+  FROM (SELECT doc_id, [{band_keys}] AS keys FROM sigs), UNNEST(generate_series(1, {n_bands})) AS t(i)
+)
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
+        "ngram_jaccard_pairs": f"""{shingle_cte},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(common / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(common / (sa.sz + sb.sz - common), 6) >= 0.2""",
+    }

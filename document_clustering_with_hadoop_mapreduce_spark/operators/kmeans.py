@@ -1,0 +1,160 @@
+"""K-Means clustering — the reference's core capability, Spark-first.
+
+Reference parity (SURVEY.md §2.6 M1-M9):
+- tasks 2.1/2.2/2.3 run hand-rolled MR Lloyd iterations with centroids
+  shipped as config strings and re-read from HDFS each iteration
+  (ref sources/2.2/source/KMeans.java:167-195). Here the scale path is
+  ``pyspark.ml.clustering.KMeans`` (seeded, cached features, centroids
+  broadcast internally; k-means|| init is M3's Bahmani et al. algorithm,
+  built in). A DataFrame-native Lloyd loop is also provided for traced
+  per-iteration artifacts (M9: losses, WCSS) and for oracle-checkable
+  single-step semantics.
+
+Scale notes: assignment is a broadcast nearest-neighbor "join" (ref J5) —
+k×d floats to every executor, argmin via an array-of-struct min, no
+shuffle. The only exchange per Lloyd iteration is the k-group mean
+aggregate (map-side partial). Features are cached once.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double_array(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sq_dist(a: Column, centroid: list[float]) -> Column:
+    """Squared euclidean against a literal centroid — unrolled per dimension
+    so it stays a flat codegen expression (no array allocation per row)."""
+    return sum(
+        (F.element_at(a, i + 1) - F.lit(float(v))) * (F.element_at(a, i + 1) - F.lit(float(v)))
+        for i, v in enumerate(centroid)
+    )
+
+
+def assign_nearest(
+    df: DataFrame,
+    centroids: list[list[float]],
+    features_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """M4/M5: nearest-centroid assignment as a pure column expression.
+
+    Emits ``cluster`` (argmin of squared euclidean, smallest-id tie-break)
+    and ``dist_sq``. Distances are optionally rounded before the argmin so
+    the choice is reproducible across engines/partitionings (same
+    round-before-rank discipline as the top-k operators).
+    """
+    vec = _as_double_array(F.col(features_col))
+    dists = []
+    for cid, c in enumerate(centroids):
+        d = _sq_dist(vec, c)
+        if round_decimals is not None:
+            d = F.round(d, round_decimals)
+        dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*dists))
+    return df.withColumn("cluster", best["cid"]).withColumn("dist_sq", best["d"])
+
+
+def recompute_centroids(assigned: DataFrame, features_col: str = "embedding") -> DataFrame:
+    """M6: element-wise mean per cluster via posexplode + group-avg.
+
+    Two narrow shuffles on (cluster, dim) then (cluster) — no whole-group
+    buffering (the reference's reducer held every member vector in RAM,
+    ref sources/2.2/source/KMeansReducer.java:153-192).
+    """
+    exploded = assigned.select(
+        "cluster", F.posexplode(_as_double_array(F.col(features_col))).alias("dim", "x")
+    )
+    means = exploded.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .select("cluster", F.transform("dm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+@dataclass
+class LloydTrace:
+    iteration: int
+    wcss: float
+    max_shift: float
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int,
+    features_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iter: int = 10,
+    tol: float = 1e-5,
+) -> tuple[DataFrame, list[list[float]], list[LloydTrace]]:
+    """Traced Lloyd iterations (reference M7-M9 semantics, sane math).
+
+    Deterministic init: the k rows with smallest ``id_col`` (the reference's
+    unseeded ``Random`` init is irreproducible by design — SURVEY.md §5).
+    Centroids live on the driver (k×d floats — same as MLlib) and enter the
+    plan as literals, i.e. broadcast; the data never leaves the cluster.
+
+    Returns (assignments, final_centroids, per-iteration trace).
+    """
+    feats = df.select(id_col, _as_double_array(F.col(features_col)).alias(features_col)).cache()
+    init_rows = feats.orderBy(id_col).limit(k).collect()
+    centroids = [list(r[features_col]) for r in init_rows]
+
+    trace: list[LloydTrace] = []
+    assigned = None
+    for it in range(max_iter):
+        assigned = assign_nearest(feats, centroids, features_col, round_decimals=None)
+        stats = assigned.agg(F.sum("dist_sq").alias("wcss")).collect()[0]
+        new_rows = recompute_centroids(assigned, features_col).collect()
+        new_centroids = list(centroids)
+        for r in new_rows:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        max_shift = max(
+            max(abs(a - b) for a, b in zip(old, new)) if old != new else 0.0
+            for old, new in zip(centroids, new_centroids)
+        )
+        trace.append(LloydTrace(it, float(stats["wcss"]), float(max_shift)))
+        centroids = new_centroids
+        if max_shift < tol:
+            break
+    feats.unpersist()
+    return assigned, centroids, trace
+
+
+def mllib_kmeans(
+    df: DataFrame,
+    k: int,
+    features_col: str = "embedding",
+    distance: str = "euclidean",
+    init_mode: str = "k-means||",
+    seed: int = 42,
+    max_iter: int = 20,
+    tol: float = 1e-5,
+):
+    """M1-M7 scale path: pyspark.ml KMeans over an array column.
+
+    ``distance='cosine'`` gives task 2.2/2.3 semantics with CORRECT cosine
+    (the reference's N3 dot/(|a|+|b|) variant is in ``compat``);
+    ``init_mode='k-means||'`` is M3 (same Bahmani et al. paper the
+    reference hand-rolls at sources/2.2/source/ScalableKMeans.java).
+    Returns (model, assignments DataFrame).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__features", array_to_vector(_as_double_array(F.col(features_col))))
+    km = KMeans(
+        k=k, seed=seed, maxIter=max_iter, tol=tol,
+        featuresCol="__features", predictionCol="cluster",
+        initMode=init_mode, distanceMeasure=distance,
+    )
+    model = km.fit(feats)
+    out = model.transform(feats).drop("__features")
+    return model, out

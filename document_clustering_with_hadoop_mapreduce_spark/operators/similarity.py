@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Brute-force cosine top-k is the exact baseline; random-hyperplane LSH
+bucketing is the scale path (bucket join replaces the O(n*q) scan). All
+math is JVM-side higher-order functions over ``array<double>``; hyperplanes
+are seeded shared constants so the DuckDB oracle reproduces buckets exactly.
+
+Scale design:
+- brute-force: queries broadcast (q << n), one pass over n, per-query top-k
+  via window — shuffle is n*q scored pairs only when q is small; for large
+  q use the LSH path.
+- LSH: bucket = packed sign bits of hyperplane dot products (map-side), then
+  a per-bucket self-join — candidate volume is sum over buckets of |b|^2,
+  controlled by the number of planes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self excluded).
+
+    (query_id, vec_id, cos, rank) — cos rounded before ranking so the k-set
+    is engine-stable; vec_id ascending tie-break.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("evec")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", F.round(cosine_similarity(F.col("qvec"), F.col("evec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded hyperplane normals, rounded to 6dp so the literal constants
+    embedded in Spark plans and oracle SQL are identical text."""
+    rng = random.Random(seed)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Packed sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    Unrolled per plane/dim — flat codegen, no per-row allocation.
+    """
+    bucket: Column = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot_p = sum(
+            F.element_at(vec, i + 1) * F.lit(float(v)) for i, v in enumerate(plane)
+        )
+        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: per-vector top-k among same-bucket vectors.
+
+    The self-join shuffles on ``bucket`` only — at 100 TB, bucket count
+    (2^planes) is tuned so buckets fit an executor's working set; skewed
+    buckets are AQE-split.
+    """
+    b = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _as_double(F.col(vec_col)).alias("vec"),
+        lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
+    )
+    left = b.alias("l")
+    right = b.alias("r")
+    scored = (
+        left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") != F.col("r.vec_id")))
+        .select(
+            F.col("l.vec_id").alias("query_id"),
+            F.col("r.vec_id").alias("vec_id"),
+            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def top_similar_pairs(embeddings: DataFrame, k: int = 20,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup: globally most-similar pairs (a < b).
+
+    O(n^2) exact baseline for small n / oracle checks; the LSH path above is
+    the scale answer (this is deliberately NOT in the bench headline set).
+    """
+    e = embeddings.select(F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine_similarity(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        )
+        .orderBy(F.col("cos").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(k)
+    )

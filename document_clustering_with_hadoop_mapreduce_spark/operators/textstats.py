@@ -1,0 +1,109 @@
+"""Text-analysis operators: quality scoring, language-ID, token counting,
+fingerprinting (north-star extensions — a training-data pipeline's filters).
+
+Everything is built-in column expressions (regexp/split/size/aggregate) —
+no Python in the row path; each op is one map-side projection, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS, clean_text, token_count, tokens
+
+# BPE-ish lexer: alpha runs | digit runs | single non-space symbol.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+# Tiny seeded marker-word profiles for language ID (n-gram/stopword-overlap
+# heuristic). Real corpora would ship bigger lists; the MECHANISM (score =
+# marker hits, argmax with deterministic tie-break) is what the engine
+# provides, and what the oracle checks.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "for", "with"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "como"),
+    "fr": ("le", "la", "les", "des", "est", "dans", "pour", "une"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "mit", "ein"),
+    "zh": ("de", "shi", "bu", "wo", "zai", "le", "ren", "you"),
+}
+
+
+def doc_quality(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-score features per document: token/char counts, average token
+    length, stopword ratio, punctuation ratio."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_tokens = token_count(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    clean_len = F.length(F.regexp_replace(clean_text(text), "\\s", ""))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(
+            F.when(n_tokens > 0, clean_len / n_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(n_tokens > 0, n_stop / n_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+    )
+
+
+def language_id(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID: score each language by marker-token hits,
+    argmax with (score DESC, lang ASC) tie-break; 'und' when no marker hits."""
+    toks = tokens(F.col(text_col))
+
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        # NB: PySpark lambda-introspection forbids extra (default) params on
+        # higher-order-function lambdas — close over `markers` via factory.
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        score = marker_score(LANG_MARKERS[lang])
+        scores.append(F.struct(score.alias("s"), F.lit(lang).alias("neg_lang")))
+    # array_max picks highest score; for ties we need SMALLEST lang, so order
+    # by (s, reversed-rank) — use array_sort and take the element with max s,
+    # min lang: sort by s asc then lang desc, take last.
+    arr = F.array_sort(
+        F.array(*scores),
+        lambda a, b: F.when(a["s"] != b["s"], a["s"] - b["s"]).otherwise(
+            F.when(a["neg_lang"] > b["neg_lang"], F.lit(-1)).otherwise(F.lit(1))
+        ),
+    )
+    best = F.element_at(arr, -1)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(best["s"] > 0, best["neg_lang"]).otherwise(F.lit("und")).alias("pred_lang"),
+        best["s"].alias("marker_hits"),
+    )
+
+
+def bpe_ish_token_counts(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting with a BPE-ish regex lexer (alpha runs / digit runs /
+    single symbols) alongside plain whitespace counts."""
+    lowered = F.lower(F.col(text_col))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(lowered, F.lit(TOKEN_REGEX), 0)).alias("bpe_tokens"),
+    )
+
+
+def doc_fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5-60bit of the cleaned,
+    whitespace-normalized text (portable to the oracle)."""
+    from ..functions.hashing import md5_int60
+
+    normalized = F.concat_ws(" ", tokens(F.col(text_col)))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        md5_int60(normalized).alias("fingerprint"),
+        F.length(normalized).alias("norm_len"),
+    )

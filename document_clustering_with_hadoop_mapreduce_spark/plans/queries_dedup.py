@@ -1,1 +1,119 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Dedup query surface: exact, shingles, MinHash, LSH, Jaccard, SimHash.
+
+Every query here is oracle-checked — the DuckDB SQL is generated from the
+same hash constants (``functions.hashing.minhash_params``) and tokenization
+constants as the Spark operators, so signatures match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..operators.dedup import (
+    exact_dup_groups,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_oracle_sql,
+    minhash_signatures,
+    shingles,
+    simhash_fingerprints,
+)
+from ..operators.term_matrix import term_doc_counts
+from ..sources.tables import load_table
+from .oracles import MATRIX_CTE, TOKENS_CTE
+from .registry import register
+
+_ORACLES = minhash_oracle_sql(TOKENS_CTE)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               (list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '\\s+'),
+                            t -> t <> ''))[1:5], ' ')) AS dup_key
+      FROM documents
+    )
+    SELECT dup_key, min(doc_id) AS keep_doc_id, count(*) AS group_size
+    FROM keyed GROUP BY dup_key""",
+    "exact dedup: hash-groupBy on a 5-token prefix key, min-id representative",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5)))
+    return exact_dup_groups(_docs(spark, sf_dir), key)
+
+
+@register(
+    "doc_shingles",
+    _ORACLES["doc_shingles"],
+    "3-word shingle sets per doc (dedup substrate), stopwords kept",
+    tags=("dedup",),
+)
+def q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shingles(_docs(spark, sf_dir), n=3)
+
+
+@register(
+    "minhash_signatures",
+    _ORACLES["minhash_signatures"],
+    "MinHash signature matrix (16 seeded universal hashes over md5-60bit "
+    "shingle hashes) — bit-exact against the oracle",
+    tags=("dedup", "bench"),
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(shingles(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
+
+
+@register(
+    "lsh_candidate_pairs",
+    _ORACLES["lsh_candidate_pairs"],
+    "MinHash-LSH banding (8 bands x 2 rows): candidate near-dup pairs via "
+    "shuffle-bounded band-key equi-join (never O(n^2))",
+    tags=("dedup",),
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(shingles(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
+    return lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    _ORACLES["ngram_jaccard_pairs"],
+    "exact 3-gram Jaccard >= 0.2 via shared-shingle join (small-scale "
+    "baseline; at scale run only on LSH candidates)",
+    tags=("dedup",),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(shingles(_docs(spark, sf_dir), n=3), min_jaccard=0.2)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h_expr = "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)"
+    sums = ", ".join(
+        f"sum(CASE WHEN (h & {1 << b}) > 0 THEN cnt ELSE -cnt END) AS s{b}"
+        for b in range(bits)
+    )
+    packed = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""{MATRIX_CTE},
+hashed AS (SELECT doc_id, {h_expr} AS h, cnt FROM matrix),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums"""
+
+
+@register(
+    "simhash_fingerprints",
+    _simhash_oracle(),
+    "32-bit frequency-weighted SimHash per doc over the term matrix",
+    tags=("dedup",),
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_fingerprints(term_doc_counts(_docs(spark, sf_dir)), bits=32)

@@ -1,1 +1,175 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Events + text-analysis query surface with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.events import SESSION_GAP_MINUTES, events_hourly, sessionize, user_activity
+from ..operators.textstats import (
+    LANG_MARKERS,
+    TOKEN_REGEX,
+    bpe_ish_token_counts,
+    doc_fingerprints,
+    doc_quality,
+    language_id,
+)
+from ..functions.text import CLEAN_RE_DUCKDB, STOPWORDS
+from ..sources.tables import load_table
+from .registry import register
+
+_DSUM = "round(CAST(sum(CAST((value) AS DECIMAL(28,6))) AS DOUBLE), 4)"
+
+_TOKS = (
+    f"list_filter(string_split_regex(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g'), '\\s+'),"
+    " t -> t <> '')"
+)
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "events_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events, {_DSUM} AS sum_value
+    FROM events GROUP BY 1, 2""",
+    "tumbling 1h window x event_type rollup (streaming twin in streaming/)",
+    tags=("events", "bench"),
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_hourly(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_sessionized",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_MINUTES * 60 * 1000000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      FROM o
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           round((max(us) - min(us)) / 1000000.0, 6) AS duration_sec,
+           {_DSUM} AS sum_value
+    FROM s GROUP BY user_id, session_idx""",
+    "gaps-and-islands sessionization (30-min gap) + per-session stats",
+    tags=("events", "window"),
+)
+def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "user_activity",
+    f"""
+    SELECT user_id, count(*) AS n_events,
+           count(DISTINCT date_trunc('day', ts)) AS active_days,
+           {_DSUM} AS sum_value
+    FROM events GROUP BY user_id""",
+    "per-user activity profile (count, distinct days, value sum)",
+    tags=("events",),
+)
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_activity(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_chars,
+           round(CASE WHEN n_tokens > 0 THEN
+             length(replace(array_to_string(toks, ''), ' ', ''))::DOUBLE / n_tokens ELSE 0 END, 6) AS avg_token_len,
+           round(CASE WHEN n_tokens > 0 THEN
+             len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE / n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END, 6) AS punct_ratio
+    FROM t""",
+    "quality-score features: token/char counts, avg token length, "
+    "stopword + punctuation ratios",
+    tags=("textstats",),
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_oracle() -> str:
+    score_cols = []
+    for lang in sorted(LANG_MARKERS):
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        score_cols.append(
+            f"len(list_filter(toks, t -> t IN ({markers}))) AS s_{lang}"
+        )
+    langs = sorted(LANG_MARKERS)
+    pairs = ", ".join(f"{{'s': s_{l}, 'lang': '{l}'}}" for l in langs)
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
+    ranked AS (
+      SELECT doc_id, unnest([{pairs}]) AS sc FROM s
+    ),
+    best AS (
+      SELECT doc_id, sc.s AS s, sc.lang AS lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sc.s DESC, sc.lang ASC) AS rn
+      FROM ranked
+    )
+    SELECT doc_id,
+           CASE WHEN s > 0 THEN lang ELSE 'und' END AS pred_lang,
+           s::INT AS marker_hits
+    FROM best WHERE rn = 1"""
+
+
+@register(
+    "language_id",
+    _lang_oracle(),
+    "marker-word language ID: argmax marker hits, deterministic tie-break",
+    tags=("textstats",),
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe_tokens
+    FROM documents""",
+    "token counting: whitespace + BPE-ish regex lexer",
+    tags=("textstats",),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_ish_token_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fingerprint,
+           length(norm) AS norm_len
+    FROM t""",
+    "deterministic md5-60bit content fingerprint of normalized text",
+    tags=("textstats", "dedup"),
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))

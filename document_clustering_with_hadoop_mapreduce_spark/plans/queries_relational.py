@@ -127,7 +127,7 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
              row_number() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+               PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)::INT AS rn
       FROM orders
     )
     SELECT c_custkey, c_name, o_orderkey, rn, running_spend

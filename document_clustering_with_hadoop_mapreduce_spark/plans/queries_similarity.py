@@ -1,1 +1,128 @@
-"""Placeholder — filled in subsequent milestones."""
+"""Similarity-search query surface: exact KNN, LSH buckets, LSH ANN,
+embedding near-dup pairs. Hyperplane constants are seeded and shared with
+the generated oracle SQL (bit-identical bucket assignment)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+    lsh_buckets,
+    random_hyperplanes,
+    top_similar_pairs,
+)
+from ..sources.tables import load_table
+from .registry import register
+
+N_QUERIES = 5
+DIM = 64
+PLANES = random_hyperplanes(8, DIM, seed=7)
+
+# cosine over DOUBLE[] columns, index-order sums (mirrors functions.vector)
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i])))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]*{b}[i]))))"
+    )
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+    scored AS (
+      SELECT query_id, vec_id, round({_cos_sql('ev', 'qv')}, 6) AS cos
+      FROM e CROSS JOIN q WHERE vec_id <> query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
+    SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 5""",
+    "exact cosine top-5 neighbors for each of the first 5 query vectors "
+    "(broadcast queries, one scan, window top-k)",
+    tags=("similarity", "bench"),
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5)
+
+
+def _planes_values_sql() -> str:
+    rows = ", ".join(
+        f"({p}, {list(plane)}::DOUBLE[])" for p, plane in enumerate(PLANES)
+    )
+    return f"(VALUES {rows}) AS planes(p, pl)"
+
+
+@register(
+    "ann_lsh_buckets",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[i])) AS d
+      FROM e CROSS JOIN {_planes_values_sql()}
+    )
+    SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots GROUP BY vec_id""",
+    "random-hyperplane LSH bucket id per vector (8 seeded planes, packed "
+    "sign bits) — the ANN scale path's partitioning key",
+    tags=("similarity",),
+)
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_buckets(_emb(spark, sf_dir), PLANES)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dots AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(generate_series(1, len(v)), i -> v[i] * pl[i])) AS d
+      FROM e CROSS JOIN {_planes_values_sql()}
+    ),
+    b AS (
+      SELECT vec_id, CAST(sum(CASE WHEN d > 0 THEN (1 << p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM dots GROUP BY vec_id
+    ),
+    eb AS (SELECT e.vec_id, v, bucket FROM e JOIN b USING (vec_id)),
+    scored AS (
+      SELECT l.vec_id AS query_id, r.vec_id AS vec_id,
+             round({_cos_sql('l.v', 'r.v')}, 6) AS cos
+      FROM eb l JOIN eb r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+    ),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
+    SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
+    "ANN top-3 within LSH bucket (bucket self-join — candidate volume "
+    "bounded by bucket sizes, never O(n^2))",
+    tags=("similarity",),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_bucketed_topk(_emb(spark, sf_dir), PLANES, k=3)
+
+
+@register(
+    "embedding_top_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM pairs
+    ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""",
+    "embedding-cosine near-dup: 20 globally most-similar pairs (exact "
+    "baseline; LSH path is ann_lsh_topk)",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_similar_pairs(_emb(spark, sf_dir), k=20)

@@ -151,7 +151,7 @@ def q_tfidf_compat_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- rank on the ROUNDED value: fp summation noise differs across
       -- engines, rounding first makes structural ties break on `term`
       SELECT category, term, round(avg_tfidf, 6) AS avg_tfidf,
-             row_number() OVER (PARTITION BY category ORDER BY round(avg_tfidf, 6) DESC, term ASC) AS rank
+             row_number() OVER (PARTITION BY category ORDER BY round(avg_tfidf, 6) DESC, term ASC)::INT AS rank
       FROM avg_t
     )
     SELECT category, term, avg_tfidf, rank FROM ranked WHERE rank <= 5""",

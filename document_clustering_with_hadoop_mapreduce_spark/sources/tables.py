@@ -92,7 +92,17 @@ SCHEMAS: dict[str, T.StructType] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One parquet table. Parquet scans get predicate pushdown + column
-    pruning from Catalyst for free; we do NOT cache here (caller decides)."""
+    pruning from Catalyst for free; we do NOT cache here (caller decides).
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark rejects by
+    default; read it as long nanos and truncate to micros — exactly what
+    DuckDB/pandas do when they downcast ns -> us."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
