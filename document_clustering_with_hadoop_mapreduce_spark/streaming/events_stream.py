@@ -1,0 +1,102 @@
+"""Structured Streaming event pipelines.
+
+The reference has no streaming at all (SURVEY.md §2.5: "No streaming
+operators exist"); this is north-star surface. Each pipeline is the
+streaming twin of a batch operator in ``operators.events`` — same
+aggregation expressions, so batch/stream equivalence is testable
+(tests/test_streaming.py runs both over the same files and compares).
+
+Scale notes: file source -> watermarked event-time windows -> partial
+aggregation per micro-batch; state is bounded by the watermark horizon.
+``foreachBatch``/sink choice is the caller's; these return unstarted
+streaming DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SCHEMAS
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over events parquet files.
+
+    Schema must be declared for streaming reads. The physical files carry
+    TIMESTAMP(NANOS); we read via the same nanos-as-long + truncate-to-µs
+    path as the batch loader so batch/stream results are identical.
+
+    The file source only monitors directories; if given a single parquet
+    file (the shape of the test fixtures) we stage a symlink directory.
+    """
+    if os.path.isfile(events_dir):
+        staged = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(events_dir),
+                   os.path.join(staged, os.path.basename(events_dir)))
+        events_dir = staged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    raw = spark.readStream.schema(schema).parquet(events_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1h window x event_type — the streaming twin of
+    ``operators.events.events_hourly`` (append-safe after watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_user_sessions(events: DataFrame, gap_minutes: int = 30,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user via the built-in session_window (gap-based),
+    the streaming twin of ``operators.events.sessionize`` semantics."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str,
+                         mode: str = "complete") -> DataFrame:
+    """Drive a streaming DF over all available input once (availableNow),
+    into an in-memory sink; returns the materialized result table.
+    Test/debug helper — production sinks are parquet/kafka via writeStream.
+    """
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)
