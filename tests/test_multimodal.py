@@ -1,0 +1,70 @@
+"""Multimodal binary-column plumbing: oracle parity + featurizer values."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from conftest import assert_matches_oracle
+from document_clustering_with_hadoop_mapreduce_spark.operators.multimodal import (
+    N_HIST_BINS,
+    as_media,
+    byte_histograms,
+    decode_image_meta,
+)
+from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_queries
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def test_fixture_texts_are_ascii(duck):
+    """The DuckDB oracle hashes VARCHAR slices; that equals Spark's
+    byte-slice hashing only while the fixture corpus is pure ASCII."""
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE octet_length(text::BLOB) <> length(text)"
+    ).fetchone()[0]
+    assert n == 0
+
+
+def test_media_queries_match_oracle(spark, duck, sf_dir):
+    qs = all_queries()
+    for name in ("media_metadata", "media_exact_dedup", "media_frame_samples"):
+        q = qs[name]
+        assert_matches_oracle(q.spark(spark, sf_dir), duck, q.oracle)
+
+
+def test_byte_histograms_pure_python_oracle(spark, sf_dir):
+    """mapInPandas featurizer values == a driver-side recomputation."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = as_media(docs)
+    got = {r["media_id"]: [r[f"h{i}"] for i in range(N_HIST_BINS)]
+           for r in byte_histograms(media).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        blob = r["text"].encode("utf-8")
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        want = np.bincount(arr >> 4, minlength=N_HIST_BINS)[:N_HIST_BINS].tolist()
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']}"
+    # conservation: every byte lands in exactly one bin
+    for mid, h in got.items():
+        assert sum(h) >= 0
+
+
+def test_histogram_total_equals_bytes(spark, sf_dir):
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    hist = byte_histograms(media)
+    total_expr = sum(F.col(f"h{i}") for i in range(N_HIST_BINS))
+    joined = (
+        hist.withColumn("hist_total", total_expr)
+        .join(media.select("media_id", "n_bytes"), "media_id")
+        .filter(F.col("hist_total") != F.col("n_bytes"))
+    )
+    assert joined.count() == 0
+
+
+def test_decode_stub_is_explicit(spark, sf_dir):
+    media = as_media(load_table(spark, sf_dir, "documents"))
+    try:
+        decode_image_meta(media)
+    except NotImplementedError as exc:
+        assert "plumbing" in str(exc) or "decoder" in str(exc)
+    else:  # pragma: no cover - only if PIL ever appears
+        raise AssertionError("expected NotImplementedError without Pillow")
