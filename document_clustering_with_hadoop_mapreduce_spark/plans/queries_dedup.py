@@ -17,6 +17,7 @@ from ..operators.dedup import (
     lsh_candidate_pairs,
     minhash_oracle_sql,
     minhash_signatures,
+    shingle_hashes,
     shingles,
     simhash_fingerprints,
 )
@@ -70,7 +71,7 @@ def q_doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "bench"),
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_signatures(shingles(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
+    return minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
 
 
 @register(
@@ -81,7 +82,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sigs = minhash_signatures(shingles(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
+    sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
     return lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
 
 

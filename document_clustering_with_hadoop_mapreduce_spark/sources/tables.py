@@ -7,6 +7,8 @@ mismatch fails at plan time, not mid-job at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -90,20 +92,70 @@ SCHEMAS: dict[str, T.StructType] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    mult = 1024 * 1024 if raw.lower().endswith(("m", "mb")) else 1
+    return int(digits) * mult if digits else 134217728
+
+
+def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Spread under-split scans across the cluster.
+
+    Downstream text/vector operators amplify CPU per input byte ~100x
+    (tokenize, shingle-hash, per-dimension math), so scan-split parallelism
+    is the ceiling for the whole pipeline. The local fixtures are
+    single-row-group parquet => every scan is ONE task on a 32-core runner.
+    Repartition ONLY when the file size says the scan will have fewer
+    splits than the cluster has slots — the same condition bounds the
+    repartition cost (< slots x maxPartitionBytes moved once), and at
+    100 TB a scan has thousands of splits so this is a no-op there.
+    Size check is a driver-side stat (asking the plan via df.rdd costs ~1 s
+    per DataFrame — measured); non-local paths skip fan-out."""
+    try:
+        size = (
+            os.path.getsize(path)
+            if os.path.isfile(path)
+            else sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+        )
+    except OSError:
+        return df
+    target = spark.sparkContext.defaultParallelism
+    if size < target * _max_partition_bytes(spark):
+        return df.repartition(target)
+    return df
+
+
+# Only documents benefits (measured at sf0.1, local[32]): tokenize/shingle/
+# hash amplify CPU ~100x per input byte, so scan splits cap the pipeline.
+# Everything else regresses: relational/event aggregations are scan-bound,
+# and iterative MLlib fits pay per-task overhead x partitions x iterations
+# (kmeans_cluster_sizes: 1.9 s -> 7.8 s with embeddings fanned out).
+_FAN_OUT_TABLES = {"documents"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True) -> DataFrame:
     """One parquet table. Parquet scans get predicate pushdown + column
     pruning from Catalyst for free; we do NOT cache here (caller decides).
 
     ``events.ts`` is physically TIMESTAMP(NANOS) which Spark rejects by
     default; read it as long nanos and truncate to micros — exactly what
     DuckDB/pandas do when they downcast ns -> us."""
+    fan_out = fan_out and name in _FAN_OUT_TABLES
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if fan_out:
+            df = _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_out(spark, df, f"{sf_dir}/{name}.parquet") if fan_out else df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
