@@ -1,0 +1,157 @@
+"""Document clustering over the sparse TF-IDF matrix — task 2.2, Spark-first.
+
+The reference pivots TF-IDF triples into DENSE zero-padded vector strings
+(A11, ref sources/2.2/source/ConvertInput.java:23-49) and ships k x V
+centroid strings through job config. At 100 TB vocabulary x corpus scale
+that dense pivot is the scalability killer. The Spark-native design keeps
+the matrix SPARSE and expresses nearest-centroid assignment as relational
+algebra:
+
+    dist²(d, c) = ||d||² + ||c||² - 2·(d · c)
+
+- per-doc sum-of-squares: one groupBy(doc)
+- per-centroid sum-of-squares: tiny aggregate, broadcast
+- cross terms d·c: the triples JOIN the (broadcast) sparse centroid set on
+  `term`, then groupBy(doc, cluster) sums w·w — shuffle bounded by
+  nnz x k, never materializing any dense vector
+- argmin per doc via one more window-free array-min
+
+Every step is a DataFrame op, so the WHOLE assignment is SQL-expressible
+and DuckDB-oracle-checked (plans/queries_cluster.py) — unlike the dense
+MLlib path, which is rows-only checked.
+
+``pivot_to_sparse_vectors`` (A11) is still provided for MLlib interop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def seeded_sparse_centroids(matrix: DataFrame, k: int, weight_col: str = "tfidf") -> DataFrame:
+    """Deterministic init: the k lowest doc_ids' tf-idf rows become sparse
+    centroids (cluster = dense rank of doc_id). The reference's unseeded
+    ``Random`` init is irreproducible by design (SURVEY.md §5); k-means||
+    for real fits lives in ``operators.kmeans.mllib_kmeans``."""
+    w = Window.orderBy("doc_id")
+    seed_docs = (
+        matrix.select("doc_id").distinct().orderBy("doc_id").limit(k)
+        .withColumn("cluster", F.row_number().over(w) - 1)
+    )
+    return matrix.join(seed_docs, "doc_id").select(
+        "cluster", "term", F.col(weight_col).alias("w")
+    )
+
+
+def sparse_assign(
+    matrix: DataFrame,
+    centroids: DataFrame,
+    weight_col: str = "tfidf",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Nearest-centroid assignment on sparse vectors (squared euclidean).
+
+    ``matrix``: (doc_id, term, <weight_col>); ``centroids``: (cluster,
+    term, w) — sparse, broadcast (k x avg-nnz rows, i.e. tiny vs corpus).
+    Docs sharing no term with a centroid still get a finite distance
+    (||d||² + ||c||²), exactly as the dense math would. Ties break to the
+    lowest cluster id on the ROUNDED distance (cross-engine determinism).
+    """
+    doc_ss = matrix.groupBy("doc_id").agg(
+        F.sum(F.col(weight_col) * F.col(weight_col)).alias("doc_ss")
+    )
+    cent_ss = centroids.groupBy("cluster").agg(F.sum(F.col("w") * F.col("w")).alias("c_ss"))
+
+    dots = (
+        matrix.join(F.broadcast(centroids), "term")
+        .groupBy("doc_id", "cluster")
+        .agg(F.sum(F.col(weight_col) * F.col("w")).alias("dot"))
+    )
+    # every doc x every centroid (docs with zero overlap included)
+    grid = doc_ss.crossJoin(F.broadcast(cent_ss))
+    dists = (
+        grid.join(dots, ["doc_id", "cluster"], "left")
+        .withColumn(
+            "dist_sq",
+            F.round(
+                # clamp: algebraic distance is >= 0, fp cancellation can
+                # give -1e-15 (and a "-0.0" that breaks cross-engine compare)
+                F.greatest(
+                    F.col("doc_ss") + F.col("c_ss") - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
+                    F.lit(0.0),
+                ),
+                round_decimals,
+            ),
+        )
+    )
+    best = F.array_min(F.collect_list(F.struct("dist_sq", "cluster")))
+    return (
+        dists.groupBy("doc_id")
+        .agg(best.alias("b"))
+        .select("doc_id", F.col("b.cluster").alias("cluster"), F.col("b.dist_sq").alias("dist_sq"))
+    )
+
+
+def cluster_top_terms(
+    matrix: DataFrame,
+    assignments: DataFrame,
+    k_terms: int = 10,
+    weight_col: str = "tfidf",
+) -> DataFrame:
+    """A14 re-expressed: top-k terms per cluster by mean weight.
+
+    The reference takes the 10 largest coordinates of each dense centroid
+    with a value-keyed TreeMap that COLLAPSES ties
+    (ref sources/2.2/source/KMeansReducer.java:138-150); here mean weight
+    per (cluster, term) with deterministic round-first rank + term
+    tie-break, keeping every term."""
+    n_members = assignments.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    means = (
+        matrix.join(assignments.select("doc_id", "cluster"), "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.sum(weight_col).alias("w_sum"))
+        .join(F.broadcast(n_members), "cluster")
+        .withColumn("mean_w", F.round(F.col("w_sum") / F.col("n_members"), 6))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("mean_w").desc(), F.col("term").asc()
+    )
+    return (
+        means.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_terms)
+        .select("cluster", "term", "mean_w", "rank")
+    )
+
+
+def pivot_to_sparse_vectors(matrix: DataFrame, weight_col: str = "tfidf") -> DataFrame:
+    """A11: triples -> one ml.linalg SparseVector row per doc, indexed by a
+    deterministic term dictionary (fixes the reference's N5 defect where
+    vector slots were reducer-arrival-ordered, not term-aligned).
+
+    Returns (doc_id, features). The term index is dense-rank over sorted
+    terms; vocabulary size is the vector dimension. MLlib interop path —
+    the relational ops above never need it."""
+    vocab = (
+        matrix.select("term").distinct()
+        .withColumn("term_idx", F.row_number().over(Window.orderBy("term")) - 1)
+    )
+    v = vocab.count()
+    pairs = (
+        matrix.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("term_idx"), F.col(weight_col).alias("w")))
+            ).alias("pairs")
+        )
+    )
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    @F.udf(VectorUDT())
+    def to_vec(pairs):
+        return SparseVector(v, [p["term_idx"] for p in pairs], [p["w"] for p in pairs])
+
+    return pairs.select("doc_id", to_vec("pairs").alias("features"))

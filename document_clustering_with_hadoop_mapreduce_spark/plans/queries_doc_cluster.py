@@ -1,0 +1,160 @@
+"""Sparse document-clustering query surface (task 2.2 Spark-first) +
+the task 1.5 formatted report (P9/P10).
+
+``doc_kmeans_assign`` / ``doc_cluster_top_terms`` are the oracle-checked
+sparse re-expression of the reference's dense pipeline: assignment is
+relational algebra over tf-idf triples (see operators/doc_cluster.py), so
+DuckDB verifies every distance and every ranked term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.doc_cluster import (
+    cluster_top_terms,
+    seeded_sparse_centroids,
+    sparse_assign,
+)
+from ..operators.term_matrix import term_doc_counts
+from ..operators.tfidf import tfidf
+from ..sources.tables import load_table
+from .oracles import TFIDF_CTE
+from .registry import register
+
+K = 5
+
+# sparse centroids = tf-idf rows of the K lowest doc_ids; distance by
+# ||d||^2 + ||c||^2 - 2*dot with a left join for zero-overlap pairs —
+# the exact algebra of operators.doc_cluster.sparse_assign.
+_ASSIGN_CTES = f"""{TFIDF_CTE},
+seed_docs AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS cluster
+  FROM (SELECT DISTINCT doc_id FROM tfidf) ORDER BY doc_id LIMIT {K}
+),
+cents AS (
+  SELECT s.cluster, t.term, t.tfidf AS w
+  FROM tfidf t JOIN seed_docs s USING (doc_id)
+),
+doc_ss AS (SELECT doc_id, sum(tfidf * tfidf) AS doc_ss FROM tfidf GROUP BY doc_id),
+cent_ss AS (SELECT cluster, sum(w * w) AS c_ss FROM cents GROUP BY cluster),
+dots AS (
+  SELECT t.doc_id, c.cluster, sum(t.tfidf * c.w) AS dot
+  FROM tfidf t JOIN cents c USING (term)
+  GROUP BY t.doc_id, c.cluster
+),
+dists AS (
+  SELECT d.doc_id, s.cluster,
+         round(greatest(d.doc_ss + s.c_ss - 2 * coalesce(o.dot, 0), 0), 6) AS dist_sq
+  FROM doc_ss d CROSS JOIN cent_ss s
+  LEFT JOIN dots o ON o.doc_id = d.doc_id AND o.cluster = s.cluster
+),
+assign AS (
+  SELECT doc_id, cluster, dist_sq,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist_sq ASC, cluster ASC) AS rn
+  FROM dists
+)"""
+
+
+def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
+
+
+@register(
+    "doc_kmeans_assign",
+    f"""{_ASSIGN_CTES}
+    SELECT doc_id, cluster::INT AS cluster, dist_sq FROM assign WHERE rn = 1""",
+    "task 2.2 Spark-first: nearest-centroid assignment of tf-idf documents "
+    "on SPARSE vectors via relational algebra (||d||^2+||c||^2-2 dot; no "
+    "dense pivot — ref dense pipeline sources/2.2/source/ConvertInput.java)",
+    tags=("cluster", "task2.2", "bench"),
+)
+def q_doc_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _tfidf_matrix(spark, sf_dir)
+    cents = seeded_sparse_centroids(m, K)
+    return sparse_assign(m, cents)
+
+
+@register(
+    "doc_cluster_top_terms",
+    f"""{_ASSIGN_CTES},
+    members AS (SELECT doc_id, cluster FROM assign WHERE rn = 1),
+    n_members AS (SELECT cluster, count(*) AS n_members FROM members GROUP BY cluster),
+    means AS (
+      SELECT m.cluster, t.term,
+             round(sum(t.tfidf) / any_value(n.n_members), 6) AS mean_w
+      FROM tfidf t JOIN members m USING (doc_id) JOIN n_members n ON n.cluster = m.cluster
+      GROUP BY m.cluster, t.term
+    ),
+    ranked AS (
+      SELECT cluster::INT AS cluster, term, mean_w,
+             row_number() OVER (PARTITION BY cluster ORDER BY mean_w DESC, term ASC)::INT AS rank
+      FROM means
+    )
+    SELECT cluster, term, mean_w, rank FROM ranked WHERE rank <= 10""",
+    "A14 re-expressed: top-10 terms per document cluster by mean tf-idf "
+    "(ref sources/2.2/source/KMeansReducer.java:138-150, tie-collapse fixed)",
+    tags=("cluster", "task2.2"),
+)
+def q_doc_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _tfidf_matrix(spark, sf_dir)
+    cents = seeded_sparse_centroids(m, K)
+    assigned = sparse_assign(m, cents)
+    return cluster_top_terms(m, assigned, k_terms=10)
+
+
+@register(
+    "category_report",
+    f"""{TFIDF_CTE},
+    cats AS (SELECT DISTINCT doc_id, lang AS category FROM documents),
+    joined AS (SELECT c.category, t.term, t.tfidf, t.doc_id FROM tfidf t JOIN cats c USING (doc_id)),
+    per_cat AS (SELECT category, count(DISTINCT doc_id) AS n_docs_in_cat FROM joined GROUP BY category),
+    avg_t AS (
+      SELECT j.category, j.term, sum(j.tfidf) / any_value(p.n_docs_in_cat) AS avg_tfidf
+      FROM joined j JOIN per_cat p USING (category) GROUP BY j.category, j.term
+    ),
+    ranked AS (
+      SELECT category, term, round(avg_tfidf, 6) AS avg_tfidf,
+             row_number() OVER (PARTITION BY category ORDER BY round(avg_tfidf, 6) DESC, term ASC) AS rank
+      FROM avg_t
+    ),
+    top5 AS (SELECT * FROM ranked WHERE rank <= 5)
+    SELECT concat(upper(substring(category, 1, 1)), substring(category, 2)) || ': ' ||
+           string_agg(term || ':' || round(avg_tfidf, 2), ', ' ORDER BY rank) AS report_line
+    FROM top5 GROUP BY category""",
+    "P9/P10: the task 1.5 report lines — 'Business: term:0.12, ...' with "
+    "initcap label and 2-decimal values "
+    "(ref sources/1.5/source/task_1_5.java:127-140)",
+    tags=("text", "task1.5"),
+)
+def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.category import category_avg_tfidf
+    from ..operators.topk import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = tfidf(term_doc_counts(docs))
+    cats = docs.select("doc_id", F.col("lang").alias("category"))
+    avg = category_avg_tfidf(m, cats).withColumn("avg_tfidf", F.round("avg_tfidf", 6))
+    top5 = top_k_per_group(
+        avg, ["category"], [F.col("avg_tfidf").desc(), F.col("term").asc()], 5
+    )
+    return (
+        top5.groupBy("category")
+        .agg(
+            F.concat_ws(
+                ", ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "term", "avg_tfidf"))
+                    ),
+                    lambda s: F.concat_ws(":", s["term"], F.round(s["avg_tfidf"], 2).cast("string")),
+                ),
+            ).alias("terms_fmt"),
+        )
+        .select(
+            F.concat(F.initcap(F.substring("category", 1, 1)),
+                     F.expr("substring(category, 2)"),
+                     F.lit(": "), F.col("terms_fmt")).alias("report_line")
+        )
+    )

@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
     from . import queries_events  # noqa: F401
     from . import queries_cluster  # noqa: F401
     from . import queries_multimodal  # noqa: F401
+    from . import queries_doc_cluster  # noqa: F401
 
     return dict(_REGISTRY)
 
