@@ -135,3 +135,79 @@ def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
     )
+
+
+def customer_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations: INTERSECT / EXCEPT / UNION in one shape.
+
+    (high-balance customers ∩ customers with any order) ∪ (negative-balance
+    customers ∖ customers with any order), labeled by branch. Spark plans
+    intersect/except as left-semi/anti hash joins — same exchanges as the
+    explicit joins, no extra sort."""
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    high = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    neg = customer.filter(F.col("c_acctbal") < 0).select("c_custkey")
+    active_high = high.intersect(with_orders).withColumn("segment", F.lit("active_high"))
+    dormant_neg = neg.exceptAll(with_orders).withColumn("segment", F.lit("dormant_neg"))
+    return active_high.unionByName(dormant_neg)
+
+
+def customer_order_totals_outer(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """FULL OUTER join shape: every customer and every order-owning key,
+    including orphans on both sides (orders whose custkey has no customer
+    row and customers with no orders). Null-filled aggregates coalesced."""
+    totals = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("total_spend"),
+    )
+    return (
+        customer.select("c_custkey", "c_name")
+        .join(totals, F.col("c_custkey") == F.col("o_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spend"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+def asof_last_purchase(events: DataFrame) -> DataFrame:
+    """As-of join: for every click, the user's most recent purchase at or
+    before the click (value + timestamp), nulls where none exists.
+
+    Spark has no ASOF JOIN operator; the scalable form is the union +
+    forward-fill window: interleave both streams ordered by (ts, tag) per
+    user, carry the last purchase forward with last_value(ignorenulls),
+    keep the clicks. ONE exchange on user_id, no range explosion —
+    this is the standard big-data as-of pattern (point-in-time join).
+    """
+    tagged = events.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        # purchases sort before clicks at the same ts => "at or before" includes ties
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias("tag"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p_val = F.when(F.col("tag") == 0, F.col("value"))
+    p_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    filled = tagged.withColumn(
+        "last_purchase_value", F.last(p_val, ignorenulls=True).over(w)
+    ).withColumn("last_purchase_ts", F.last(p_ts, ignorenulls=True).over(w))
+    return (
+        filled.filter(F.col("tag") == 1)
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            F.round("last_purchase_value", 4).alias("last_purchase_value"),
+            "last_purchase_ts",
+        )
+    )

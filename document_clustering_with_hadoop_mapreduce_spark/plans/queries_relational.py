@@ -138,3 +138,65 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.customer_recent_orders(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@register(
+    "customer_set_ops",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+    high AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+    neg AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    SELECT c_custkey, 'active_high' AS segment FROM (SELECT * FROM high INTERSECT SELECT * FROM with_orders)
+    UNION ALL
+    SELECT c_custkey, 'dormant_neg' AS segment FROM (SELECT * FROM neg EXCEPT ALL SELECT * FROM with_orders)""",
+    "set ops: INTERSECT + EXCEPT ALL + UNION ALL (planned as semi/anti hash joins)",
+    tags=("relational",),
+)
+def q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_set_ops(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@register(
+    "customer_order_totals_outer",
+    f"""
+    WITH totals AS (
+      SELECT o_custkey, count(*) AS n_orders, {_dsum('o_totalprice')} AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name AS name,
+           coalesce(n_orders, 0) AS n_orders,
+           coalesce(total_spend, 0) AS total_spend
+    FROM customer FULL OUTER JOIN totals ON c_custkey = o_custkey""",
+    "full outer join with orphans on both sides, null-filled aggregates",
+    tags=("relational",),
+)
+def q_customer_order_totals_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.customer_order_totals_outer(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"))
+
+
+@register(
+    "events_asof_purchase",
+    """
+    WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+    purchases AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id AS click_id, c.user_id, epoch_us(c.ts) AS click_us,
+           round(p.value, 4) AS last_purchase_value,
+           epoch_us(p.ts) AS last_purchase_us
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "as-of (point-in-time) join: latest purchase at/before each click — "
+    "Spark side is the union + forward-fill window pattern (one exchange "
+    "on user_id, no range explosion); oracle is DuckDB's native ASOF JOIN",
+    tags=("relational", "events", "window"),
+)
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    out = R.asof_last_purchase(_t(spark, sf_dir, "events"))
+    return out.select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        "last_purchase_value",
+        F.unix_micros("last_purchase_ts").alias("last_purchase_us"),
+    )
