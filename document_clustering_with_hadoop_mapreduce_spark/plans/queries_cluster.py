@@ -82,3 +82,23 @@ def q_kmeans_lloyd_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t.iteration, round(t.wcss, 4), round(t.max_shift, 8)) for t in trace],
         "iteration INT, wcss DOUBLE, max_shift DOUBLE",
     )
+
+
+@register(
+    "kmeans_cosine_sizes",
+    None,  # iterative MLlib fit — rows-only; N3-vs-true-cosine in pytest
+    "task 2.3: seeded MLlib KMeans with CORRECT cosine distance + "
+    "k-means|| init (the Bahmani et al. algorithm the reference hand-rolls "
+    "at sources/2.2/source/ScalableKMeans.java; its N3 'cosine' is the "
+    "compat shim) -> cluster sizes",
+    tags=("cluster", "task2.3"),
+)
+def q_kmeans_cosine_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = mllib_kmeans(
+        emb, k=K, seed=42, distance="cosine", init_mode="k-means||"
+    )
+    return (
+        assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("cluster")
+    )

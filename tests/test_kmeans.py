@@ -69,3 +69,47 @@ def test_mllib_assignment_is_nearest_final_centroid(spark, sf_dir):
         v = [float(x) for x in r["embedding"]]
         dists = [sum((a - b) ** 2 for a, b in zip(v, c)) for c in centers]
         assert r["cluster"] == dists.index(min(dists))
+
+
+def test_n3_similarity_compat(spark):
+    """N3 shim: dot/(|a|+|b|) — verified against hand math, including the
+    reference's first-max-wins tie behavior."""
+    from document_clustering_with_hadoop_mapreduce_spark.compat import assign_nearest_n3, n3_similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 2.0]), (3, [3.0, 4.0])],
+        "vec_id INT, embedding ARRAY<DOUBLE>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    out = {r["vec_id"]: (r["cluster"], r["similarity"])
+           for r in assign_nearest_n3(df, cents).collect()}
+    # doc1 vs c0: dot=1, |a|=1, |b|=1 -> 0.5 ; vs c1: dot=0 -> 0.0
+    assert out[1][0] == 0 and abs(out[1][1] - 0.5) < 1e-12
+    # doc2 vs c0: 0 ; vs c1: 2/(2+1) = 0.6667
+    assert out[2][0] == 1 and abs(out[2][1] - 2 / 3) < 1e-12
+    # doc3 (3,4): c0 3/6=0.5, c1 4/6=0.6667 -> cluster 1
+    assert out[3][0] == 1
+    # sentinel fires only when BOTH norms are zero
+    # (ref sources/2.2/source/KMeansMapper.java:52-54)
+    zz = spark.range(1).select(
+        n3_similarity(F.array(F.lit(0.0), F.lit(0.0)),
+                      F.array(F.lit(0.0), F.lit(0.0))).alias("s")
+    ).collect()[0]["s"]
+    assert zz == -9999.0
+    # zero vector vs non-zero centroid: 0/(0+|b|) = 0.0, no sentinel
+    z = spark.createDataFrame([(9, [0.0, 0.0])], "vec_id INT, embedding ARRAY<DOUBLE>")
+    rz = assign_nearest_n3(z, cents).collect()[0]
+    assert rz["cluster"] == 0 and rz["similarity"] == 0.0
+
+    # scale-variance: true cosine is invariant under scaling, N3 is NOT —
+    # the defect SURVEY.md §2.7-N3 documents
+    a = [1.0, 1.0]
+    sim1 = spark.range(1).select(
+        n3_similarity(F.array(*[F.lit(x) for x in a]),
+                      F.array(*[F.lit(x) for x in a])).alias("s")
+    ).collect()[0]["s"]
+    sim2 = spark.range(1).select(
+        n3_similarity(F.array(*[F.lit(2 * x) for x in a]),
+                      F.array(*[F.lit(2 * x) for x in a])).alias("s")
+    ).collect()[0]["s"]
+    assert abs(sim1 - sim2) > 1e-6

@@ -1,0 +1,102 @@
+"""Physical-plan discipline: the properties that decide 100 TB behavior.
+
+Correctness tests prove the numbers; these prove the PLAN — filters reach
+the parquet scan, column pruning trims the schema, dimension joins
+broadcast, aggregates have map-side partials, and nothing falls back to a
+cartesian product or a row-at-a-time Python UDF on the hot path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_queries
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_pricing_summary_pushdown_and_partial_agg(spark, sf_dir):
+    df = all_queries()["pricing_summary"].spark(spark, sf_dir)
+    plan = _plan(df)
+    # shipdate predicate reaches the parquet reader
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # partial + final hash aggregation (the reference needed a hand combiner)
+    assert plan.count("HashAggregate") >= 2
+    # column pruning: the scan must NOT read l_comment-sized unused columns
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # unused by Q1 shape
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    df = all_queries()["revenue_by_nation"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # fact-fact join may shuffle; dims must not induce sort-merge
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_term_matrix_stays_jvm_side(spark, sf_dir):
+    """The tokenize/clean/count pipeline must contain no Python UDF stages
+    (BatchEvalPython / ArrowEvalPython) — it is whole-stage-codegen JVM work."""
+    df = all_queries()["term_doc_matrix"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_minhash_single_shuffle(spark, sf_dir):
+    """MinHash = map-side hash explode + ONE aggregate exchange (plus the
+    documented fan-out repartition): no distinct, no string shuffle."""
+    df = all_queries()["minhash_signatures"].spark(spark, sf_dir)
+    plan = _plan(df)
+    # exchanges: fan-out repartition (local fixture) + the groupBy(doc_id)
+    assert plan.count("Exchange") <= 2
+    assert "Sort" not in plan  # hash agg needs no sort
+
+
+def test_knn_is_broadcast_nested_loop_not_shuffle_cartesian(spark, sf_dir):
+    """Brute-force knn crossjoins a BROADCAST probe set — never a shuffled
+    cartesian product of the corpus with itself."""
+    df = all_queries()["knn_bruteforce"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_asof_join_single_user_exchange(spark, sf_dir):
+    """The as-of pattern must be one hash exchange on user_id + window —
+    no range join explosion, no cartesian."""
+    df = all_queries()["events_asof_purchase"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_doc_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """Sparse assignment: centroid side (k docs' tf-idf rows) broadcasts;
+    the corpus-side matrix is never replicated."""
+    df = all_queries()["doc_kmeans_assign"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scans_prune_columns_for_projection(spark, sf_dir):
+    """A 2-column projection over orders reads exactly 2 columns."""
+    df = load_table(spark, sf_dir, "orders", fan_out=False).select(
+        "o_orderkey", "o_custkey"
+    )
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "o_orderkey" in read_schema and "o_custkey" in read_schema
+    assert "o_totalprice" not in read_schema and "o_orderdate" not in read_schema
