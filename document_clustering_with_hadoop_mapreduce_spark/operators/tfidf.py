@@ -32,16 +32,25 @@ def tfidf(matrix: DataFrame, n_docs: int | None = None, compat_n1: bool = False)
     we use a cheap distinct-count aggregate if omitted.
     """
     with_tf = tf(matrix)
-    if n_docs is None:
-        n_docs = matrix.select("doc_id").distinct().count()
     if compat_n1:
         # N1: "df" is the number of distinct terms in the same DOCUMENT.
         w = Window.partitionBy("doc_id")
     else:
         w = Window.partitionBy("term")
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+        with_n = with_tf
+    else:
+        # scalar subquery, not a separate .count() action: an eager count
+        # would tokenize/aggregate the whole corpus TWICE (measured ~2x at
+        # sf0.1); as a broadcast single-row crossJoin the count stays in
+        # this plan and Spark reuses the matrix exchange for both branches.
+        n_df = matrix.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
+        with_n = with_tf.crossJoin(F.broadcast(n_df))
+        n_col = F.col("__n_docs")
     return (
-        with_tf.withColumn("df", F.count(F.lit(1)).over(w))
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df")))
+        with_n.withColumn("df", F.count(F.lit(1)).over(w))
+        .withColumn("idf", F.log(n_col / F.col("df")))
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
-        .drop("df")
+        .drop("df", "__n_docs")
     )
