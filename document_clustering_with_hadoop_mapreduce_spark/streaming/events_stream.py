@@ -100,3 +100,55 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str,
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def stream_exact_dedup(
+    events: DataFrame, key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the at-least-once -> exactly-once repair
+    every streaming ingest needs (and the streaming twin of the batch
+    ``dedup_exact`` operator). State is bounded: a key is only retained
+    within the watermark horizon (dropDuplicatesWithinWatermark), so this
+    runs forever without unbounded state growth."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+_USER_TOTALS_SCHEMA = "user_id LONG, n_events LONG, sum_value DOUBLE"
+_USER_STATE_SCHEMA = "n LONG, s DOUBLE"
+
+
+def stream_user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (count, value-sum) maintained across micro-batches.
+
+    The slot a bespoke stateful op (fraud score, rate limiter, online
+    feature) drops into: grouped Arrow batches + explicit GroupState,
+    'update' output mode. Batch-equivalence is tested over a closed input.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_USER_TOTALS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

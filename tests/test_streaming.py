@@ -44,3 +44,48 @@ def test_stream_sessions_sane(spark, sf_dir):
     # event conservation
     total = sum(r["n_events"] for r in rows)
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_stream_exact_dedup_removes_duplicates(spark, sf_dir, tmp_path):
+    """Duplicate the whole input (two symlinks to the same file); the
+    deduped stream must equal the single-copy batch row count."""
+    import os
+
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import stream_exact_dedup
+
+    staged = tmp_path / "dup_events"
+    staged.mkdir()
+    src = os.path.abspath(_events_dir(sf_dir))
+    os.symlink(src, staged / "a.parquet")
+    os.symlink(src, staged / "b.parquet")
+    stream = stream_exact_dedup(read_events_stream(spark, str(staged)))
+    got = run_stream_to_memory(stream, "dedup_t1", mode="append")
+    want = load_table(spark, sf_dir, "events").count()
+    assert got.count() == want
+
+
+def test_stream_stateful_running_totals_equals_batch(spark, sf_dir):
+    """applyInPandasWithState totals over a closed input == batch groupBy."""
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        stream_user_running_totals,
+    )
+
+    stream = stream_user_running_totals(read_events_stream(spark, _events_dir(sf_dir)))
+    got_df = run_stream_to_memory(stream, "totals_t1", mode="update")
+    # 'update' emits one row per user per batch; keep the LAST per user
+    got = {}
+    for r in got_df.collect():
+        got[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want_df = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 4).alias("s"),
+        )
+    )
+    want = {r["user_id"]: (r["n"], r["s"]) for r in want_df.collect()}
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
