@@ -1,0 +1,217 @@
+"""End-to-end task pipelines — the reference's 8 lab drivers as functions.
+
+A user of the reference runs `hadoop jar task1_1.jar <in> <out>`; here each
+task is one function over DataFrames, composing the operator modules. Output
+files use the reference's formats (MatrixMarket, `cluster,x,y` lines) via
+the compat sinks, so downstream tooling keeps working.
+
+Task -> reference driver mapping (SURVEY.md §0):
+  1.1 term x doc counts      sources/1.1/source/task1_1.java
+  1.2 corpus-freq >= 3       sources/1.2/source/task1_2.java
+  1.3 global top-10 terms    sources/1.3/source/Task1_3.java
+  1.4 TF-IDF                 sources/1.4/source/task1_4.java
+  1.5 top-5 terms/category   sources/1.5/source/task_1_5.java
+  2.1 2-D K-Means (euclid)   sources/2.1/source/task2_1.java
+  2.2 doc K-Means (cosine)   sources/2.2/source/*.java
+  2.3 same, k-means|| init   sources/2.3/source/*.java
+
+Golden parity for the computational cores is proven in
+tests/test_golden_parity.py; these facades add the I/O shell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .compat import clean_text_ref
+from .operators.kmeans import lloyd_kmeans, mllib_kmeans
+from .operators.term_matrix import filter_min_corpus_freq, term_totals
+from .operators.tfidf import tfidf
+from .operators.topk import top_k_global, top_k_per_group
+from .sources.corpus import (
+    load_line_dict,
+    load_stopwords,
+    read_corpus,
+    read_points_csv,
+)
+from .sources.mtx import read_mtx, write_mtx_single
+
+
+def task_1_1_term_doc_matrix(
+    spark: SparkSession,
+    corpus_dir: str,
+    terms_path: str,
+    docs_path: str,
+    stopwords_path: str,
+    out_mtx: str | None = None,
+    exact_ref_cleaning: bool = True,
+) -> DataFrame:
+    """Corpus -> (term_id, doc_id, count) triples; optional MTX file in the
+    reference's exact format (banner, dims, string-sorted lines)."""
+    docs = read_corpus(spark, corpus_dir, wholetext=True)
+    stop = load_stopwords(spark, stopwords_path)
+    terms_dict = load_line_dict(spark, terms_path, token_col="term", id_col="term_id")
+    docs_dict = load_line_dict(spark, docs_path, token_col="doc_name", id_col="num_id")
+
+    clean = clean_text_ref if exact_ref_cleaning else (lambda c: F.lower(c))
+    toks = (
+        docs.select(
+            F.col("doc_id").alias("doc_name"),
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("raw"),
+        )
+        .select("doc_name", clean(F.col("raw")).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(*stop))
+    )
+    matrix = (
+        toks.join(F.broadcast(terms_dict), "term")
+        .groupBy("term_id", "doc_name")
+        .agg(F.count(F.lit(1)).alias("value"))
+        .join(F.broadcast(docs_dict), "doc_name")
+        .select("term_id", F.col("num_id").alias("doc_id"), "value")
+    )
+    if out_mtx is not None:
+        n_terms = terms_dict.count()
+        n_docs = docs_dict.count()
+        write_mtx_single(
+            matrix, out_mtx, n_terms, n_docs, int_values=True, sort="string"
+        )
+    return matrix
+
+
+def task_1_2_min_freq_filter(
+    spark: SparkSession, in_mtx: str, min_total: int = 3, out_mtx: str | None = None
+) -> DataFrame:
+    m = read_mtx(spark, in_mtx).withColumnRenamed("value", "cnt")
+    filtered = filter_min_corpus_freq(
+        m.withColumnRenamed("term_id", "term").withColumnRenamed("doc_id", "doc"),
+        min_total,
+    ).select(
+        F.col("term").alias("term_id"),
+        F.col("doc").alias("doc_id"),
+        F.col("cnt").alias("value"),
+    )
+    if out_mtx is not None:
+        stats = filtered.agg(
+            F.max("term_id").alias("t"), F.max("doc_id").alias("d")
+        ).collect()[0]
+        write_mtx_single(
+            filtered, out_mtx, stats["t"], stats["d"], int_values=True, sort="string"
+        )
+    return filtered
+
+
+def task_1_3_top_terms(spark: SparkSession, in_mtx: str, n: int = 10) -> DataFrame:
+    m = read_mtx(spark, in_mtx).select(
+        F.col("term_id").alias("term"), F.col("value").cast("long").alias("cnt")
+    )
+    totals = term_totals(m)
+    return top_k_global(totals, [F.col("total_freq").desc(), F.col("term").asc()], n)
+
+
+def task_1_4_tfidf(
+    spark: SparkSession,
+    in_mtx: str,
+    out_mtx: str | None = None,
+    compat_n1: bool = False,
+) -> DataFrame:
+    """Standard tf-idf by default; ``compat_n1=True`` reproduces the
+    reference's per-document 'IDF' (golden-verified to 1e-5)."""
+    m = read_mtx(spark, in_mtx).select(
+        "doc_id", F.col("term_id").alias("term"), F.col("value").alias("cnt")
+    )
+    out = tfidf(m, compat_n1=compat_n1).select(
+        "doc_id",
+        F.col("term").alias("term_id"),
+        F.col("tfidf").alias("value"),
+    )
+    if out_mtx is not None:
+        # reference 1.4 output: doc-first headerless triples, deduped (N2/S10)
+        write_mtx_single(
+            out, out_mtx, 0, 0, row_col="doc_id", col_col="term_id",
+            int_values=False, banner=False, dedup=True,
+        )
+    return out
+
+
+def task_1_5_category_top_terms(
+    spark: SparkSession, tfidf_mtx: str, docs_path: str, k: int = 5
+) -> DataFrame:
+    """Top-k terms per category by average tf-idf, categories derived from
+    the doc dictionary's `<category>.<num>` names (P8)."""
+    m = read_mtx(spark, tfidf_mtx, col_order=("doc_id", "term_id"), header=False)
+    docs_dict = load_line_dict(spark, docs_path, token_col="doc_name", id_col="doc_id")
+    cats = docs_dict.select(
+        "doc_id", F.regexp_extract("doc_name", r"^(.*)\.", 1).alias("category")
+    )
+    joined = m.join(F.broadcast(cats), "doc_id")
+    per_cat = joined.groupBy("category").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    avg = (
+        joined.groupBy("category", "term_id")
+        .agg(F.sum("value").alias("s"))
+        .join(F.broadcast(per_cat), "category")
+        .withColumn("avg_tfidf", F.round(F.col("s") / F.col("n_docs"), 6))
+        .select("category", "term_id", "avg_tfidf")
+    )
+    return top_k_per_group(
+        avg, ["category"], [F.col("avg_tfidf").desc(), F.col("term_id").asc()], k
+    )
+
+
+def task_2_1_kmeans_2d(
+    spark: SparkSession, points_csv: str, k: int = 3, tol: float = 1e-5,
+    max_iter: int = 20,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Euclidean K-Means on 2-D points with convergence (M7). Deterministic
+    init (lowest row ids) instead of the reference's unseeded shuffle."""
+    pts = read_points_csv(spark, points_csv)
+    feats = pts.select(
+        F.monotonically_increasing_id().alias("vec_id"),
+        F.array("x1", "x2").alias("p"),
+        "x1", "x2",
+    )
+    assigned, centroids, _trace = lloyd_kmeans(
+        feats, k=k, features_col="p", id_col="vec_id", max_iter=max_iter, tol=tol
+    )
+    out = assigned.select(
+        F.element_at("p", 1).alias("x1"),
+        F.element_at("p", 2).alias("x2"),
+        "cluster",
+    )
+    return out, centroids
+
+
+def task_2_2_doc_kmeans(
+    spark: SparkSession, tfidf_mtx: str, k: int = 5, seed: int = 42,
+    init_mode: str = "random", max_iter: int = 10,
+):
+    """Document K-Means over a TF-IDF matrix with correct cosine distance
+    (the reference's N3 'cosine' lives in compat). Returns (model,
+    assignments with term-aligned sparse features)."""
+    from .operators.doc_cluster import pivot_to_sparse_vectors
+
+    m = read_mtx(spark, tfidf_mtx, col_order=("doc_id", "term_id"), header=False)
+    vecs = pivot_to_sparse_vectors(
+        m.select("doc_id", F.col("term_id").alias("term"), F.col("value").alias("tfidf"))
+    )
+    from pyspark.ml.clustering import KMeans
+
+    km = KMeans(
+        k=k, seed=seed, maxIter=max_iter, initMode=init_mode,
+        distanceMeasure="cosine", featuresCol="features", predictionCol="cluster",
+    )
+    model = km.fit(vecs)
+    return model, model.transform(vecs)
+
+
+def task_2_3_doc_kmeans_scalable(
+    spark: SparkSession, tfidf_mtx: str, k: int = 5, seed: int = 42,
+    max_iter: int = 10,
+):
+    """Task 2.3 = task 2.2 with k-means|| init (the Bahmani et al.
+    algorithm the reference hand-rolls; built into MLlib)."""
+    return task_2_2_doc_kmeans(
+        spark, tfidf_mtx, k=k, seed=seed, init_mode="k-means||", max_iter=max_iter
+    )
