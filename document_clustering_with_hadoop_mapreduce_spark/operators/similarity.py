@@ -147,3 +147,81 @@ def top_similar_pairs(embeddings: DataFrame, k: int = 20,
         .orderBy(F.col("cos").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
         .limit(k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize into cells, probe few.
+
+    The second ANN scale path next to LSH: a coarse quantizer (here the
+    deterministic seeded centroids = the ``n_cells`` lowest-id vectors;
+    production would use a k-means fit) partitions the corpus into cells;
+    each query scores only vectors in its ``nprobe`` nearest cells.
+
+    Scale: cell assignment is one broadcast argmin pass (centroids are a
+    k x d literal); the probe is an equi-join on ``cell`` — candidate
+    volume = sum of probed cell sizes, never O(n*q). Writing the corpus
+    bucketed BY cell makes the probe join shuffle-free on the corpus side.
+    """
+    from .kmeans import assign_nearest
+
+    cents_rows = (
+        embeddings.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    cells = assign_nearest(e, centroids, "vec").select(
+        "vec_id", "vec", F.col("cluster").alias("cell")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    q_cells = assign_nearest(q, centroids, "qvec", round_decimals=6)
+    # per query: nprobe nearest cells (re-rank all k dists — k is tiny)
+    probe_structs = []
+    for cid, c in enumerate(centroids):
+        d = F.round(
+            sum(
+                (F.element_at(F.col("qvec"), i + 1) - F.lit(v))
+                * (F.element_at(F.col("qvec"), i + 1) - F.lit(v))
+                for i, v in enumerate(c)
+            ),
+            6,
+        )
+        probe_structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+    probes = (
+        q.select(
+            "query_id",
+            "qvec",
+            F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe).alias("pr"),
+        )
+        .select("query_id", "qvec", F.explode("pr").alias("p"))
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+    )
+
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

@@ -126,3 +126,62 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_similar_pairs(_emb(spark, sf_dir), k=20)
+
+
+N_CELLS = 8
+NPROBE = 2
+
+
+def _sqd_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    cell_d AS (
+      SELECT e.vec_id, c.cell, round({_sqd_sql('e.v', 'c.cv')}, 6) AS d
+      FROM e CROSS JOIN cents c
+    ),
+    cells AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM cell_d
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERIES}),
+    probe_d AS (
+      SELECT q.query_id, c.cell, round({_sqd_sql('q.qv', 'c.cv')}, 6) AS d, q.qv
+      FROM q CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT query_id, cell, qv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+        FROM probe_d
+      ) WHERE rn <= {NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, e.vec_id, round({_cos_sql('p.qv', 'e.v')}, 6) AS cos
+      FROM probes p JOIN cells cl USING (cell) JOIN e ON e.vec_id = cl.vec_id
+      WHERE e.vec_id <> p.query_id
+    ),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
+    SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
+    "IVF ANN: coarse-quantizer cells (seeded deterministic centroids), "
+    "each query probes its 2 nearest cells — the inverted-file scale path "
+    "beside LSH (probe join on cell, candidate volume = probed cell sizes)",
+    tags=("similarity",),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES),
+        n_cells=N_CELLS, nprobe=NPROBE, k=3,
+    )

@@ -1,0 +1,50 @@
+"""Salting never changes results — equality with the direct plans, on a
+deliberately skewed input (90% of rows share one key)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.skew import (
+    salted_broadcast_join,
+    salted_count,
+    salted_sum,
+)
+
+
+def _skewed(spark):
+    # key 0 holds 9000 rows; keys 1..99 hold ~10 each
+    return spark.range(10000).select(
+        F.when(F.col("id") < 9000, F.lit(0)).otherwise((F.col("id") % 99) + 1).alias("k"),
+        (F.col("id") * 3 % 7).cast("double").alias("v"),
+    )
+
+
+def test_salted_sum_equals_direct(spark):
+    df = _skewed(spark)
+    direct = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r["k"]: r["total"] for r in salted_sum(df, ["k"], "v", "total").collect()}
+    assert salted == direct
+
+
+def test_salted_count_equals_direct(spark):
+    df = _skewed(spark)
+    direct = {r["k"]: r["n"] for r in df.groupBy("k").count().withColumnRenamed("count", "n").collect()}
+    salted = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+    assert salted == direct
+
+
+def test_salted_join_equals_direct(spark):
+    big = _skewed(spark)
+    small = spark.range(100).select(
+        F.col("id").cast("int").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    direct = big.join(small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    salted = salted_broadcast_join(big, small, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+    )
+    d = {r["k"]: (r["n"], r["sw"]) for r in direct.collect()}
+    s = {r["k"]: (r["n"], r["sw"]) for r in salted.collect()}
+    assert d == s
