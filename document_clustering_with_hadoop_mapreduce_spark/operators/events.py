@@ -64,3 +64,20 @@ def user_activity(events: DataFrame) -> DataFrame:
         F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
         dsum(F.col("value"), 4).alias("sum_value"),
     )
+
+
+def events_rollup(events: DataFrame) -> DataFrame:
+    """Multi-granularity rollup in ONE pass via grouping sets — the
+    hypertable-style pre-aggregation a 100 TB event store materializes:
+    (day, event_type), (day), (event_type), and grand total, each row
+    tagged with its grouping level. One shuffle; Spark expands the sets
+    map-side (Expand operator), so the fact table is still read once.
+    """
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    return events.cube(day, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,6)")).cast("double"), 4
+        ).alias("sum_value"),
+        F.grouping_id().cast("int").alias("lvl"),
+    )

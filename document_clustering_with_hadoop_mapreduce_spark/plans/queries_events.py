@@ -173,3 +173,23 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "events_rollup",
+    f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           count(*) AS n_events, {_DSUM} AS sum_value,
+           (CASE WHEN grouping(date_trunc('day', ts)) = 1 THEN 2 ELSE 0 END
+            + CASE WHEN grouping(event_type) = 1 THEN 1 ELSE 0 END)::INT AS lvl
+    FROM events
+    GROUP BY CUBE (date_trunc('day', ts), event_type)""",
+    "hypertable-style multi-granularity rollup: CUBE(day, event_type) in "
+    "one pass (Expand is map-side; fact table read once), grouping_id tags "
+    "each aggregation level",
+    tags=("events",),
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.events import events_rollup
+
+    return events_rollup(load_table(spark, sf_dir, "events"))
