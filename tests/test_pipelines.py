@@ -82,3 +82,22 @@ def test_task_2_2_and_2_3_doc_kmeans(spark):
         spark, _ref("2.3/input/task_1_4.mtx"), k=5, max_iter=3
     )
     assert a3.count() == n
+
+
+def test_task_2_1_recovers_true_classes(spark):
+    """The 2-D points carry ground-truth labels (cls 1..3); converged
+    Lloyd must recover them up to label permutation — the capability the
+    reference's unseeded runs could never assert (SURVEY.md §5 item 4)."""
+    from itertools import permutations
+
+    from document_clustering_with_hadoop_mapreduce_spark.sources.corpus import read_points_csv
+
+    pts = read_points_csv(spark, _ref("2.1/input/2DPoints.csv")).collect()
+    assigned, _ = P.task_2_1_kmeans_2d(spark, _ref("2.1/input/2DPoints.csv"), k=3)
+    got = {(round(r["x1"], 9), round(r["x2"], 9)): r["cluster"] for r in assigned.collect()}
+    truth = [((round(r["x1"], 9), round(r["x2"], 9)), r["cls"]) for r in pts]
+    best = 0.0
+    for perm in permutations(range(3)):
+        agree = sum(1 for key, cls in truth if perm[got[key]] + 1 == cls)
+        best = max(best, agree / len(truth))
+    assert best > 0.9, f"best label agreement only {best:.3f}"

@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis): invariants that hold for ALL inputs,
+not just fixtures — MTX round-trips, tokenizer algebra, salting neutrality,
+minhash bounds. Spark-side properties run on small generated frames
+(settings keep example counts low; each example is a Spark job)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.functions.hashing import (
+    MERSENNE_P,
+    minhash_params,
+    universal_hash,
+)
+from document_clustering_with_hadoop_mapreduce_spark.sources.mtx import (
+    mtx_dims,
+    read_mtx,
+    write_mtx_single,
+)
+
+SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+triples = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=500),
+        st.integers(min_value=1, max_value=10_000),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: (t[0], t[1]),
+)
+
+
+@SETTINGS
+@given(data=triples)
+def test_mtx_roundtrip_any_triples(spark, tmp_path_factory, data):
+    df = spark.createDataFrame(
+        [(a, b, float(v)) for a, b, v in data],
+        "term_id INT, doc_id INT, value DOUBLE",
+    )
+    path = str(tmp_path_factory.mktemp("mtx") / "m.mtx")
+    n_rows = max(a for a, _, _ in data)
+    n_cols = max(b for _, b, _ in data)
+    nnz = write_mtx_single(df, path, n_rows, n_cols, int_values=True)
+    assert nnz == len(data)
+    d = mtx_dims(path)
+    assert (d.n_rows, d.n_cols, d.nnz) == (n_rows, n_cols, nnz)
+    back = {(r["term_id"], r["doc_id"]): r["value"] for r in read_mtx(spark, path).collect()}
+    want = {(a, b): float(v) for a, b, v in data}
+    # dims-row collision filter may only ever drop the literal dims triple
+    assert back == {k: v for k, v in want.items()
+                    if not (k == (n_rows, n_cols) and v == float(nnz))}
+
+
+@SETTINGS
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200
+    )
+)
+def test_tokenizer_properties(spark, text):
+    """Tokens are lowercase alphanumeric, never empty, count <= words in."""
+    from document_clustering_with_hadoop_mapreduce_spark.functions.text import tokens
+
+    df = spark.createDataFrame([(text,)], "text STRING")
+    toks = df.select(
+        F.filter(tokens(F.col("text")), lambda t: t != "").alias("t")
+    ).collect()[0]["t"]
+    for t in toks:
+        assert t == t.lower()
+        assert t != ""
+        assert all(c.isalnum() for c in t)
+    assert len(toks) <= max(1, len(text.split()))
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(-1000, 1000)),
+        min_size=1, max_size=80,
+    ),
+    n_salts=st.sampled_from([2, 7, 16]),
+)
+def test_salted_sum_neutral_for_any_input(spark, rows, n_salts):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.skew import salted_sum
+
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rows], "k INT, v DOUBLE"
+    )
+    direct = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r["k"]: r["total"] for r in salted_sum(df, ["k"], "v", "total", n_salts).collect()}
+    assert salted == direct
+
+
+@given(x=st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(max_examples=200, deadline=None)
+def test_universal_hash_range_pure_python(x):
+    """h(x) always lands in [0, P) for every hash in the family (pure-python
+    mirror of the column expression's arithmetic)."""
+    for a, b in minhash_params(8, seed=42):
+        a30 = (a & ((1 << 30) - 1)) | 1
+        b30 = b & ((1 << 30) - 1)
+        h = (a30 * (x % (1 << 30)) + b30) % MERSENNE_P
+        assert 0 <= h < MERSENNE_P
