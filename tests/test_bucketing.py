@@ -1,0 +1,78 @@
+"""Bucketed layout removes the join/agg shuffle — plan-level proof."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.sources.bucketing import (
+    table_df,
+    write_bucketed,
+)
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir, tmp_path_factory):
+    base = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, sf_dir, "orders", fan_out=False)
+    customer = load_table(spark, sf_dir, "customer", fan_out=False)
+    write_bucketed(
+        orders.withColumnRenamed("o_custkey", "custkey"),
+        "orders_b", str(base / "orders"), ["custkey"], n_buckets=8,
+    )
+    write_bucketed(
+        customer.withColumnRenamed("c_custkey", "custkey"),
+        "customer_b", str(base / "customer"), ["custkey"], n_buckets=8,
+    )
+    yield "orders_b", "customer_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
+    """Same-bucketing fact-fact join: zero exchanges (shuffle paid once at
+    write time). Broadcast disabled to expose the merge-join path."""
+    o, c = bucketed_tables
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = table_df(spark, o).join(table_df(spark, c), "custkey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        n = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    # every order row with a matching customer row survives
+    assert n > 0
+
+
+def test_bucketed_agg_skips_exchange(spark, bucketed_tables):
+    o, _ = bucketed_tables
+    agg = table_df(spark, o).groupBy("custkey").agg(F.count(F.lit(1)).alias("n"))
+    assert "Exchange" not in _plan(agg)
+
+
+def test_bucketed_results_equal_plain(spark, sf_dir, bucketed_tables):
+    """Layout never changes results."""
+    o, c = bucketed_tables
+    plain = (
+        load_table(spark, sf_dir, "orders", fan_out=False)
+        .join(
+            load_table(spark, sf_dir, "customer", fan_out=False),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bucketed = (
+        table_df(spark, o).join(table_df(spark, c), "custkey")
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    p = {r[0]: r["n"] for r in plain.collect()}
+    b = {r[0]: r["n"] for r in bucketed.collect()}
+    assert p == b
