@@ -193,3 +193,30 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.events import events_rollup
 
     return events_rollup(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "events_value_percentiles",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type""",
+    "exact interpolated percentiles per event type (Spark percentile() == "
+    "DuckDB quantile_cont, verified to 6dp); at 100 TB swap in "
+    "approx_percentile whose t-digest merges map-side",
+    tags=("events",),
+)
+def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.95, 0.99)
+        ],
+    )
