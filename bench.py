@@ -41,15 +41,18 @@ def main() -> None:
             names.append(n)
 
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     # warm the JVM + parquet footers once with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     for name in names:
         q = registry[name]
+        # run 1 (cold: includes plan + codegen compile), run 2 (steady state)
         t0 = time.perf_counter()
-        df = q.spark(spark, SF_DIR)
-        n = df.count()  # full materialization of the result
+        assert q.spark(spark, SF_DIR).count() >= 0
+        cold[name] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        assert q.spark(spark, SF_DIR).count() >= 0
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -57,6 +60,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "cold_total": round(sum(cold.values()), 3),
+        "cold_queries": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -160,3 +160,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql(...)`` works
+    directly — the engine's SQL surface (same names the DuckDB oracle
+    uses, so any oracle query in plans/ also runs verbatim on Spark SQL
+    modulo dialect)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -100,3 +100,18 @@ def test_scans_prune_columns_for_projection(spark, sf_dir):
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "o_orderkey" in read_schema and "o_custkey" in read_schema
     assert "o_totalprice" not in read_schema and "o_orderdate" not in read_schema
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    out = spark.sql(
+        """
+        SELECT n_name, count(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_customers DESC, n_name LIMIT 5
+        """
+    ).collect()
+    assert 0 < len(out) <= 5
+    assert out[0]["n_customers"] >= out[-1]["n_customers"]
