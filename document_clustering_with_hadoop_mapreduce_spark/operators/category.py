@@ -12,7 +12,7 @@ documents table and the "joins" are column references — no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .topk import top_k_per_group

@@ -211,3 +211,23 @@ def asof_last_purchase(events: DataFrame) -> DataFrame:
             "last_purchase_ts",
         )
     )
+
+
+def rolling_30d_spend(orders: DataFrame) -> DataFrame:
+    """Time-RANGE window: each order with the customer's trailing-30-day
+    spend (inclusive). RANGE frames bound by event-time, not row count —
+    the shape behind sliding feature windows; one exchange on custkey."""
+    w = (
+        Window.partitionBy("o_custkey")
+        # NTZ -> epoch seconds (session tz is pinned to UTC) for the RANGE
+        .orderBy(F.unix_seconds(F.col("o_orderdate").cast("timestamp")))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"), 2
+        ).alias("spend_30d"),
+    )

@@ -200,3 +200,20 @@ def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_purchase_value",
         F.unix_micros("last_purchase_ts").alias("last_purchase_us"),
     )
+
+
+@register(
+    "rolling_30d_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 2) AS spend_30d
+    FROM orders""",
+    "event-time RANGE window: trailing-30-day spend per order (sliding "
+    "feature-window shape; one exchange on custkey)",
+    tags=("relational", "window"),
+)
+def q_rolling_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.rolling_30d_spend(_t(spark, sf_dir, "orders"))

@@ -20,7 +20,6 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.tables import SCHEMAS
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
