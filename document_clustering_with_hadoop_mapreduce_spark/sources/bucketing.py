@@ -46,3 +46,20 @@ def table_df(spark: SparkSession, table: str) -> DataFrame:
     """Read back a bucketed table — bucketing metadata comes from the
     catalog, so joins/aggs on the bucket key skip their exchange."""
     return spark.table(table)
+
+
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str, granularity: str = "day"
+) -> None:
+    """Write partitioned by event date (`dt=YYYY-MM-DD/` dirs) — the other
+    half of the 100 TB layout story: time-filtered scans read only the
+    matching partitions (plan shows PartitionFilters, not a full scan).
+    Combine with bucketing inside each partition for join co-location."""
+    from pyspark.sql import functions as F
+
+    (
+        df.withColumn("dt", F.date_format(F.date_trunc(granularity, ts_col), "yyyy-MM-dd"))
+        .write.mode("overwrite")
+        .partitionBy("dt")
+        .parquet(path)
+    )

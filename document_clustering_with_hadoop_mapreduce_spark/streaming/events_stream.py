@@ -151,3 +151,30 @@ def stream_user_running_totals(events: DataFrame, watermark: str = "2 hours") ->
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def read_documents_stream(spark: SparkSession, documents_dir: str) -> DataFrame:
+    """File-source stream over documents parquet (symlink-staged if given a
+    single file, like read_events_stream)."""
+    if os.path.isfile(documents_dir):
+        staged = tempfile.mkdtemp(prefix="docs_stream_")
+        os.symlink(os.path.abspath(documents_dir),
+                   os.path.join(staged, os.path.basename(documents_dir)))
+        documents_dir = staged
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    return spark.readStream.schema(schema).parquet(documents_dir)
+
+
+def stream_term_counts(documents: DataFrame) -> DataFrame:
+    """The reference's task 1.1 as a STREAM: corpus arrives as files, term
+    totals update per micro-batch (complete-mode agg; map-side partial
+    per batch, state = one row per term). Same tokenize/clean/stopword
+    expressions as the batch operator, so batch == stream over a closed
+    input set — asserted in tests."""
+    from ..functions.text import explode_tokens
+    from pyspark.sql import functions as F
+
+    toks = documents.select(
+        F.col("doc_id"), explode_tokens(F.col("text")).alias("term")
+    )
+    return toks.groupBy("term").agg(F.count(F.lit(1)).alias("total_freq"))

@@ -76,3 +76,21 @@ def test_bucketed_results_equal_plain(spark, sf_dir, bucketed_tables):
     p = {r[0]: r["n"] for r in plain.collect()}
     b = {r[0]: r["n"] for r in bucketed.collect()}
     assert p == b
+
+
+def test_date_partitioned_scan_prunes(spark, sf_dir, tmp_path_factory):
+    from document_clustering_with_hadoop_mapreduce_spark.sources.bucketing import (
+        write_date_partitioned,
+    )
+
+    path = str(tmp_path_factory.mktemp("part") / "events")
+    events = load_table(spark, sf_dir, "events", fan_out=False)
+    write_date_partitioned(events, path, "ts")
+    back = spark.read.parquet(path)
+    one_day = back.select("dt").distinct().orderBy("dt").limit(1).collect()[0]["dt"]
+    filtered = back.filter(F.col("dt") == one_day)
+    plan = _plan(filtered)
+    assert "PartitionFilters" in plan and "dt" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan reads exactly that day's rows
+    want = events.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == one_day).count()
+    assert filtered.count() == want

@@ -89,3 +89,26 @@ def test_stream_stateful_running_totals_equals_batch(spark, sf_dir):
     for u in want:
         assert got[u][0] == want[u][0]
         assert abs(got[u][1] - want[u][1]) < 1e-6
+
+
+def test_stream_term_counts_equals_batch(spark, sf_dir):
+    """Task 1.1's aggregation over a document STREAM == the batch matrix
+    totals (the reference could only ever batch)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+        term_totals,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        read_documents_stream,
+        stream_term_counts,
+    )
+
+    stream = stream_term_counts(
+        read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    )
+    got_df = run_stream_to_memory(stream, "terms_t1", mode="complete")
+    got = {r["term"]: r["total_freq"] for r in got_df.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {r["term"]: r["total_freq"]
+            for r in term_totals(term_doc_counts(docs)).collect()}
+    assert got == want
