@@ -155,3 +155,50 @@ def pivot_to_sparse_vectors(matrix: DataFrame, weight_col: str = "tfidf") -> Dat
         return SparseVector(v, [p["term_idx"] for p in pairs], [p["w"] for p in pairs])
 
     return pairs.select("doc_id", to_vec("pairs").alias("features"))
+
+
+def recompute_sparse_centroids(
+    matrix: DataFrame, assignments: DataFrame, weight_col: str = "tfidf"
+) -> DataFrame:
+    """Sparse centroid recompute: mean over cluster members per term,
+    zeros implicit — sum(w) / n_members(cluster), keyed (cluster, term).
+    Two narrow aggregates; centroid nnz is bounded by the union of member
+    nnz, so centroids STAY sparse (the reference's dense reducer held
+    k x V doubles in memory, ref sources/2.2/source/KMeansReducer.java)."""
+    n_members = assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        matrix.join(assignments.select("doc_id", "cluster"), "doc_id")
+        .groupBy("cluster", "term")
+        .agg(F.sum(weight_col).alias("w_sum"))
+        .join(F.broadcast(n_members), "cluster")
+        .select("cluster", "term", (F.col("w_sum") / F.col("n")).alias("w"))
+    )
+
+
+def sparse_lloyd(
+    matrix: DataFrame,
+    k: int,
+    max_iter: int = 5,
+    weight_col: str = "tfidf",
+) -> tuple[DataFrame, DataFrame, list[float]]:
+    """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
+    without ever materializing a dense vector or driver-side centroids.
+
+    Per iteration: join-based sparse assignment (see ``sparse_assign``) +
+    sparse centroid recompute. Centroids live as a (cluster, term, w)
+    DataFrame, cached and broadcast into the next assignment — at 100 TB
+    the centroid relation is k x avg-doc-nnz rows (KBs), while dense
+    k x V would be GBs. Returns (assignments, centroids, per-iter WCSS).
+    """
+    cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
+    wcss_trace: list[float] = []
+    assigned = None
+    for _ in range(max_iter):
+        assigned = sparse_assign(matrix, cents, weight_col).cache()
+        wcss = assigned.agg(F.sum("dist_sq").alias("w")).collect()[0]["w"]
+        wcss_trace.append(float(wcss))
+        new_cents = recompute_sparse_centroids(matrix, assigned, weight_col).cache()
+        new_cents.count()  # materialize before unpersisting the old
+        cents.unpersist()
+        cents = new_cents
+    return assigned, cents, wcss_trace

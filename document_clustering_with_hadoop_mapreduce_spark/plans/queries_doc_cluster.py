@@ -158,3 +158,22 @@ def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(": "), F.col("terms_fmt")).alias("report_line")
         )
     )
+
+
+@register(
+    "doc_kmeans_sparse_trace",
+    None,  # iterative — rows-only; WCSS monotonicity in tests/test_doc_cluster.py
+    "task 2.2 full loop, sparse end-to-end: iterative Lloyd over tf-idf "
+    "triples (join-based assignment + sparse centroid recompute, centroids "
+    "never densified) -> per-iteration WCSS",
+    tags=("cluster", "task2.2"),
+)
+def q_doc_kmeans_sparse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.doc_cluster import sparse_lloyd
+
+    m = _tfidf_matrix(spark, sf_dir)
+    _, _, trace = sparse_lloyd(m, k=K, max_iter=3)
+    return spark.createDataFrame(
+        [(i, round(w, 4)) for i, w in enumerate(trace)],
+        "iteration INT, wcss DOUBLE",
+    )

@@ -52,3 +52,19 @@ def test_pivot_vectors_term_aligned(spark, sf_dir):
     nnz = {r["doc_id"]: r["n"] for r in m.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     for r in vecs.limit(20).collect():
         assert len(r["features"].indices) == nnz[r["doc_id"]]
+
+
+def test_sparse_lloyd_wcss_non_increasing(spark, sf_dir):
+    """Full sparse Lloyd: WCSS monotone, k clusters, sparse centroids."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.doc_cluster import sparse_lloyd
+
+    m = _matrix(spark, sf_dir)
+    assigned, cents, trace = sparse_lloyd(m, k=4, max_iter=3)
+    assert len(trace) == 3
+    for a, b in zip(trace, trace[1:]):
+        assert b <= a + 1e-6, f"WCSS increased: {trace}"
+    assert assigned.select("cluster").distinct().count() <= 4
+    # centroids stay sparse: nnz bounded by union of member terms
+    vocab = m.select("term").distinct().count()
+    per_cluster_nnz = cents.groupBy("cluster").count().collect()
+    assert all(r["count"] <= vocab for r in per_cluster_nnz)
