@@ -68,3 +68,26 @@ def test_sparse_lloyd_wcss_non_increasing(spark, sf_dir):
     vocab = m.select("term").distinct().count()
     per_cluster_nnz = cents.groupBy("cluster").count().collect()
     assert all(r["count"] <= vocab for r in per_cluster_nnz)
+
+
+def test_pandas_udf_matches_jvm_normalize(spark, sf_dir):
+    """The Arrow pandas-UDF escape hatch computes exactly what the JVM
+    higher-order-function path computes (so the slow path can never
+    silently drift from the fast one)."""
+    from document_clustering_with_hadoop_mapreduce_spark.functions.vector import (
+        l2_normalize,
+        l2_normalize_pandas_udf,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    udf = l2_normalize_pandas_udf()
+    both = emb.select(
+        "vec_id", l2_normalize(F.col("v")).alias("jvm"), udf("v").alias("py")
+    ).collect()
+    for r in both:
+        assert len(r["jvm"]) == len(r["py"])
+        for a, b in zip(r["jvm"], r["py"]):
+            assert abs(a - b) < 1e-12
