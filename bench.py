@@ -30,6 +30,37 @@ HEADLINE = [
 ]
 
 
+REF_ZIP = "/root/reference/sources/1.1/input/bbc-fulltext.zip"
+
+
+def bench_reference_workload(spark) -> float | None:
+    """Time the reference's OWN workload end-to-end: the BBC corpus
+    (2,225 docs) through task 1.1's full pipeline (scan -> tokenize ->
+    clean -> stopwords -> vocab join -> count matrix, materialized).
+    The reference runs this as a Hadoop MR job chain; this single number
+    is the direct same-data-same-work throughput comparison."""
+    import tempfile
+    import zipfile
+
+    from document_clustering_with_hadoop_mapreduce_spark.pipelines import (
+        task_1_1_term_doc_matrix,
+    )
+
+    if not os.path.exists(REF_ZIP):
+        return None
+    corpus = tempfile.mkdtemp(prefix="bbc_bench_")
+    with zipfile.ZipFile(REF_ZIP) as z:
+        z.extractall(corpus)
+    ref_in = os.path.dirname(REF_ZIP)
+    t0 = time.perf_counter()
+    m = task_1_1_term_doc_matrix(
+        spark, corpus, f"{ref_in}/bbc.terms", f"{ref_in}/bbc.docs",
+        f"{ref_in}/stopwords.txt",
+    )
+    assert m.count() == 142278  # golden nnz — the timing is for VERIFIED work
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -54,6 +85,7 @@ def main() -> None:
         assert q.spark(spark, SF_DIR).count() >= 0
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
+    ref_sec = bench_reference_workload(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -62,6 +94,7 @@ def main() -> None:
         "queries": timings,
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
+        "bbc_task11_sec": ref_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
