@@ -21,7 +21,7 @@ reproduce every bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MERSENNE_P, md5_int60, minhash_params, universal_hash
@@ -164,6 +164,102 @@ def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFram
         )
         .filter(F.col("jaccard") >= min_jaccard)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over candidate
+    pairs -> (doc_id, component), component = min doc_id reachable through
+    the pair graph (the canonical representative to keep).
+
+    Iterative min-label propagation: each round, every node takes the min of
+    its own label and its neighbors' — one shuffle per round, converging in
+    graph-diameter rounds. Near-dup graphs are dense clique-ish blobs
+    (diameter 2-3); for adversarial long chains the alternating
+    large-star/small-star scheme (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) halves diameter per round and would slot
+    in here unchanged.
+
+    Scale design: propagation runs ONLY on nodes that appear in some pair
+    (LSH keeps that set a small fraction of the corpus); the full corpus
+    joins in once at the end, singletons mapping to themselves. Labels are
+    localCheckpoint-ed each round to truncate lineage (on a real cluster:
+    ``sc.setCheckpointDir`` + ``.checkpoint()``); convergence = label-sum
+    fixpoint (labels only decrease, so equal sums mean no label moved),
+    decimal-cast so the test never overflows at any corpus size.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    edges = fwd.union(rev).persist()
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    total_expr = F.sum(F.col("component").cast("decimal(38,0)"))
+    prev_total = labels.agg(total_expr).first()[0]
+    for _ in range(max_rounds):
+        prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
+            F.col("dst").alias("doc_id"), "component"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        total = labels.agg(total_expr).first()[0]
+        if total == prev_total:
+            break
+        prev_total = total
+    edges.unpersist()
+    if documents is None:
+        return labels
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+
+
+def tfidf_cosine_pairs(
+    tfidf_df: DataFrame, top_t: int = 20, min_cosine: float = 0.9
+) -> DataFrame:
+    """Near-dup pairs by cosine similarity over each doc's top-T tf-idf
+    terms, computed relationally over sparse triples (no dense vectors).
+
+    Prefix truncation — keeping only each doc's T strongest terms before the
+    inverted-index self-join — is the standard all-pairs-similarity scale
+    trick (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07): the term join expands O(sum df_T^2) instead of O(sum df^2),
+    and df_T is bounded because hot (high-df) terms have low tf-idf and
+    never make a prefix. Weights are rounded to 6dp BEFORE ranking and
+    normalizing so the selected prefix and the result are identical across
+    engines (cross-engine float discipline; summation-order noise is
+    absorbed by the final round).
+    """
+    w = Window.partitionBy("doc_id").orderBy(F.col("w0").desc(), F.col("term").asc())
+    top = (
+        tfidf_df.select("doc_id", "term", F.round("tfidf", 6).alias("w0"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_t)
+    )
+    norms = top.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w0") * F.col("w0"))).alias("norm"))
+    nw = top.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("w0") / F.col("norm")).alias("w")
+    )
+    a, b = nw.alias("a"), nw.alias("b")
+    return (
+        a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
     )
 
 

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 from ..operators.dedup import (
+    duplicate_components,
     exact_dup_groups,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -20,10 +21,12 @@ from ..operators.dedup import (
     shingle_hashes,
     shingles,
     simhash_fingerprints,
+    tfidf_cosine_pairs,
 )
 from ..operators.term_matrix import term_doc_counts
+from ..operators.tfidf import tfidf
 from ..sources.tables import load_table
-from .oracles import MATRIX_CTE, TOKENS_CTE
+from .oracles import MATRIX_CTE, TFIDF_CTE, TOKENS_CTE
 from .registry import register
 
 _ORACLES = minhash_oracle_sql(TOKENS_CTE)
@@ -95,6 +98,68 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(shingles(_docs(spark, sf_dir), n=3), min_jaccard=0.2)
+
+
+# Connected components over the LSH candidate graph: DuckDB's recursive CTE
+# floods min labels exactly like the Spark propagation loop.
+_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_ORACLES["lsh_candidate_pairs"]}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach AS (
+  SELECT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+comp AS (SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+FROM documents d LEFT JOIN comp c USING (doc_id)"""
+
+
+@register(
+    "dedup_components",
+    _CC_ORACLE,
+    "duplicate-cluster resolution: connected components (min-label flood, "
+    "Kiveris-style) over the LSH candidate graph; every doc -> canonical "
+    "min-id representative, singletons map to themselves",
+    tags=("dedup", "bench"),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
+    return duplicate_components(pairs, documents=docs)
+
+
+_COSINE_PAIRS_ORACLE = f"""{TFIDF_CTE},
+ranked AS (
+  SELECT doc_id, term, round(tfidf, 6) AS w0,
+         row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term ASC) AS rn
+  FROM tfidf
+),
+top AS (SELECT doc_id, term, w0 FROM ranked WHERE rn <= 20),
+norms AS (SELECT doc_id, sqrt(sum(w0*w0)) AS norm FROM top GROUP BY doc_id),
+nw AS (SELECT t.doc_id, t.term, t.w0 / n.norm AS w FROM top t JOIN norms n USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(sum(a.w*b.w), 6) AS cosine
+FROM nw a JOIN nw b ON a.term = b.term AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(sum(a.w*b.w), 6) >= 0.9"""
+
+
+@register(
+    "tfidf_cosine_pairs",
+    _COSINE_PAIRS_ORACLE,
+    "near-dup pairs: cosine >= 0.9 over each doc's top-20 tf-idf terms via "
+    "inverted-index self-join (Bayardo prefix truncation — never dense, "
+    "never O(n^2))",
+    tags=("dedup",),
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = tfidf(term_doc_counts(_docs(spark, sf_dir)))
+    return tfidf_cosine_pairs(m, top_t=20, min_cosine=0.9)
 
 
 def _simhash_oracle(bits: int = 32) -> str:

@@ -1,0 +1,54 @@
+"""Structural invariants for duplicate-cluster resolution and tf-idf
+cosine pairs (value-level parity is covered by the oracle sweep)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+    duplicate_components,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_hashes,
+    tfidf_cosine_pairs,
+)
+from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import term_doc_counts
+from document_clustering_with_hadoop_mapreduce_spark.operators.tfidf import tfidf
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _components(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2).cache()
+    comp = duplicate_components(pairs, documents=docs).cache()
+    return docs, pairs, comp
+
+
+def test_components_are_consistent(spark, sf_dir):
+    docs, pairs, comp = _components(spark, sf_dir)
+    # total function: one label per document
+    assert comp.count() == docs.count()
+    # both endpoints of every candidate pair share a component
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("ca"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("cb"))
+    split = pairs.join(ca, "doc_a").join(cb, "doc_b").filter("ca <> cb")
+    assert split.count() == 0
+    # representative is the component MIN, and is itself a member
+    assert comp.filter(F.col("component") > F.col("doc_id")).count() == 0
+    reps = comp.select(F.col("component").alias("doc_id")).distinct()
+    not_self = reps.join(
+        comp.filter(F.col("doc_id") == F.col("component")), "doc_id", "left_anti"
+    )
+    assert not_self.count() == 0
+
+
+def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
+    m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
+    got = tfidf_cosine_pairs(m, top_t=20, min_cosine=0.5).cache()
+    n = got.count()
+    # normalized vectors: cosine in [threshold, 1] (+6dp rounding slack)
+    assert got.filter((F.col("cosine") < 0.5) | (F.col("cosine") > 1.000001)).count() == 0
+    # canonical a<b pair space, no self-pairs, no duplicates
+    assert got.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    assert got.select("doc_a", "doc_b").distinct().count() == n
