@@ -134,6 +134,61 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs, documents=docs)
 
 
+# The capstone a 100 TB training-data pipeline actually runs: quality
+# filters + duplicate-cluster representatives, one declarative plan.
+def _curation_oracle() -> str:
+    from .queries_events import _STOP_SQL, _TOKS
+
+    n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    return f"""
+WITH RECURSIVE comp_full AS ({_CC_ORACLE}),
+q AS (
+  SELECT doc_id, lang,
+         {n_tokens} AS n_tokens,
+         length(text) AS n_chars,
+         round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')))::DOUBLE
+               / length(text), 6) AS punct_ratio,
+         round(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))::DOUBLE
+               / nullif({n_tokens}, 0), 6) AS stopword_ratio
+  FROM documents
+)
+SELECT q.doc_id, q.lang, q.n_tokens, q.n_chars, q.stopword_ratio, q.punct_ratio
+FROM q JOIN comp_full c ON q.doc_id = c.doc_id
+WHERE c.component = q.doc_id AND q.n_tokens >= 20
+  AND q.stopword_ratio >= 0.02 AND q.punct_ratio <= 0.05"""
+
+
+@register(
+    "corpus_curation",
+    _curation_oracle(),
+    "end-to-end corpus curation: quality gates (length, stopword ratio, "
+    "punctuation ratio) + keep only duplicate-cluster representatives — the "
+    "composed pipeline a training-data build runs; all stages map-side "
+    "except the LSH join and the CC flood",
+    tags=("dedup", "textstats"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import doc_quality
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    comp = duplicate_components(lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2),
+                                documents=docs)
+    qual = doc_quality(docs)
+    return (
+        docs.select("doc_id", "lang")
+        .join(qual, "doc_id")
+        .join(comp, "doc_id")
+        .filter(
+            (F.col("component") == F.col("doc_id"))
+            & (F.col("n_tokens") >= 20)
+            & (F.col("stopword_ratio") >= 0.02)
+            & (F.col("punct_ratio") <= 0.05)
+        )
+        .select("doc_id", "lang", "n_tokens", "n_chars", "stopword_ratio", "punct_ratio")
+    )
+
+
 _COSINE_PAIRS_ORACLE = f"""{TFIDF_CTE},
 ranked AS (
   SELECT doc_id, term, round(tfidf, 6) AS w0,
