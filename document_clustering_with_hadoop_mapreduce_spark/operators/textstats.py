@@ -96,6 +96,37 @@ def bpe_ish_token_counts(documents: DataFrame, text_col: str = "text", id_col: s
     )
 
 
+def hash_split(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train: float = 0.9,
+    valid: float = 0.05,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by salted id hash.
+
+    The reproducible alternative to ``randomSplit``: a document's split is a
+    pure function of (salt, id), so it never changes across runs,
+    partitionings, engines, or corpus growth — adding or removing other
+    documents cannot reshuffle existing assignments (the property a
+    training-data pipeline needs for stable held-out sets). Map-side only:
+    no shuffle, no RNG, no state."""
+    from ..functions.hashing import md5_int60
+
+    bucket = F.pmod(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
+    )
+    t, v = int(train * 10000), int((train + valid) * 10000)
+    split = (
+        F.when(bucket < t, F.lit("train"))
+        .when(bucket < v, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return documents.select(
+        F.col(id_col).alias("doc_id"), bucket.alias("bucket"), split.alias("split")
+    )
+
+
 def doc_fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprint: md5-60bit of the cleaned,
     whitespace-normalized text (portable to the oracle)."""

@@ -176,6 +176,30 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hash_split",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b""",
+    "deterministic 90/5/5 train/valid/test split by salted id hash — "
+    "reproducible across runs/engines/corpus growth, map-side, no RNG "
+    "(the stable alternative to randomSplit)",
+    tags=("textstats",),
+)
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import hash_split
+
+    return hash_split(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "events_rollup",
     f"""
     SELECT date_trunc('day', ts) AS day, event_type,

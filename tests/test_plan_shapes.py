@@ -115,3 +115,27 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     ).collect()
     assert 0 < len(out) <= 5
     assert out[0]["n_customers"] >= out[-1]["n_customers"]
+
+
+def test_cosine_pairs_is_equi_join_not_cartesian(spark, sf_dir):
+    """The all-pairs cosine self-join must equi-join on term (the inverted
+    index) — never a cartesian doc x doc expansion — with map-side partial
+    sums, staying JVM-side. (The one BroadcastNestedLoopJoin in the plan is
+    the deliberate single-row n_docs scalar crossJoin inside tfidf.)"""
+    df = all_queries()["tfidf_cosine_pairs"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [term" in plan or "SortMergeJoin [term" in plan
+    assert "partial_sum" in plan  # pair dot-products combine map-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """Deterministic split assignment is a pure map-side projection over the
+    scan: no shuffle, no RNG expression."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import hash_split
+
+    df = hash_split(load_table(spark, sf_dir, "documents", fan_out=False))
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "rand(" not in _optimized(df)
