@@ -203,7 +203,10 @@ def duplicate_components(
         .localCheckpoint()
     )
     total_expr = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_total = labels.agg(total_expr).first()[0]
+    # no initial-sum action: round 1 always lowers some label when any edge
+    # exists (pairs are strict a<b), and with no edges the first comparison
+    # (None == None) terminates immediately.
+    prev_total = None
     for _ in range(max_rounds):
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "component"
