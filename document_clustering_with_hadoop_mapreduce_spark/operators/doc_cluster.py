@@ -158,20 +158,29 @@ def pivot_to_sparse_vectors(matrix: DataFrame, weight_col: str = "tfidf") -> Dat
 
 
 def recompute_sparse_centroids(
-    matrix: DataFrame, assignments: DataFrame, weight_col: str = "tfidf"
+    matrix: DataFrame,
+    assignments: DataFrame,
+    weight_col: str = "tfidf",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Sparse centroid recompute: mean over cluster members per term,
     zeros implicit — sum(w) / n_members(cluster), keyed (cluster, term).
     Two narrow aggregates; centroid nnz is bounded by the union of member
     nnz, so centroids STAY sparse (the reference's dense reducer held
-    k x V doubles in memory, ref sources/2.2/source/KMeansReducer.java)."""
+    k x V doubles in memory, ref sources/2.2/source/KMeansReducer.java).
+
+    ``round_decimals`` rounds centroid weights in-plan so iterated
+    centroids stay comparable against the DuckDB oracle."""
     n_members = assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    w = F.col("w_sum") / F.col("n")
+    if round_decimals is not None:
+        w = F.round(w, round_decimals)
     return (
         matrix.join(assignments.select("doc_id", "cluster"), "doc_id")
         .groupBy("cluster", "term")
         .agg(F.sum(weight_col).alias("w_sum"))
         .join(F.broadcast(n_members), "cluster")
-        .select("cluster", "term", (F.col("w_sum") / F.col("n")).alias("w"))
+        .select("cluster", "term", w.alias("w"))
     )
 
 
@@ -180,6 +189,7 @@ def sparse_lloyd(
     k: int,
     max_iter: int = 5,
     weight_col: str = "tfidf",
+    round_centroids: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
     without ever materializing a dense vector or driver-side centroids.
@@ -189,15 +199,27 @@ def sparse_lloyd(
     DataFrame, cached and broadcast into the next assignment — at 100 TB
     the centroid relation is k x avg-doc-nnz rows (KBs), while dense
     k x V would be GBs. Returns (assignments, centroids, per-iter WCSS).
+
+    ``round_centroids`` enables the cross-engine float discipline (6dp
+    centroids + decimal WCSS sums) so the whole trace is verifiable
+    against the unrolled DuckDB oracle in plans/queries_doc_cluster.py.
     """
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
     wcss_trace: list[float] = []
     assigned = None
     for _ in range(max_iter):
         assigned = sparse_assign(matrix, cents, weight_col).cache()
-        wcss = assigned.agg(F.sum("dist_sq").alias("w")).collect()[0]["w"]
+        if round_centroids is not None:
+            wcss_col = F.round(
+                F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6
+            )
+        else:
+            wcss_col = F.sum("dist_sq")
+        wcss = assigned.agg(wcss_col.alias("w")).collect()[0]["w"]
         wcss_trace.append(float(wcss))
-        new_cents = recompute_sparse_centroids(matrix, assigned, weight_col).cache()
+        new_cents = recompute_sparse_centroids(
+            matrix, assigned, weight_col, round_decimals=round_centroids
+        ).cache()
         new_cents.count()  # materialize before unpersisting the old
         cents.unpersist()
         cents = new_cents

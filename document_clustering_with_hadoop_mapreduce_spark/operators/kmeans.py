@@ -61,17 +61,28 @@ def assign_nearest(
     return df.withColumn("cluster", best["cid"]).withColumn("dist_sq", best["d"])
 
 
-def recompute_centroids(assigned: DataFrame, features_col: str = "embedding") -> DataFrame:
+def recompute_centroids(
+    assigned: DataFrame,
+    features_col: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
     """M6: element-wise mean per cluster via posexplode + group-avg.
 
     Two narrow shuffles on (cluster, dim) then (cluster) — no whole-group
     buffering (the reference's reducer held every member vector in RAM,
     ref sources/2.2/source/KMeansReducer.java:153-192).
+
+    ``round_decimals`` rounds each mean coordinate in-plan (engine-side
+    round, same semantics as the DuckDB oracle's) so iterated centroids
+    stay bit-comparable across engines.
     """
     exploded = assigned.select(
         "cluster", F.posexplode(_as_double_array(F.col(features_col))).alias("dim", "x")
     )
-    means = exploded.groupBy("cluster", "dim").agg(F.avg("x").alias("m"))
+    m = F.avg("x")
+    if round_decimals is not None:
+        m = F.round(m, round_decimals)
+    means = exploded.groupBy("cluster", "dim").agg(m.alias("m"))
     return (
         means.groupBy("cluster")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
@@ -126,6 +137,46 @@ def lloyd_kmeans(
             break
     feats.unpersist()
     return assigned, centroids, trace
+
+
+def lloyd_trace_deterministic(
+    df: DataFrame,
+    k: int,
+    iters: int = 3,
+    features_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[int, float]]:
+    """Oracle-checkable Lloyd: deterministic init (k lowest ``id_col``),
+    a FIXED iteration count, and the cross-engine float discipline —
+    distances rounded to 6dp before the argmin, centroid means rounded to
+    6dp in-plan, WCSS summed as decimal(28,6) (exact, order-independent).
+
+    Every step is SQL-expressible, so the whole per-iteration WCSS trace
+    is verified against an unrolled DuckDB CTE (plans/queries_cluster.py)
+    — this is the hard value gate for the iterative path M6-M9 that the
+    seeded MLlib fit (non-deterministic across engines) cannot provide.
+
+    Returns [(iteration, wcss), ...]; empty clusters keep their previous
+    centroid (same as ``lloyd_kmeans``).
+    """
+    feats = df.select(id_col, _as_double_array(F.col(features_col)).alias(features_col)).cache()
+    init_rows = feats.orderBy(id_col).limit(k).collect()
+    centroids = [list(r[features_col]) for r in init_rows]
+
+    trace: list[tuple[int, float]] = []
+    for it in range(iters):
+        assigned = assign_nearest(feats, centroids, features_col, round_decimals=6)
+        agg = assigned.agg(
+            F.round(F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6).alias("wcss")
+        ).collect()[0]
+        trace.append((it, float(agg["wcss"])))
+        new_rows = recompute_centroids(assigned, features_col, round_decimals=6).collect()
+        new_centroids = list(centroids)
+        for r in new_rows:
+            new_centroids[r["cluster"]] = list(r["centroid"])
+        centroids = new_centroids
+    feats.unpersist()
+    return trace
 
 
 def mllib_kmeans(

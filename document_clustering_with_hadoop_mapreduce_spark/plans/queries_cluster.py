@@ -1,15 +1,18 @@
 """Clustering query surface (reference tasks 2.1-2.3, Spark-first).
 
-``kmeans_assign_seeded`` is the oracle-checked core: deterministic
-centroids (the k lowest vec_ids), one nearest-centroid assignment pass —
-exactly the per-iteration step of Lloyd (ref sources/2.2/source/
-KMeansMapper.java:77-105), SQL-expressible so DuckDB can verify it.
+``kmeans_assign_seeded`` is the oracle-checked single Lloyd step
+(ref sources/2.2/source/KMeansMapper.java:77-105); ``kmeans_lloyd_trace``
+extends that to the ITERATED loop — deterministic init, fixed 3
+iterations, 6dp-rounded centroids/distances and decimal WCSS sums —
+so DuckDB verifies the per-iteration WCSS trace (M6-M9) value-for-value
+via an unrolled CTE. Between them the full Lloyd algebra (assignment,
+centroid recompute, loss accounting) is hash-gated, not just rows-only.
 
-The full iterative fits (MLlib k-means|| / traced Lloyd) are genuinely
-non-SQL-expressible — registered without oracles (driver records the
-weaker rows-only check); their invariants are pytest-enforced
-(tests/test_kmeans.py): WCSS non-increasing, assignment = nearest centroid,
-k clusters, seeded reproducibility.
+Only the genuinely non-deterministic-across-engines path remains
+rows-only: ``kmeans_mllib_sizes`` (seeded MLlib k-means|| fits, euclidean
++ cosine in one query); its invariants are pytest-enforced
+(tests/test_kmeans.py): WCSS non-increasing, assignment = nearest
+centroid, k clusters, seeded reproducibility.
 """
 
 from __future__ import annotations
@@ -17,11 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.kmeans import assign_nearest, lloyd_kmeans, mllib_kmeans
+from ..operators.kmeans import assign_nearest, lloyd_trace_deterministic, mllib_kmeans
 from ..sources.tables import load_table
 from .registry import register
 
 K = 5
+LLOYD_ITERS = 3
 
 _ASSIGN_ORACLE = f"""
 WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < {K}),
@@ -53,52 +57,81 @@ def q_kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "cluster", "dist_sq")
 
 
-@register(
-    "kmeans_cluster_sizes",
-    None,  # iterative MLlib fit — rows-only; invariants in tests/test_kmeans.py
-    "M1-M7: full seeded MLlib KMeans (k-means|| init, k=5) -> cluster sizes",
-    tags=("cluster", "task2.3", "bench"),
-)
-def q_kmeans_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = mllib_kmeans(emb, k=K, seed=42)
-    return (
-        assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cluster")
-    )
+def _lloyd_trace_oracle(k: int, iters: int) -> str:
+    """Unrolled Lloyd in DuckDB SQL: per-(vec,dim) long form, each
+    iteration = assign (argmin of 6dp-rounded dist) -> decimal WCSS ->
+    6dp-rounded per-dim means (empty clusters keep the old centroid) —
+    the exact float discipline of operators.kmeans.lloyd_trace_deterministic."""
+    ctes = [
+        """e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS x
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cluster, dim, x AS m FROM e WHERE vec_id < {k})",
+    ]
+    wcss_parts = []
+    for i in range(iters):
+        c, a, m, nc = f"c{i}", f"a{i}", f"m{i}", f"c{i + 1}"
+        ctes.append(f"""{a} AS (
+  SELECT vec_id, cluster, dist_sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist_sq ASC, cluster ASC) AS rn
+  FROM (
+    SELECT e.vec_id, {c}.cluster,
+           round(sum((e.x - {c}.m) * (e.x - {c}.m)), 6) AS dist_sq
+    FROM e JOIN {c} USING (dim) GROUP BY e.vec_id, {c}.cluster
+  )
+)""")
+        wcss_parts.append(
+            f"SELECT {i} AS iteration, "
+            f"round(CAST(sum(CAST(dist_sq AS DECIMAL(28,6))) AS DOUBLE), 6) AS wcss "
+            f"FROM {a} WHERE rn = 1"
+        )
+        if i < iters - 1:
+            ctes.append(f"""{m} AS (
+  SELECT a.cluster, e.dim, round(avg(e.x), 6) AS m
+  FROM e JOIN (SELECT vec_id, cluster FROM {a} WHERE rn = 1) a USING (vec_id)
+  GROUP BY a.cluster, e.dim
+)""")
+            ctes.append(f"""{nc} AS (
+  SELECT c0.cluster, c0.dim, coalesce({m}.m, c0.m) AS m
+  FROM c0 LEFT JOIN {m} USING (cluster, dim)
+)""")
+    union = " UNION ALL ".join(wcss_parts)
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT iteration, wcss FROM ({union}) ORDER BY iteration"
 
 
 @register(
     "kmeans_lloyd_trace",
-    None,  # iterative — rows-only; WCSS monotonicity asserted in tests
-    "M7-M9: traced DataFrame-native Lloyd (per-iteration WCSS + max centroid "
-    "shift — the reference's .losses artifact, ref KMeansReducer.java:108-128)",
-    tags=("cluster", "task2.2"),
+    _lloyd_trace_oracle(K, LLOYD_ITERS),
+    "M6-M9 VALUE-GATED: deterministic Lloyd (init = lowest vec_ids, fixed "
+    "3 iterations, 6dp centroid/distance rounding, decimal WCSS) -> "
+    "per-iteration WCSS trace, hash-verified against an unrolled DuckDB "
+    "CTE (the reference's .losses artifact, ref KMeansReducer.java:108-128)",
+    tags=("cluster", "task2.2", "bench"),
 )
 def q_kmeans_lloyd_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    _, _, trace = lloyd_kmeans(emb, k=K, max_iter=5)
-    return spark.createDataFrame(
-        [(t.iteration, round(t.wcss, 4), round(t.max_shift, 8)) for t in trace],
-        "iteration INT, wcss DOUBLE, max_shift DOUBLE",
-    )
+    trace = lloyd_trace_deterministic(emb, k=K, iters=LLOYD_ITERS)
+    return spark.createDataFrame(trace, "iteration INT, wcss DOUBLE").orderBy("iteration")
 
 
 @register(
-    "kmeans_cosine_sizes",
-    None,  # iterative MLlib fit — rows-only; N3-vs-true-cosine in pytest
-    "task 2.3: seeded MLlib KMeans with CORRECT cosine distance + "
-    "k-means|| init (the Bahmani et al. algorithm the reference hand-rolls "
-    "at sources/2.2/source/ScalableKMeans.java; its N3 'cosine' is the "
-    "compat shim) -> cluster sizes",
+    "kmeans_mllib_sizes",
+    None,  # iterative seeded MLlib fits — rows-only; invariants in tests/test_kmeans.py
+    "M1-M7 + M3/A15/O4 scale path: seeded MLlib KMeans fits (k-means|| "
+    "init; euclidean AND correct-cosine — the reference's N3 'cosine' is "
+    "the compat shim, ref sources/2.2/source/ScalableKMeans.java) -> "
+    "cluster sizes per distance measure",
     tags=("cluster", "task2.3"),
 )
-def q_kmeans_cosine_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    _, assigned = mllib_kmeans(
-        emb, k=K, seed=42, distance="cosine", init_mode="k-means||"
-    )
-    return (
-        assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("cluster")
-    )
+    out = []
+    for distance in ("euclidean", "cosine"):
+        _, assigned = mllib_kmeans(emb, k=K, seed=42, distance=distance)
+        out.append(
+            assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(distance).alias("distance"), "cluster", "n")
+        )
+    return out[0].unionAll(out[1]).orderBy("distance", "cluster")

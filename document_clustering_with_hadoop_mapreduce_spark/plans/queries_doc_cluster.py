@@ -160,20 +160,83 @@ def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_lloyd_oracle(k: int, iters: int) -> str:
+    """Unrolled sparse Lloyd in DuckDB SQL over the tf-idf triples — the
+    exact algebra of operators.doc_cluster.sparse_lloyd(round_centroids=6):
+    per iteration, ||d||^2+||c||^2-2·dot assignment on 6dp-rounded
+    distances, decimal WCSS, then 6dp-rounded sparse centroid recompute
+    (empty clusters drop out, same as the Spark side)."""
+    ctes = [
+        f"""seed_docs AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS cluster
+  FROM (SELECT DISTINCT doc_id FROM tfidf) ORDER BY doc_id LIMIT {k}
+)""",
+        """cents0 AS (
+  SELECT s.cluster, t.term, t.tfidf AS w
+  FROM tfidf t JOIN seed_docs s USING (doc_id)
+)""",
+        "doc_ss AS (SELECT doc_id, sum(tfidf * tfidf) AS doc_ss FROM tfidf GROUP BY doc_id)",
+    ]
+    wcss_parts = []
+    for i in range(iters):
+        c = f"cents{i}"
+        ctes.append(
+            f"cent_ss{i} AS (SELECT cluster, sum(w * w) AS c_ss FROM {c} GROUP BY cluster)"
+        )
+        ctes.append(f"""dots{i} AS (
+  SELECT t.doc_id, c.cluster, sum(t.tfidf * c.w) AS dot
+  FROM tfidf t JOIN {c} c USING (term)
+  GROUP BY t.doc_id, c.cluster
+)""")
+        ctes.append(f"""assign{i} AS (
+  SELECT doc_id, cluster, dist_sq,
+         row_number() OVER (PARTITION BY doc_id ORDER BY dist_sq ASC, cluster ASC) AS rn
+  FROM (
+    SELECT d.doc_id, s.cluster,
+           round(greatest(d.doc_ss + s.c_ss - 2 * coalesce(o.dot, 0), 0), 6) AS dist_sq
+    FROM doc_ss d CROSS JOIN cent_ss{i} s
+    LEFT JOIN dots{i} o ON o.doc_id = d.doc_id AND o.cluster = s.cluster
+  )
+)""")
+        wcss_parts.append(
+            f"SELECT {i} AS iteration, "
+            f"round(CAST(sum(CAST(dist_sq AS DECIMAL(28,6))) AS DOUBLE), 6) AS wcss "
+            f"FROM assign{i} WHERE rn = 1"
+        )
+        if i < iters - 1:
+            ctes.append(
+                f"members{i} AS (SELECT doc_id, cluster FROM assign{i} WHERE rn = 1)"
+            )
+            ctes.append(
+                f"nm{i} AS (SELECT cluster, count(*) AS n FROM members{i} GROUP BY cluster)"
+            )
+            ctes.append(f"""cents{i + 1} AS (
+  SELECT m.cluster, t.term, round(sum(t.tfidf) / any_value(n.n), 6) AS w
+  FROM tfidf t JOIN members{i} m USING (doc_id) JOIN nm{i} n ON n.cluster = m.cluster
+  GROUP BY m.cluster, t.term
+)""")
+    union = " UNION ALL ".join(wcss_parts)
+    return (
+        f"{TFIDF_CTE},\n" + ",\n".join(ctes)
+        + f"\nSELECT iteration, wcss FROM ({union}) ORDER BY iteration"
+    )
+
+
 @register(
     "doc_kmeans_sparse_trace",
-    None,  # iterative — rows-only; WCSS monotonicity in tests/test_doc_cluster.py
-    "task 2.2 full loop, sparse end-to-end: iterative Lloyd over tf-idf "
-    "triples (join-based assignment + sparse centroid recompute, centroids "
-    "never densified) -> per-iteration WCSS",
+    _sparse_lloyd_oracle(K, 3),
+    "task 2.2 full loop VALUE-GATED, sparse end-to-end: iterative Lloyd "
+    "over tf-idf triples (join-based assignment + sparse centroid "
+    "recompute, centroids never densified, 6dp float discipline) -> "
+    "per-iteration WCSS, hash-verified against an unrolled DuckDB CTE",
     tags=("cluster", "task2.2"),
 )
 def q_doc_kmeans_sparse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.doc_cluster import sparse_lloyd
 
     m = _tfidf_matrix(spark, sf_dir)
-    _, _, trace = sparse_lloyd(m, k=K, max_iter=3)
+    _, _, trace = sparse_lloyd(m, k=K, max_iter=3, round_centroids=6)
     return spark.createDataFrame(
-        [(i, round(w, 4)) for i, w in enumerate(trace)],
+        [(i, w) for i, w in enumerate(trace)],
         "iteration INT, wcss DOUBLE",
-    )
+    ).orderBy("iteration")
