@@ -207,6 +207,7 @@ def sparse_lloyd(
     max_iter: int = 5,
     weight_col: str = "tfidf",
     round_centroids: int | None = None,
+    final_centroids: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
     without ever materializing a dense vector or driver-side centroids.
@@ -220,24 +221,32 @@ def sparse_lloyd(
     ``round_centroids`` enables the cross-engine float discipline (6dp
     centroids + decimal WCSS sums) so the whole trace is verifiable
     against the unrolled DuckDB oracle in plans/queries_doc_cluster.py.
+
+    ``final_centroids=False`` skips the last iteration's centroid
+    recompute (the result would describe an assignment nobody sees) —
+    one full shuffle+action saved for trace-only callers.
     """
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
     wcss_trace: list[float] = []
     assigned = None
-    for _ in range(max_iter):
-        assigned = sparse_assign(matrix, cents, weight_col).cache()
+    for it in range(max_iter):
+        new_assigned = sparse_assign(matrix, cents, weight_col).cache()
         if round_centroids is not None:
             wcss_col = F.round(
                 F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6
             )
         else:
             wcss_col = F.sum("dist_sq")
-        wcss = assigned.agg(wcss_col.alias("w")).collect()[0]["w"]
+        wcss = new_assigned.agg(wcss_col.alias("w")).collect()[0]["w"]
         wcss_trace.append(float(wcss))
-        new_cents = recompute_sparse_centroids(
-            matrix, assigned, weight_col, round_decimals=round_centroids
-        ).cache()
-        new_cents.count()  # materialize before unpersisting the old
-        cents.unpersist()
-        cents = new_cents
+        if assigned is not None:
+            assigned.unpersist()  # stale frame — don't leak cache per round
+        assigned = new_assigned
+        if final_centroids or it < max_iter - 1:
+            new_cents = recompute_sparse_centroids(
+                matrix, assigned, weight_col, round_decimals=round_centroids
+            ).cache()
+            new_cents.count()  # materialize before unpersisting the old
+            cents.unpersist()
+            cents = new_cents
     return assigned, cents, wcss_trace

@@ -70,15 +70,27 @@ def random_hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[floa
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Packed sign-bit bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
 
-    Unrolled per plane/dim — flat codegen, no per-row allocation.
+    Planes ship as one nested-array literal; per-plane dot products are
+    zip_with + aggregate with the same left-to-right fold order as an
+    unrolled sum (bit-identical buckets, ~100x cheaper driver-side plan
+    construction — see operators.kmeans.assign_nearest).
     """
-    bucket: Column = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        dot_p = sum(
-            F.element_at(vec, i + 1) * F.lit(float(v)) for i, v in enumerate(plane)
-        )
-        bucket = bucket + F.when(dot_p > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return bucket
+    planes_lit = F.lit([[float(v) for v in p] for p in planes])
+    weights_lit = F.lit([1 << p for p in range(len(planes))])
+    bits = F.zip_with(
+        planes_lit,
+        weights_lit,
+        lambda pl, w: F.when(
+            F.aggregate(
+                F.zip_with(vec, pl, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            w,
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def lsh_buckets(
@@ -187,24 +199,29 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
     )
-    q_cells = assign_nearest(q, centroids, "qvec", round_decimals=6)
-    # per query: nprobe nearest cells (re-rank all k dists — k is tiny)
-    probe_structs = []
-    for cid, c in enumerate(centroids):
-        d = F.round(
-            sum(
-                (F.element_at(F.col("qvec"), i + 1) - F.lit(v))
-                * (F.element_at(F.col("qvec"), i + 1) - F.lit(v))
-                for i, v in enumerate(c)
-            ),
-            6,
-        )
-        probe_structs.append(F.struct(d.alias("d"), F.lit(cid).alias("cell")))
+    # per query: nprobe nearest cells (re-rank all k dists — k is tiny).
+    # Centroids ship as one nested-array literal; zip_with+aggregate keeps
+    # the same fold order as an unrolled sum (see operators.kmeans).
+    cents_lit = F.lit([[float(v) for v in c] for c in centroids])
+    probe_structs = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qvec"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
+    )
     probes = (
         q.select(
             "query_id",
             "qvec",
-            F.slice(F.array_sort(F.array(*probe_structs)), 1, nprobe).alias("pr"),
+            F.slice(F.array_sort(probe_structs), 1, nprobe).alias("pr"),
         )
         .select("query_id", "qvec", F.explode("pr").alias("p"))
         .select("query_id", "qvec", F.col("p.cell").alias("cell"))

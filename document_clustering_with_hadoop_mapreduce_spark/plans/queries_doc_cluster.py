@@ -235,7 +235,7 @@ def q_doc_kmeans_sparse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.doc_cluster import sparse_lloyd
 
     m = _tfidf_matrix(spark, sf_dir)
-    _, _, trace = sparse_lloyd(m, k=K, max_iter=3, round_centroids=6)
+    _, _, trace = sparse_lloyd(m, k=K, max_iter=3, round_centroids=6, final_centroids=False)
     return spark.createDataFrame(
         [(i, w) for i, w in enumerate(trace)],
         "iteration INT, wcss DOUBLE",

@@ -10,7 +10,6 @@ from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import (
     assign_nearest,
     lloyd_kmeans,
     mllib_kmeans,
-    recompute_centroids,
 )
 from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
 
@@ -38,12 +37,20 @@ def test_lloyd_wcss_non_increasing(spark, sf_dir):
         assert b <= a + 1e-6, f"WCSS increased: {wcss}"
 
 
-def test_lloyd_centroids_are_cluster_means(spark, sf_dir):
+def test_lloyd_assignments_match_final_centroids(spark, sf_dir):
+    """On a max_iter exit the returned assignments must be re-derived from
+    the FINAL centroids (not one update stale) — MLlib's contract."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import assign_nearest
+
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids, _ = lloyd_kmeans(emb, k=3, max_iter=3)
-    means = {r["cluster"]: list(r["centroid"]) for r in recompute_centroids(assigned).collect()}
-    for cid, c in means.items():
-        assert all(abs(a - b) < 1e-9 for a, b in zip(c, centroids[cid]))
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    feats = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    want = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest(feats, centroids, round_decimals=None).collect()
+    }
+    assert got == want
 
 
 def test_mllib_kmeans_seeded_reproducible(spark, sf_dir):
