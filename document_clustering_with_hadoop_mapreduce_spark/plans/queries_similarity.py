@@ -8,11 +8,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    block_topk_pairs,
     cosine_topk,
     lsh_bucketed_topk,
-    lsh_buckets,
     random_hyperplanes,
-    top_similar_pairs,
 )
 from ..sources.tables import load_table
 from .registry import register
@@ -62,9 +61,10 @@ def _planes_values_sql() -> str:
 
 
 # NOTE: lsh_buckets (bucket id per vector) is a strict sub-plan of
-# ann_lsh_topk below; it is value-tested in tests/test_similarity.py
-# rather than holding its own registry slot (the driver gate records at
-# most 50 queries — every slot must be a distinct capability).
+# ann_lsh_topk below; tests/test_similarity.py value-tests it directly
+# (bucket ids vs a pure-python reproduction) rather than it holding its
+# own registry slot (the driver gate records at most 50 queries — every
+# slot must be a distinct capability).
 
 
 @register(
@@ -107,12 +107,14 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_a, vec_b, cos FROM pairs
     ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""",
-    "embedding-cosine near-dup: 20 globally most-similar pairs (exact "
-    "baseline; LSH path is ann_lsh_topk)",
+    "embedding-cosine near-dup: 20 globally most-similar pairs, EXACT via "
+    "block-pair partitioning (equi-join on block-task key, no broadcast "
+    "nested loop; LSH can't reach recall-1 on isotropic data — see "
+    "operators.similarity.block_topk_pairs)",
     tags=("similarity", "dedup"),
 )
 def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return top_similar_pairs(_emb(spark, sf_dir), k=20)
+    return block_topk_pairs(_emb(spark, sf_dir), k=20, n_blocks=16)
 
 
 N_CELLS = 8
