@@ -193,35 +193,54 @@ def duplicate_components(
     fixpoint (labels only decrease, so equal sums mean no label moved),
     decimal-cast so the test never overflows at any corpus size.
     """
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    rev = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    p = pairs.select("doc_a", "doc_b").persist()
+    fwd = p.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    rev = p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     edges = fwd.union(rev).persist()
+    # seed each node with min(self, direct neighbors): folds the first
+    # propagation round into the init (one groupBy replaces the old
+    # distinct + identity + first flood round) — on the clique-ish blobs
+    # LSH produces, most labels are already final here.
     labels = (
-        edges.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("doc_id"), F.least("src", "m").alias("component"))
         .localCheckpoint()
     )
     total_expr = F.sum(F.col("component").cast("decimal(38,0)"))
-    # no initial-sum action: round 1 always lowers some label when any edge
-    # exists (pairs are strict a<b), and with no edges the first comparison
-    # (None == None) terminates immediately.
-    prev_total = None
+    prev_total = labels.agg(total_expr).first()[0]
+    converged = prev_total is None  # empty graph: nothing to flood
     for _ in range(max_rounds):
+        if converged:
+            break
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "component"
         )
-        labels = (
+        new_labels = (
             labels.unionByName(prop)
             .groupBy("doc_id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()
         )
-        total = labels.agg(total_expr).first()[0]
+        # probe the sum BEFORE materializing: labels only decrease, so an
+        # unchanged sum means new_labels == labels value-for-value and the
+        # terminal round skips its checkpoint job entirely (the common case
+        # on clique-ish LSH blobs is seed + one confirming probe)
+        total = new_labels.agg(total_expr).first()[0]
         if total == prev_total:
+            converged = True
             break
+        labels = new_labels.localCheckpoint()
         prev_total = total
     edges.unpersist()
+    p.unpersist()
+    if not converged:
+        # labels only decrease, so a non-fixpoint exit means the result is
+        # WRONG (some docs still carry a non-canonical representative) —
+        # fail loudly rather than silently under-merging duplicates.
+        raise RuntimeError(
+            f"duplicate_components: min-label flood did not converge within "
+            f"{max_rounds} rounds (graph diameter too large — raise max_rounds)"
+        )
     if documents is None:
         return labels
     return (
