@@ -18,9 +18,15 @@ from pyspark.sql import functions as F
 # Characters kept after cleaning: ASCII alnum + whitespace. The reference
 # strips a fixed punctuation set (task1_1.java:75-81); we normalize harder
 # (anything non-alnum) which is the sane default for arbitrary corpora.
-CLEAN_RE_SPARK = r"[^a-z0-9\s]"
-CLEAN_RE_DUCKDB = r"[^a-z0-9 \t\n\r]"  # RE2-safe, same ASCII semantics
-SPLIT_RE = r"\s+"
+#
+# Canonical whitespace class: the ASCII core [ \t\n\r], written identically
+# for Java regex (Spark) and RE2 (DuckDB). Java's `\s` also matches \f and
+# \x0B while RE2's `\s` differs again — using `\s` on both engines glues
+# words differently on \f/\x0B inputs, so NEITHER side uses it.
+WS_CLASS = r" \t\n\r"
+CLEAN_RE_SPARK = rf"[^a-z0-9{WS_CLASS}]"
+CLEAN_RE_DUCKDB = CLEAN_RE_SPARK  # one class, both engines
+SPLIT_RE = rf"[{WS_CLASS}]+"
 
 # Compact English stopword list (reference ships a 299-word file,
 # sources/1.1/input/stopwords.txt; the engine accepts any list — this is the

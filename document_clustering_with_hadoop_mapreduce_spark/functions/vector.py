@@ -28,8 +28,15 @@ def norm(a: Column) -> Column:
 def cosine_similarity(a: Column, b: Column) -> Column:
     """True cosine: dot/(||a||*||b||). (The reference's N3 variant divides by
     the SUM of norms — ``sources/2.2/source/KMeansMapper.java:39-56`` — which
-    is available as ``compat.n3_similarity``.)"""
-    return dot(a, b) / (norm(a) * norm(b))
+    is available as ``compat.n3_similarity``.)
+
+    Zero-norm guard: a zero vector's cosine is DEFINED as 0.0 rather than
+    the NaN a bare division produces — Spark sorts NaN first in every
+    descending top-k while DuckDB orders it differently, so the NaN would
+    be a cross-engine landmine on degenerate inputs (oracle SQL carries
+    the same CASE)."""
+    prod = norm(a) * norm(b)
+    return F.when(prod == 0.0, F.lit(0.0)).otherwise(dot(a, b) / prod)
 
 
 def squared_euclidean(a: Column, b: Column) -> Column:

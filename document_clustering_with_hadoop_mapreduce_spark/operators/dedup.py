@@ -313,7 +313,7 @@ def minhash_oracle_sql(tokens_cte: str, n: int = 3, num_hashes: int = 16, seed: 
     shingle_cte = f"""
 WITH docs_t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '\\s+'),
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+'),
                      t -> t <> '') AS toks
   FROM documents
 ),

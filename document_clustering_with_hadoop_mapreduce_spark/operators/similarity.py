@@ -226,9 +226,14 @@ def block_topk_pairs(
         ~diag & (F.col("l.blk") == F.col("l.ti")) & (F.col("r.blk") == F.col("l.tj"))
     )
     # same per-pair expression shape as cosine_similarity: dot/(na*nb) with
-    # identical fold order, norms merely precomputed -> bit-identical
+    # identical fold order (incl. the zero-norm -> 0.0 guard), norms merely
+    # precomputed -> bit-identical
+    nprod = F.col("l.nrm") * F.col("r.nrm")
     cos = F.round(
-        dot(F.col("l.vec"), F.col("r.vec")) / (F.col("l.nrm") * F.col("r.nrm")), 6
+        F.when(nprod == 0.0, F.lit(0.0)).otherwise(
+            dot(F.col("l.vec"), F.col("r.vec")) / nprod
+        ),
+        6,
     )
     return (
         l.join(r, same_task & pair_once)
@@ -266,9 +271,8 @@ def ivf_topk(
     """
     from .kmeans import assign_nearest
 
-    cents_rows = (
-        embeddings.filter(F.col(id_col) < n_cells).orderBy(id_col).collect()
-    )
+    # n_cells LOWEST ids (no contiguous-id assumption); cell id = position
+    cents_rows = embeddings.orderBy(id_col).limit(n_cells).collect()
     centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
 
     e = embeddings.select(

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from ..functions.text import STOPWORDS, clean_text, token_count, tokens
 
 # BPE-ish lexer: alpha runs | digit runs | single non-space symbol.
-TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# Explicit whitespace class (not \s): Java and RE2 disagree on \f/\x0B, and
+# this constant is interpolated verbatim into BOTH engines' regexes.
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\r]"
 
 # Tiny seeded marker-word profiles for language ID (n-gram/stopword-overlap
 # heuristic). Real corpora would ship bigger lists; the MECHANISM (score =
@@ -35,9 +37,9 @@ def doc_quality(documents: DataFrame, text_col: str = "text", id_col: str = "doc
     toks = tokens(text)
     n_tokens = token_count(text)
     n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 \\t\\n\\r]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    clean_len = F.length(F.regexp_replace(clean_text(text), "\\s", ""))
+    clean_len = F.length(F.regexp_replace(clean_text(text), "[ \\t\\n\\r]", ""))
     return documents.select(
         F.col(id_col).alias("doc_id"),
         n_tokens.alias("n_tokens"),

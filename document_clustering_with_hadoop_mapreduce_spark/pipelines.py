@@ -35,7 +35,7 @@ from .sources.corpus import (
     read_corpus,
     read_points_csv,
 )
-from .sources.mtx import read_mtx, write_mtx_single
+from .sources.mtx import mtx_dims, read_mtx, write_mtx_single
 
 
 def task_1_1_term_doc_matrix(
@@ -92,11 +92,13 @@ def task_1_2_min_freq_filter(
         F.col("cnt").alias("value"),
     )
     if out_mtx is not None:
-        stats = filtered.agg(
-            F.max("term_id").alias("t"), F.max("doc_id").alias("d")
-        ).collect()[0]
+        # the reference passes the INPUT matrix shape through to the output
+        # header (golden 1.2 output keeps `9635 2225` with a new nnz);
+        # recomputing max ids would shrink the shape when the last row/col
+        # filters out — and cost an extra full pass
+        d = mtx_dims(in_mtx)
         write_mtx_single(
-            filtered, out_mtx, stats["t"], stats["d"], int_values=True, sort="string"
+            filtered, out_mtx, d.n_rows, d.n_cols, int_values=True, sort="string"
         )
     return filtered
 

@@ -16,7 +16,7 @@ STOPWORDS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 TOKENS_CTE = f"""
 toks AS (
   SELECT doc_id,
-         unnest(string_split_regex(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g'), '\\s+')) AS term
+         unnest(string_split_regex(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g'), '[ \t\n\r]+')) AS term
   FROM documents
 ),
 terms AS (

@@ -28,7 +28,10 @@ K = 5
 LLOYD_ITERS = 3
 
 _ASSIGN_ORACLE = f"""
-WITH c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec FROM embeddings WHERE vec_id < {K}),
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding::DOUBLE[] AS cvec
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {K})
+),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS evec FROM embeddings),
 d AS (
   SELECT e.vec_id, c.cid,
@@ -51,7 +54,9 @@ SELECT vec_id, cid::INT AS cluster, dist_sq FROM r WHERE rn = 1
 )
 def q_kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    init = emb.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    # k LOWEST ids (not `id < k`): same init semantics as the oracle and
+    # lloyd_trace_deterministic even when the id space is non-contiguous
+    init = emb.orderBy("vec_id").limit(K).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init]
     out = assign_nearest(emb, centroids, "embedding", round_decimals=6)
     return out.select("vec_id", "cluster", "dist_sq")
@@ -60,14 +65,22 @@ def q_kmeans_assign_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lloyd_trace_oracle(k: int, iters: int) -> str:
     """Unrolled Lloyd in DuckDB SQL: per-(vec,dim) long form, each
     iteration = assign (argmin of 6dp-rounded dist) -> decimal WCSS ->
-    6dp-rounded per-dim means (empty clusters keep the old centroid) —
-    the exact float discipline of operators.kmeans.lloyd_trace_deterministic."""
+    6dp-rounded per-dim means. Seeds via ORDER BY vec_id LIMIT k with
+    row_number-derived cluster ids (the engine's exact init semantics —
+    no contiguous-id assumption), and a cluster that empties at iteration
+    i keeps its iteration-i centroid (c{i+1} chains from c{i}, NOT from
+    c0) — the exact float discipline and empty-cluster rule of
+    operators.kmeans.lloyd_trace_deterministic."""
     ctes = [
         """e AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS dim, unnest(embedding)::DOUBLE AS x
   FROM embeddings
 )""",
-        f"c0 AS (SELECT vec_id AS cluster, dim, x AS m FROM e WHERE vec_id < {k})",
+        f"""seed AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM e) ORDER BY vec_id LIMIT {k}
+)""",
+        "c0 AS (SELECT s.cluster, e.dim, e.x AS m FROM e JOIN seed s USING (vec_id))",
     ]
     wcss_parts = []
     for i in range(iters):
@@ -93,8 +106,8 @@ def _lloyd_trace_oracle(k: int, iters: int) -> str:
   GROUP BY a.cluster, e.dim
 )""")
             ctes.append(f"""{nc} AS (
-  SELECT c0.cluster, c0.dim, coalesce({m}.m, c0.m) AS m
-  FROM c0 LEFT JOIN {m} USING (cluster, dim)
+  SELECT {c}.cluster, {c}.dim, coalesce({m}.m, {c}.m) AS m
+  FROM {c} LEFT JOIN {m} USING (cluster, dim)
 )""")
     union = " UNION ALL ".join(wcss_parts)
     return "WITH " + ",\n".join(ctes) + f"\nSELECT iteration, wcss FROM ({union}) ORDER BY iteration"

@@ -42,7 +42,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH keyed AS (
       SELECT doc_id,
              md5(array_to_string(
-               (list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '\\s+'),
+               (list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+'),
                             t -> t <> ''))[1:5], ' ')) AS dup_key
       FROM documents
     )
@@ -139,7 +139,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _curation_oracle() -> str:
     from .queries_events import _STOP_SQL, _TOKS
 
-    n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END"
     return f"""
 WITH RECURSIVE comp_full AS ({_CC_ORACLE}),
 q AS (

@@ -20,7 +20,7 @@ from .registry import register
 _DSUM = "round(CAST(sum(CAST((value) AS DECIMAL(28,6))) AS DOUBLE), 4)"
 
 _TOKS = (
-    f"list_filter(string_split_regex(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g'), '\\s+'),"
+    f"list_filter(string_split_regex(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g'), '[ \t\n\r]+'),"
     " t -> t <> '')"
 )
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -89,7 +89,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, text, {_TOKS} AS toks,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS n_tokens,
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS n_punct
       FROM documents
@@ -150,7 +150,7 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+                ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS ws_tokens,
            len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe_tokens
     FROM documents""",
     "token counting: whitespace + BPE-ish regex lexer",

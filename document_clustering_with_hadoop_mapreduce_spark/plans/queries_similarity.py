@@ -20,13 +20,15 @@ N_QUERIES = 5
 DIM = 64
 PLANES = random_hyperplanes(8, DIM, seed=7)
 
-# cosine over DOUBLE[] columns, index-order sums (mirrors functions.vector)
+# cosine over DOUBLE[] columns, index-order sums (mirrors functions.vector,
+# including the zero-norm -> 0.0 guard)
 def _cos_sql(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
-        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i])))"
+    nprod = (
+        f"(sqrt(list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{a}[i])))"
         f" * sqrt(list_sum(list_transform(generate_series(1, len({b})), i -> {b}[i]*{b}[i]))))"
     )
+    dot = f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i]*{b}[i]))"
+    return f"(CASE WHEN {nprod} = 0 THEN 0.0 ELSE {dot} / {nprod} END)"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -132,7 +134,10 @@ def _sqd_sql(a: str, b: str) -> str:
     "ann_ivf_topk",
     f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < {N_CELLS}),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {N_CELLS})
+    ),
     cell_d AS (
       SELECT e.vec_id, c.cell, round({_sqd_sql('e.v', 'c.cv')}, 6) AS d
       FROM e CROSS JOIN cents c
