@@ -154,6 +154,67 @@ def test_task1_4_tfidf_n1_numeric_parity(spark):
     assert worst <= 1e-5, f"max abs diff {worst}"
 
 
+def _parse_iter_file(path: str):
+    """Parse a reference iter_<i>/part-r-00000: assignment lines
+    ``<cluster>,\\t<x>,<y>`` plus ``centroids:<c>,\\t<x>,<y>`` lines holding
+    the NEXT iteration's centroids (per-cluster means the reducer emitted —
+    ref sources/2.1/source/task2_1.java:205-213)."""
+    assigns, cents = [], {}
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            key, val = line.split("\t")
+            key = key.rstrip(",")
+            x, y = (float(v) for v in val.split(","))
+            if key.startswith("centroids:"):
+                cents[int(key.split(":")[1])] = [x, y]
+            else:
+                assigns.append((int(key), x, y))
+    return assigns, cents
+
+
+def test_task2_1_iteration_trajectory_replay(spark):
+    """M6-M9 trajectory replay: seed from the golden iter_{i-1} 'centroids:'
+    lines and verify that ONE engine step (assign_nearest + per-cluster
+    means) reproduces the committed iter_i exactly — all three transitions
+    iter_0->1->2->3 (ref sources/2.1/output/iterations/), assignments as
+    exact multisets, means to 1e-9. This checks the whole iteration
+    SEQUENCE, not just the converged fixed point."""
+    pts = read_points_csv(spark, _ref("2.1/input/2DPoints.csv"))
+    feats = pts.select(F.array("x1", "x2").alias("p"), "x1", "x2").cache()
+    n_pts = feats.count()
+    for i in (1, 2, 3):
+        _, prev_cents = _parse_iter_file(
+            _ref(f"2.1/output/iterations/iter_{i - 1}/part-r-00000")
+        )
+        cur_assigns, cur_cents = _parse_iter_file(
+            _ref(f"2.1/output/iterations/iter_{i}/part-r-00000")
+        )
+        assert len(cur_assigns) == n_pts
+        centroids = [prev_cents[c] for c in sorted(prev_cents)]
+        assigned = assign_nearest(feats, centroids, "p", round_decimals=None)
+        got = sorted(
+            (r["cluster"], round(r["x1"], 9), round(r["x2"], 9))
+            for r in assigned.collect()
+        )
+        want = sorted((c, round(x, 9), round(y, 9)) for c, x, y in cur_assigns)
+        assert got == want, f"iter_{i}: assignment multiset differs"
+        means = (
+            assigned.groupBy("cluster")
+            .agg(F.avg("x1").alias("mx"), F.avg("x2").alias("my"))
+            .collect()
+        )
+        assert len(means) == len(cur_cents)
+        for r in means:
+            cx, cy = cur_cents[r["cluster"]]
+            assert abs(r["mx"] - cx) < 1e-9 and abs(r["my"] - cy) < 1e-9, (
+                f"iter_{i}: centroid {r['cluster']} drifted"
+            )
+    feats.unpersist()
+
+
 def test_task2_1_assignment_and_centroids(spark):
     """Golden centroids -> nearest assignment == golden classes (exact),
     and per-cluster means == golden centroids (1e-9 fixed point)."""
