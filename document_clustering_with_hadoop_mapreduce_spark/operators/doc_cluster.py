@@ -208,6 +208,7 @@ def sparse_lloyd(
     weight_col: str = "tfidf",
     round_centroids: int | None = None,
     final_centroids: bool = True,
+    on_iteration=None,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
     without ever materializing a dense vector or driver-side centroids.
@@ -225,6 +226,13 @@ def sparse_lloyd(
     ``final_centroids=False`` skips the last iteration's centroid
     recompute (the result would describe an assignment nobody sees) —
     one full shuffle+action saved for trace-only callers.
+
+    ``on_iteration(it, assigned, new_cents, wcss)`` is invoked after each
+    iteration's recompute with the iteration's cached assignment frame,
+    the NEW sparse centroid frame (None when the final recompute is
+    skipped) and the iteration WCSS — the hook the reference-layout
+    artifact sinks attach to (sources/artifacts.py; ref per-iteration
+    writes at sources/2.2/source/KMeansReducer.java:25-131).
     """
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
     wcss_trace: list[float] = []
@@ -242,6 +250,7 @@ def sparse_lloyd(
         if assigned is not None:
             assigned.unpersist()  # stale frame — don't leak cache per round
         assigned = new_assigned
+        new_cents = None
         if final_centroids or it < max_iter - 1:
             new_cents = recompute_sparse_centroids(
                 matrix, assigned, weight_col, round_decimals=round_centroids
@@ -249,4 +258,6 @@ def sparse_lloyd(
             new_cents.count()  # materialize before unpersisting the old
             cents.unpersist()
             cents = new_cents
+        if on_iteration is not None:
+            on_iteration(it, assigned, new_cents, wcss_trace[-1])
     return assigned, cents, wcss_trace

@@ -212,6 +212,68 @@ def task_2_2_doc_kmeans(
     return model, model.transform(vecs)
 
 
+def task_2_2_doc_kmeans_with_artifacts(
+    matrix: DataFrame,
+    out_folder: str,
+    k: int = 5,
+    max_iter: int = 3,
+    weight_col: str = "tfidf",
+) -> list[float]:
+    """Task 2.2 with the reference's per-iteration artifact files (S11/M9):
+    rotating ``task_2_2_iter<i>.clusters/.classes`` (final iteration drops
+    the infix, previous iteration deleted), append-only ``.losses`` and
+    ``.txt`` with per-iteration section headers — the exact layout of
+    ``sources/2.2/ouput/task_2_2.*`` (ref KMeansReducer.java:25-131).
+
+    Values come from the verified sparse Lloyd loop; the dense centroid
+    lines use the term-sorted dictionary index (the documented N5 fix —
+    the reference's slots were reducer-arrival-ordered). The k x V dense
+    materialization happens ONLY here, driver-side, exactly like the
+    reference shipping k x V centroid strings through job config — a
+    compat sink, not the scale path (the engine's centroids stay sparse).
+
+    Returns the per-iteration WCSS trace.
+    """
+    from .operators.doc_cluster import sparse_lloyd
+    from .sources.artifacts import clean_artifact_folder, write_doc_kmeans_iteration
+
+    clean_artifact_folder(out_folder)
+    vocab = {
+        r["term"]: i
+        for i, r in enumerate(
+            matrix.select("term").distinct().orderBy("term").collect()
+        )
+    }
+    v_size = len(vocab)
+
+    def on_iteration(it, assigned, new_cents, wcss):
+        dense: list[list[float]] = [[0.0] * v_size for _ in range(k)]
+        if new_cents is not None:
+            for r in new_cents.collect():
+                dense[r["cluster"]][vocab[r["term"]]] = float(r["w"])
+        losses_rows = (
+            assigned.groupBy("cluster").agg(F.sum("dist_sq").alias("loss")).collect()
+        )
+        loss_by_cluster = {r["cluster"]: float(r["loss"]) for r in losses_rows}
+        losses = [loss_by_cluster.get(c, 0.0) for c in range(k)]
+        top10 = [
+            sorted(
+                ((w, i) for i, w in enumerate(vec) if w != 0.0),
+                key=lambda p: (-p[0], p[1]),
+            )[:10]
+            for vec in dense
+        ]
+        write_doc_kmeans_iteration(
+            out_folder, it, max_iter, assigned, dense, losses, top10=top10
+        )
+
+    _, _, trace = sparse_lloyd(
+        matrix, k=k, max_iter=max_iter, weight_col=weight_col,
+        on_iteration=on_iteration,
+    )
+    return trace
+
+
 def task_2_3_doc_kmeans_scalable(
     spark: SparkSession, tfidf_mtx: str, k: int = 5, seed: int = 42,
     max_iter: int = 10,
