@@ -130,6 +130,27 @@ def test_cosine_pairs_is_equi_join_not_cartesian(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_category_top_terms_single_rollup_pass(spark, sf_dir):
+    """The category aggregates must come from ONE grouping-sets pass
+    (Expand operator present) — not two groupBys that each re-execute the
+    tokenize->tfidf upstream."""
+    df = all_queries()["category_top_terms"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan  # rollup/grouping-sets, the one-pass shape
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_embedding_top_pairs_no_nested_loop(spark, sf_dir):
+    """The registered exact top-pairs query streams pairs through the
+    block-task equi-join — never a BroadcastNestedLoopJoin/cartesian of
+    the corpus against itself."""
+    df = all_queries()["embedding_top_pairs"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_pivot_to_vectors_is_arrow_not_row_udf(spark, sf_dir):
     """The A11 pivot (task 2.2 MLlib-interop path) crosses the Python
     boundary exactly once, Arrow-batched — never a row-at-a-time
