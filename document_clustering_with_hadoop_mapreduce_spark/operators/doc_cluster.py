@@ -179,6 +179,7 @@ def recompute_sparse_centroids(
     assignments: DataFrame,
     weight_col: str = "tfidf",
     round_decimals: int | None = None,
+    top_t: int | None = None,
 ) -> DataFrame:
     """Sparse centroid recompute: mean over cluster members per term,
     zeros implicit — sum(w) / n_members(cluster), keyed (cluster, term).
@@ -187,18 +188,36 @@ def recompute_sparse_centroids(
     k x V doubles in memory, ref sources/2.2/source/KMeansReducer.java).
 
     ``round_decimals`` rounds centroid weights in-plan so iterated
-    centroids stay comparable against the DuckDB oracle."""
+    centroids stay comparable against the DuckDB oracle.
+
+    ``top_t`` truncates each centroid to its T strongest terms (weight
+    desc, term asc tie-break) — the standard sparse-projection step of
+    large-scale spherical k-means. After one mean, an exact centroid's
+    support is the UNION of member supports (~vocabulary-sized for big
+    clusters), which would make the next iteration's broadcast k x V;
+    truncation caps it at k x T. Exact paths (oracle gates) leave this
+    None."""
     n_members = assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
     w = F.col("w_sum") / F.col("n")
     if round_decimals is not None:
         w = F.round(w, round_decimals)
-    return (
+    cents = (
         matrix.join(assignments.select("doc_id", "cluster"), "doc_id")
         .groupBy("cluster", "term")
         .agg(F.sum(weight_col).alias("w_sum"))
         .join(F.broadcast(n_members), "cluster")
         .select("cluster", "term", w.alias("w"))
     )
+    if top_t is not None:
+        rank_w = Window.partitionBy("cluster").orderBy(
+            F.col("w").desc(), F.col("term").asc()
+        )
+        cents = (
+            cents.withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") <= top_t)
+            .drop("__rn")
+        )
+    return cents
 
 
 def sparse_lloyd(
@@ -209,6 +228,7 @@ def sparse_lloyd(
     round_centroids: int | None = None,
     final_centroids: bool = True,
     on_iteration=None,
+    centroid_top_t: int | None = None,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
     without ever materializing a dense vector or driver-side centroids.
@@ -233,7 +253,21 @@ def sparse_lloyd(
     skipped) and the iteration WCSS — the hook the reference-layout
     artifact sinks attach to (sources/artifacts.py; ref per-iteration
     writes at sources/2.2/source/KMeansReducer.java:25-131).
+
+    ``centroid_top_t`` enables the sparse-projection scale path: each
+    recomputed centroid keeps only its T strongest terms, capping the
+    per-iteration broadcast at k x T instead of the k x ~V an exact mean
+    densifies to (see ``recompute_sparse_centroids``). Approximate by
+    definition — the oracle-gated trace leaves it None.
+
+    The matrix feeds three subtrees per iteration (doc norms, dot
+    products, recompute) across SEPARATE jobs — exchange reuse cannot
+    span jobs, so it is cached here for the loop's lifetime (standard
+    iterative-ML practice) unless the caller already cached it.
     """
+    we_cached = not matrix.is_cached
+    if we_cached:
+        matrix = matrix.cache()
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
     wcss_trace: list[float] = []
     assigned = None
@@ -253,11 +287,14 @@ def sparse_lloyd(
         new_cents = None
         if final_centroids or it < max_iter - 1:
             new_cents = recompute_sparse_centroids(
-                matrix, assigned, weight_col, round_decimals=round_centroids
+                matrix, assigned, weight_col,
+                round_decimals=round_centroids, top_t=centroid_top_t,
             ).cache()
             new_cents.count()  # materialize before unpersisting the old
             cents.unpersist()
             cents = new_cents
         if on_iteration is not None:
             on_iteration(it, assigned, new_cents, wcss_trace[-1])
+    if we_cached:
+        matrix.unpersist()
     return assigned, cents, wcss_trace
