@@ -176,23 +176,52 @@ def lloyd_trace_deterministic(
     init_rows = feats.orderBy(id_col).limit(k).collect()
     centroids = [list(r[features_col]) for r in init_rows]
 
+    from decimal import ROUND_HALF_UP, Decimal
+
     trace: list[tuple[int, float]] = []
     for it in range(iters):
-        # cache: the WCSS aggregate and the centroid recompute are two
-        # actions over the same assignment — without this the k x d argmin
-        # over all n vectors runs twice per iteration (a real 2x at scale)
-        assigned = assign_nearest(feats, centroids, features_col, round_decimals=6).cache()
-        agg = assigned.agg(
-            F.round(F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6).alias("wcss")
-        ).collect()[0]
-        trace.append((it, float(agg["wcss"])))
-        if it < iters - 1:  # final iteration's recompute would be discarded
-            new_rows = recompute_centroids(assigned, features_col, round_decimals=6).collect()
-            new_centroids = list(centroids)
-            for r in new_rows:
-                new_centroids[r["cluster"]] = list(r["centroid"])
-            centroids = new_centroids
-        assigned.unpersist()
+        assigned = assign_nearest(feats, centroids, features_col, round_decimals=6)
+        if it == iters - 1:
+            # final iteration: the recompute would be discarded — WCSS only
+            agg = assigned.agg(
+                F.round(
+                    F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6
+                ).alias("wcss")
+            ).collect()[0]
+            trace.append((it, float(agg["wcss"])))
+            break
+        # ONE job per iteration: the posexplode aggregate yields both the
+        # 6dp-rounded per-(cluster,dim) means AND a per-cluster decimal
+        # WCSS partial (each row carries dist_sq exactly once, on dim 0)
+        exploded = assigned.select(
+            "cluster", "dist_sq",
+            F.posexplode(_as_double_array(F.col(features_col))).alias("dim", "x"),
+        )
+        rows = (
+            exploded.groupBy("cluster", "dim")
+            .agg(
+                F.round(F.avg("x"), 6).alias("m"),
+                F.sum(
+                    F.when(F.col("dim") == 0, F.col("dist_sq")).cast("decimal(28,6)")
+                ).alias("w_part"),
+            )
+            .collect()
+        )
+        # decimal partials sum exactly; float() then HALF_UP-quantize on the
+        # shortest repr replicates Spark's round(cast(sum AS DOUBLE), 6)
+        # (BigDecimal.valueOf + setScale(6, HALF_UP)) bit-for-bit
+        total = sum(r["w_part"] for r in rows if r["dim"] == 0)
+        wcss = float(
+            Decimal(repr(float(total))).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+        )
+        trace.append((it, wcss))
+        new_centroids = [list(c) for c in centroids]
+        dims: dict[int, list[tuple[int, float]]] = {}
+        for r in rows:
+            dims.setdefault(r["cluster"], []).append((r["dim"], r["m"]))
+        for cluster, dm in dims.items():
+            new_centroids[cluster] = [m for _, m in sorted(dm)]
+        centroids = new_centroids
     feats.unpersist()
     return trace
 
