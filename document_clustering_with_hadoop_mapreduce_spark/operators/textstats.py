@@ -129,6 +129,47 @@ def hash_split(
     )
 
 
+# PII patterns: explicit ASCII classes only (cross-engine: Java regex and
+# RE2 agree on these constructs; no \s, no lookaround — RE2 has neither).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^ \t\n\r]+",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def pii_scrub(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    replacement: str = "",
+) -> DataFrame:
+    """Training-data hygiene: strip emails, URLs and phone-number shapes
+    from the text, and count what was removed per category.
+
+    Map-side only (three regexp_replace + three regexp counts in one
+    projection — no shuffle, no Python). Patterns are deliberately
+    conservative ASCII shapes shared verbatim with the RE2/DuckDB test
+    oracle; a production pipeline would layer locale-specific patterns the
+    same way. Emits (doc_id, clean_text, n_emails, n_urls, n_phones).
+    """
+    text = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for name, pat in PII_PATTERNS.items()
+    }
+    cleaned = text
+    for pat in PII_PATTERNS.values():
+        cleaned = F.regexp_replace(cleaned, pat, replacement)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        cleaned.alias("clean_text"),
+        counts["email"].alias("n_emails"),
+        counts["url"].alias("n_urls"),
+        counts["phone"].alias("n_phones"),
+    )
+
+
 def doc_fingerprints(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic content fingerprint: md5-60bit of the cleaned,
     whitespace-normalized text (portable to the oracle)."""
