@@ -49,6 +49,7 @@ def sparse_assign(
     centroids: DataFrame,
     weight_col: str = "tfidf",
     round_decimals: int = 6,
+    doc_ss: DataFrame | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment on sparse vectors (squared euclidean).
 
@@ -57,10 +58,16 @@ def sparse_assign(
     Docs sharing no term with a centroid still get a finite distance
     (||d||² + ||c||²), exactly as the dense math would. Ties break to the
     lowest cluster id on the ROUNDED distance (cross-engine determinism).
+
+    ``doc_ss`` optionally supplies the per-doc sum of squares — it is
+    iteration-INVARIANT, so loop callers (``sparse_lloyd``) compute it
+    once and pass the cached frame instead of re-aggregating the matrix
+    every iteration.
     """
-    doc_ss = matrix.groupBy("doc_id").agg(
-        F.sum(F.col(weight_col) * F.col(weight_col)).alias("doc_ss")
-    )
+    if doc_ss is None:
+        doc_ss = matrix.groupBy("doc_id").agg(
+            F.sum(F.col(weight_col) * F.col(weight_col)).alias("doc_ss")
+        )
     cent_ss = centroids.groupBy("cluster").agg(F.sum(F.col("w") * F.col("w")).alias("c_ss"))
 
     dots = (
@@ -269,10 +276,15 @@ def sparse_lloyd(
     if we_cached:
         matrix = matrix.cache()
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()
+    # per-doc ||d||^2 never changes across iterations — one aggregate,
+    # cached, reused by every assignment
+    doc_ss = matrix.groupBy("doc_id").agg(
+        F.sum(F.col(weight_col) * F.col(weight_col)).alias("doc_ss")
+    ).cache()
     wcss_trace: list[float] = []
     assigned = None
     for it in range(max_iter):
-        new_assigned = sparse_assign(matrix, cents, weight_col).cache()
+        new_assigned = sparse_assign(matrix, cents, weight_col, doc_ss=doc_ss).cache()
         if round_centroids is not None:
             wcss_col = F.round(
                 F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double"), 6
@@ -295,6 +307,7 @@ def sparse_lloyd(
             cents = new_cents
         if on_iteration is not None:
             on_iteration(it, assigned, new_cents, wcss_trace[-1])
+    doc_ss.unpersist()
     if we_cached:
         matrix.unpersist()
     return assigned, cents, wcss_trace
