@@ -250,6 +250,108 @@ def duplicate_components(
     )
 
 
+def star_components(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the DIAMETER-INDEPENDENT alternative to the min-label
+    flood in ``duplicate_components``.
+
+    The flood needs graph-diameter rounds (fine for LSH's clique-ish
+    near-dup blobs, diameter 2-3; fatal for adversarial chains — it
+    raises after max_rounds). Star contraction halves component height
+    per alternation, converging in O(log n) rounds on ANY topology:
+
+    - large-star(u): connect every strictly-larger neighbor of u to
+      m = min(neighborhood of u, incl. u);
+    - small-star(u): connect every neighbor <= u (and u) to m.
+
+    Each phase is one groupBy (neighborhood min) + one join back to the
+    edge list — same shuffle-per-round complexity as the flood, bounded
+    by the current edge count, which only shrinks as stars collapse.
+    Convergence: the alternation is a deterministic function of the edge
+    set, so an unchanged (edge count, decimal endpoint sum, decimal
+    label sum) triple across a full alternation is treated as the edge
+    fixpoint (label sums alone can be momentarily stable while edges
+    still rewire); edge frames are localCheckpoint-ed per round.
+
+    Returns (doc_id, component) with component = min reachable id;
+    singletons map to themselves when ``documents`` is given.
+    """
+    p = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).persist()
+    # undirected neighbor list, both directions
+    edges = p.unionByName(
+        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    p.unpersist()
+    def neighborhood_min(e: DataFrame) -> DataFrame:
+        return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+
+    def state(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)") + F.col("v").cast("decimal(38,0)")).alias("s"),
+        ).first()
+        lbl = neighborhood_min(e).agg(
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("ls")
+        ).first()
+        return (row["n"], row["s"], lbl["ls"])
+
+    prev_total = None
+    converged = False
+    for _ in range(max_rounds):
+        # large-star: (v, m) for v in N(u), v > u
+        mins = neighborhood_min(edges)
+        large = (
+            edges.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # keep the (m reachable from u) links so no component splits
+        kept = mins.filter(F.col("u") != F.col("m")).select(
+            "u", F.col("m").alias("v")
+        )
+        e1 = large.unionByName(kept).distinct()
+        e1 = e1.unionByName(e1.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # small-star: (v, m) for v in N(u) with v <= u, plus (u, m)
+        mins1 = neighborhood_min(e1)
+        small = (
+            e1.join(mins1, "u")
+            .filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins1.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        edges = small.unionByName(
+            small.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).localCheckpoint()
+        total = state(edges)
+        if total[0] == 0 or total == prev_total:
+            converged = True
+            break
+        prev_total = total
+    if not converged and prev_total is not None:
+        raise RuntimeError(
+            f"star_components did not converge within {max_rounds} rounds"
+        )
+    labels = neighborhood_min(edges).select(
+        F.col("u").alias("doc_id"), F.col("m").alias("component")
+    )
+    if documents is None:
+        return labels
+    return (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce("component", F.col("doc_id")).alias("component"))
+    )
+
+
 def tfidf_cosine_pairs(
     tfidf_df: DataFrame, top_t: int = 20, min_cosine: float = 0.9
 ) -> DataFrame:

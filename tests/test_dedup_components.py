@@ -43,6 +43,81 @@ def test_components_are_consistent(spark, sf_dir):
     assert not_self.count() == 0
 
 
+def _python_cc(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize: component = min reachable
+    return {n: find(n) for n in parent}
+
+
+def test_star_components_matches_flood_on_lsh_graph(spark, sf_dir):
+    """Kiveris star contraction and the min-label flood resolve the SAME
+    components on the real LSH candidate graph."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import star_components
+
+    docs, pairs, comp = _components(spark, sf_dir)
+    star = star_components(pairs, documents=docs)
+    flood = {r["doc_id"]: r["component"] for r in comp.collect()}
+    got = {r["doc_id"]: r["component"] for r in star.collect()}
+    assert got == flood
+
+
+def test_star_components_random_graphs_vs_union_find(spark):
+    """Randomized cross-check: star contraction equals a python union-find
+    on arbitrary (non-LSH-shaped) graphs."""
+    import random
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import star_components
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 120
+        edges = set()
+        for _ in range(130):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        pairs = spark.createDataFrame(
+            sorted(edges), "doc_a LONG, doc_b LONG"
+        )
+        got = {
+            r["doc_id"]: r["component"]
+            for r in star_components(pairs).collect()
+        }
+        want = _python_cc(sorted(edges))
+        assert got == want, f"trial {trial}"
+
+
+def test_star_components_survives_adversarial_chain(spark):
+    """An 80-hop path graph: the flood needs diameter rounds (raises loudly
+    at max_rounds=10 — the documented failure mode), while star contraction
+    converges in O(log n) alternations."""
+    import pytest as _pytest
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import star_components
+
+    chain = [(i, i + 1) for i in range(80)]
+    pairs = spark.createDataFrame(chain, "doc_a LONG, doc_b LONG")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_components(pairs, max_rounds=10)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in star_components(pairs, max_rounds=15).collect()
+    }
+    assert set(got) == set(range(81))
+    assert set(got.values()) == {0}
+
+
 def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
     m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
     got = tfidf_cosine_pairs(m, top_t=20, min_cosine=0.5).cache()
