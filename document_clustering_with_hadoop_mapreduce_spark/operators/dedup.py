@@ -180,10 +180,11 @@ def duplicate_components(
     Iterative min-label propagation: each round, every node takes the min of
     its own label and its neighbors' — one shuffle per round, converging in
     graph-diameter rounds. Near-dup graphs are dense clique-ish blobs
-    (diameter 2-3); for adversarial long chains the alternating
-    large-star/small-star scheme (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14) halves diameter per round and would slot
-    in here unchanged.
+    (diameter 2-3); for adversarial long chains use ``star_components``
+    below — the alternating large-star/small-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14), which
+    converges in O(log n) rounds independent of diameter (this flood
+    raises loudly when max_rounds exhausts instead).
 
     Scale design: propagation runs ONLY on nodes that appear in some pair
     (LSH keeps that set a small fraction of the corpus); the full corpus
