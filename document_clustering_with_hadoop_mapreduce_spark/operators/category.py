@@ -29,10 +29,17 @@ def category_avg_tfidf(tfidf_matrix: DataFrame, doc_categories: DataFrame) -> Da
     The per-(category,term) sums AND the per-category distinct-doc counts
     come from ONE rollup aggregate (grouping sets) over the joined matrix:
     two separate groupBys would execute the whole upstream tokenize->tfidf
-    pipeline twice (measured ~2x the query cost at sf0.1). The rollup's
-    output is category x vocabulary sized — tiny next to the matrix — so
-    it is cached and both consumers read it.
+    pipeline twice (measured ~2x the query cost at sf0.1). The per-category
+    count (the ``_g_term == 1`` subtotal row) is then attached to each
+    (category, term) row with a window over the rollup output — a single
+    consumer of the aggregate, so the expensive upstream sits under exactly
+    one plan subtree and nothing needs ``.cache()`` (a previous two-branch
+    version cached the rollup frame and leaked it for the session lifetime).
+    The window shuffles only the category x vocabulary sized aggregate —
+    tiny next to the matrix.
     """
+    from pyspark.sql import Window
+
     joined = tfidf_matrix.join(F.broadcast(doc_categories), "doc_id")
     gs = (
         joined.rollup("category", "term")
@@ -43,18 +50,19 @@ def category_avg_tfidf(tfidf_matrix: DataFrame, doc_categories: DataFrame) -> Da
             F.grouping("category").alias("_g_cat"),
         )
         .filter(F.col("_g_cat") == 0)  # drop the grand-total row
-        .cache()
     )
-    per_cat_docs = gs.filter(F.col("_g_term") == 1).select(
-        "category", F.col("nd").alias("n_docs_in_cat")
-    )
-    per_cat_term = gs.filter(F.col("_g_term") == 0).select(
-        "category", "term", "sum_tfidf"
-    )
+    w = Window.partitionBy("category")
     return (
-        per_cat_term.join(F.broadcast(per_cat_docs), "category")
-        .withColumn("avg_tfidf", F.col("sum_tfidf") / F.col("n_docs_in_cat"))
-        .select("category", "term", "avg_tfidf")
+        gs.withColumn(
+            "n_docs_in_cat",
+            F.max(F.when(F.col("_g_term") == 1, F.col("nd"))).over(w),
+        )
+        .filter(F.col("_g_term") == 0)
+        .select(
+            "category",
+            "term",
+            (F.col("sum_tfidf") / F.col("n_docs_in_cat")).alias("avg_tfidf"),
+        )
     )
 
 

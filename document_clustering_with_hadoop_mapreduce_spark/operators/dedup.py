@@ -275,10 +275,13 @@ def star_components(
     edge list — same shuffle-per-round complexity as the flood, bounded
     by the current edge count, which only shrinks as stars collapse.
     Convergence: the alternation is a deterministic function of the edge
-    set, so an unchanged (edge count, decimal endpoint sum, decimal
-    label sum) triple across a full alternation is treated as the edge
-    fixpoint (label sums alone can be momentarily stable while edges
-    still rewire); edge frames are localCheckpoint-ed per round.
+    set, so termination tests EDGE-SET EQUALITY across a full
+    alternation — a cheap count probe first, then an exact
+    ``exceptAll(prev).isEmpty()`` check only when counts agree (both
+    sides are distinct-ed, so equal cardinality + empty difference is
+    set equality; no lossy checksum is involved). One extra job per
+    alternation on an already-shrinking edge list; edge frames are
+    localCheckpoint-ed per round.
 
     Returns (doc_id, component) with component = min reachable id;
     singletons map to themselves when ``documents`` is given.
@@ -292,19 +295,12 @@ def star_components(
     def neighborhood_min(e: DataFrame) -> DataFrame:
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
-    def state(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("u").cast("decimal(38,0)") + F.col("v").cast("decimal(38,0)")).alias("s"),
-        ).first()
-        lbl = neighborhood_min(e).agg(
-            F.sum(F.col("m").cast("decimal(38,0)")).alias("ls")
-        ).first()
-        return (row["n"], row["s"], lbl["ls"])
-
-    prev_total = None
-    converged = False
+    prev_edges = edges
+    prev_n = edges.count()
+    converged = prev_n == 0  # genuinely-empty graph: nothing to contract
     for _ in range(max_rounds):
+        if converged:
+            break
         # large-star: (v, m) for v in N(u), v > u
         mins = neighborhood_min(edges)
         large = (
@@ -332,12 +328,16 @@ def star_components(
         edges = small.unionByName(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).localCheckpoint()
-        total = state(edges)
-        if total[0] == 0 or total == prev_total:
+        n = edges.count()
+        if n == 0 or (n == prev_n and edges.exceptAll(prev_edges).isEmpty()):
             converged = True
             break
-        prev_total = total
-    if not converged and prev_total is not None:
+        prev_edges, prev_n = edges, n
+    if not converged:
+        # an exit without a verified edge fixpoint (including max_rounds=0
+        # on a non-empty graph) would return a one-hop neighborhood-min
+        # labelling — wrong on any multi-hop graph. Fail loudly, same
+        # contract as duplicate_components.
         raise RuntimeError(
             f"star_components did not converge within {max_rounds} rounds"
         )

@@ -125,7 +125,6 @@ def lloyd_kmeans(
     centroids = [list(r[features_col]) for r in init_rows]
 
     trace: list[LloydTrace] = []
-    converged = False
     for it in range(max_iter):
         assigned = assign_nearest(feats, centroids, features_col, round_decimals=None).cache()
         stats = assigned.agg(F.sum("dist_sq").alias("wcss")).collect()[0]
@@ -141,13 +140,13 @@ def lloyd_kmeans(
         trace.append(LloydTrace(it, float(stats["wcss"]), float(max_shift)))
         centroids = new_centroids
         if max_shift < tol:
-            converged = True
             break
-    # on a max_iter exit the in-loop assignment is one centroid update stale;
-    # re-assign against the FINAL centroids so assignments always match them
-    # (on convergence max_shift < tol means the two are identical — skip).
-    if not converged:
-        assigned = assign_nearest(feats, centroids, features_col, round_decimals=None)
+    # the in-loop assignment is always one centroid update stale (on the
+    # tol exit too: a point within ~tol of a bisector can flip when judged
+    # against the post-update centroids) — re-assign against the FINAL
+    # centroids on EVERY exit path so the returned (assignments, centroids)
+    # pair is self-consistent by construction.
+    assigned = assign_nearest(feats, centroids, features_col, round_decimals=None)
     feats.unpersist()
     return assigned, centroids, trace
 
