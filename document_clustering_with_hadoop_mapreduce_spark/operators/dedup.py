@@ -112,12 +112,31 @@ def minhash_signatures(doc_shingles: DataFrame, num_hashes: int = 16, seed: int 
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, rows_per_band: int = 2) -> DataFrame:
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
     """LSH banding: pairs of docs sharing at least one band.
 
     Bands become (band_idx, band_key) rows; candidates are the equi-join on
     that key (a < b to dedupe the pair space). Shuffle-bounded — the whole
     point of LSH at 100 TB.
+
+    Hot-bucket guard: on real web corpora one degenerate band key
+    (boilerplate / empty / templated docs) collects a huge bucket, and the
+    self-join then emits |bucket|^2 pairs — quadratic OUTPUT volume that no
+    AQE skew-split can shrink. Buckets larger than ``max_bucket_size``
+    therefore degrade from all-pairs to a STAR: every member links to the
+    bucket's min doc_id (|bucket|-1 pairs, computed map-side off the same
+    window). For the downstream connected-components / dedup consumers this
+    is LOSSLESS — the star spans exactly the component the clique would —
+    while pair-level consumers (e.g. Jaccard verification of every
+    candidate) see only the star edges for hot buckets; raise or disable
+    the cap (``max_bucket_size=None``) if full enumeration is required.
+    Bucket stats come from a window over the banded frame (one shuffle on
+    the join key the self-join needs anyway, no extra join).
     """
     n_bands = num_hashes // rows_per_band
     bands = F.array(*[
@@ -125,9 +144,26 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, rows_per_ba
         for b in range(n_bands)
     ])
     banded = signatures.select("doc_id", F.posexplode(bands).alias("band_idx", "band_key"))
+    star = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        sized = banded.select(
+            "doc_id", "band_idx", "band_key",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.min("doc_id").over(w).alias("__min_doc"),
+        )
+        banded = sized.filter(F.col("__n") <= max_bucket_size).select(
+            "doc_id", "band_idx", "band_key"
+        )
+        star = (
+            sized.filter(
+                (F.col("__n") > max_bucket_size) & (F.col("doc_id") != F.col("__min_doc"))
+            )
+            .select(F.col("__min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
     left = banded.alias("l")
     right = banded.alias("r")
-    return (
+    pairs = (
         left.join(
             right,
             (F.col("l.band_idx") == F.col("r.band_idx"))
@@ -135,8 +171,10 @@ def lsh_candidate_pairs(signatures: DataFrame, num_hashes: int = 16, rows_per_ba
             & (F.col("l.doc_id") < F.col("r.doc_id")),
         )
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFrame:

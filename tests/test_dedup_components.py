@@ -118,6 +118,54 @@ def test_star_components_survives_adversarial_chain(spark):
     assert set(got.values()) == {0}
 
 
+def test_lsh_hot_bucket_guard_bounds_output(spark):
+    """Adversarial skew: 500 identical (boilerplate) docs collapse into ONE
+    (band_idx, band_key) bucket per band. Unguarded, the band self-join
+    emits |bucket|^2/2 = 124,750 pairs — quadratic output volume that AQE
+    cannot shrink. The guard degrades the hot bucket to a star on the
+    bucket-min doc: 499 pairs, and the duplicate components are unchanged
+    (the star spans exactly the component the clique would)."""
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate header repeated on every page of the site") for i in range(500)],
+        "doc_id LONG, text STRING",
+    )
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42).cache()
+    guarded = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2).cache()
+    assert guarded.count() == 499  # linear in bucket size, not 124,750
+    assert guarded.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+    comp = duplicate_components(guarded, documents=docs).collect()
+    assert len(comp) == 500
+    assert {r["component"] for r in comp} == {0}
+    sigs.unpersist()
+    guarded.unpersist()
+
+
+def test_lsh_guard_inactive_below_cap_and_preserves_components(spark, sf_dir):
+    """On the real corpus (max bucket 4 at sf0.001) the default cap never
+    triggers — guarded output is pair-for-pair identical to unguarded. And
+    even with an aggressively small cap that forces star-degrade, the
+    downstream duplicate components are IDENTICAL (the guard's documented
+    lossless-for-components contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42).cache()
+    full = lsh_candidate_pairs(sigs, max_bucket_size=None).cache()
+    default = lsh_candidate_pairs(sigs)  # default cap
+    key = lambda r: (r["doc_a"], r["doc_b"])  # noqa: E731
+    assert sorted(map(key, default.collect())) == sorted(map(key, full.collect()))
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=2)
+    comp_full = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(full, documents=docs).collect()
+    }
+    comp_capped = {
+        r["doc_id"]: r["component"]
+        for r in duplicate_components(capped, documents=docs).collect()
+    }
+    assert comp_capped == comp_full
+    sigs.unpersist()
+    full.unpersist()
+
+
 def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
     m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
     got = tfidf_cosine_pairs(m, top_t=20, min_cosine=0.5).cache()
