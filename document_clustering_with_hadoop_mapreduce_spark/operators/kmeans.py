@@ -225,6 +225,94 @@ def lloyd_trace_deterministic(
     return trace
 
 
+def scalable_kmeans_init(
+    df: DataFrame,
+    k: int,
+    l: float = 10.0,
+    rounds: int = 5,
+    features_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[list[tuple[int, list[float]]], dict[int, int]]:
+    """M3/A15/M1: deterministic k-means|| init (Bahmani et al., VLDB'12).
+
+    The reference hand-rolls this per reducer group with an UNSEEDED
+    ``Random`` (ref sources/2.2/source/ScalableKMeans.java:86-156:
+    oversample with p = l*d/psi per round, weight each candidate by its
+    nearest-point count, keep the top-k by weight) — irreproducible by
+    design. This version replaces the RNG with a HASH-BASED Bernoulli
+    draw so the init is deterministic, partition-independent, and
+    SQL-expressible (hence oracle-checkable, unlike a seeded MLlib fit):
+
+        select x in round r  iff  u(x, r) < min(1, l * d(x) / psi)
+
+    where u(x, r) is the top 60 bits of md5(``"<id>_<r>"``) read as a
+    uniform draw in [0, 1). The comparison happens in HEX-STRING space —
+    ``substr(md5, 1, 15) < lpad(hex(floor(p * 2^60)), 15, '0')`` — which
+    equals the numeric comparison (fixed-width lowercase hex is
+    order-isomorphic to the integers) and both engines produce identical
+    md5/hex strings, so Spark and DuckDB select byte-identical candidate
+    sets.
+
+    Scale shape: candidates live on the driver (expected l per round +
+    seed ≈ l*rounds k×d floats — same driver footprint as MLlib's own
+    k-means||) and enter each pass as one nested-array literal; each
+    round is ONE cached distance pass over the data (psi aggregate +
+    filtered collect read the same cache), so the whole init is
+    O(rounds) scans with no shuffle beyond the scalar aggregate.
+    Distances use the engine-wide 6dp round-before-compare discipline.
+
+    Returns (final_centroids, weights): ``final_centroids`` is the top-k
+    as [(seed_id, vector), ...] ordered by seed_id (cluster i = i-th
+    lowest surviving seed id), ``weights`` maps seed_id -> nearest-point
+    count.
+    """
+    two60 = 1152921504606846976.0  # 2^60
+    feats = df.select(
+        F.col(id_col).alias("id"), _as_double_array(F.col(features_col)).alias("v")
+    ).cache()
+    first = feats.orderBy("id").limit(1).collect()[0]
+    cands: dict[int, list[float]] = {first["id"]: list(first["v"])}
+    for r in range(rounds):
+        ordered = sorted(cands)
+        dists = assign_nearest(
+            feats, [cands[i] for i in ordered], "v", round_decimals=6
+        ).select("id", "v", "dist_sq").cache()
+        psi_df = dists.agg(
+            F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double").alias("psi")
+        )
+        p = (F.lit(float(l)) * F.col("dist_sq")) / F.col("psi")
+        draw = F.substring(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{r}"))), 1, 15
+        )
+        # p >= 1 short-circuits the hex compare (whose floor(p * 2^60)
+        # would not fit 15 hex digits); d == 0 rows are existing
+        # candidates and can never be drawn (threshold is all-zeros).
+        thresh = F.lower(F.lpad(F.hex(F.floor(p * F.lit(two60)).cast("long")), 15, "0"))
+        selected = (
+            dists.crossJoin(F.broadcast(psi_df))
+            .filter(
+                (F.col("dist_sq") > 0)
+                & (F.col("psi") > 0)
+                & ((p >= 1.0) | (draw < thresh))
+            )
+            .select("id", "v")
+            .collect()
+        )
+        dists.unpersist()
+        for row in selected:
+            cands[row["id"]] = list(row["v"])
+    # weight = nearest-point count over ALL candidates (6dp-rounded dist,
+    # lowest-candidate-id tie-break — assign_nearest's struct-min order)
+    ordered = sorted(cands)
+    assigned = assign_nearest(feats, [cands[i] for i in ordered], "v", round_decimals=6)
+    wrows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
+    feats.unpersist()
+    weights = {ordered[row["cluster"]]: int(row["w"]) for row in wrows}
+    top = sorted(((weights.get(i, 0), i) for i in ordered), key=lambda t: (-t[0], t[1]))[:k]
+    chosen = sorted(i for _, i in top)
+    return [(i, cands[i]) for i in chosen], {i: weights.get(i, 0) for i in chosen}
+
+
 def mllib_kmeans(
     df: DataFrame,
     k: int,

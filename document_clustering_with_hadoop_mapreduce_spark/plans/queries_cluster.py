@@ -8,9 +8,12 @@ so DuckDB verifies the per-iteration WCSS trace (M6-M9) value-for-value
 via an unrolled CTE. Between them the full Lloyd algebra (assignment,
 centroid recompute, loss accounting) is hash-gated, not just rows-only.
 
-Only the genuinely non-deterministic-across-engines path remains
-rows-only: ``kmeans_mllib_sizes`` (seeded MLlib k-means|| fits, euclidean
-+ cosine in one query); its invariants are pytest-enforced
+``kmeans_parallel_sizes`` value-gates M3 (k-means|| init) end-to-end: a
+deterministic Bahmani oversampling (hash-based Bernoulli draws instead
+of the reference's unseeded ``Random``) whose candidate selection,
+weights, top-k and one-pass sizes all hash-match an unrolled DuckDB CTE.
+The seeded MLlib fit (``mllib_kmeans``) remains the production scale
+path; being non-deterministic across engines it is pytest-gated instead
 (tests/test_kmeans.py): WCSS non-increasing, assignment = nearest
 centroid, k clusters, seeded reproducibility.
 """
@@ -20,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.kmeans import assign_nearest, lloyd_trace_deterministic, mllib_kmeans
+from ..operators.kmeans import (
+    assign_nearest,
+    lloyd_trace_deterministic,
+    scalable_kmeans_init,
+)
 from ..sources.tables import load_table
 from .registry import register
 
@@ -128,23 +135,131 @@ def q_kmeans_lloyd_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(trace, "iteration INT, wcss DOUBLE").orderBy("iteration")
 
 
+_KMEANS_PARALLEL_L = 10.0
+_KMEANS_PARALLEL_ROUNDS = 5
+
+
+def _dist_expr(a: str, b: str) -> str:
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i]))), 6)"
+    )
+
+
+def _scalable_init_oracle(k: int, l: float, rounds: int) -> str:
+    """Unrolled deterministic k-means|| in DuckDB: seed = lowest vec_id;
+    each round computes 6dp-rounded min distance to the candidate set,
+    psi as an exact decimal sum cast back to double, and selects points
+    whose 60-bit md5 draw (hex-string compare, see
+    operators.kmeans.scalable_kmeans_init) clears p = l*d/psi. Then
+    weight-by-nearest-count over the full candidate set, top-k by
+    (weight DESC, vec_id ASC), and one assignment pass for sizes."""
+    lrepr = repr(float(l))
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for r in range(rounds):
+        d = _dist_expr("e.v", "c.v")
+        ctes.append(
+            f"""d{r} AS (
+  SELECT e.vec_id, min({d}) AS d
+  FROM e CROSS JOIN c{r} c GROUP BY e.vec_id
+)"""
+        )
+        ctes.append(
+            f"psi{r} AS (SELECT CAST(sum(CAST(d AS DECIMAL(28,6))) AS DOUBLE) AS psi FROM d{r})"
+        )
+        ctes.append(
+            f"""s{r} AS (
+  SELECT e.vec_id, e.v
+  FROM e JOIN d{r} USING (vec_id) CROSS JOIN psi{r}
+  WHERE d > 0 AND psi > 0 AND (
+    ({lrepr} * d) / psi >= 1.0 OR
+    substr(md5(CAST(e.vec_id AS VARCHAR) || '_{r}'), 1, 15) <
+    lpad(lower(to_hex(CAST(floor((({lrepr} * d) / psi) * 1152921504606846976.0) AS BIGINT))), 15, '0')
+  )
+)"""
+        )
+        ctes.append(f"c{r + 1} AS (SELECT * FROM c{r} UNION ALL SELECT * FROM s{r})")
+    cfin = f"c{rounds}"
+    ctes.append(
+        f"""nn AS (
+  SELECT vec_id, cand_id FROM (
+    SELECT vec_id, cand_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cand_id ASC) AS rn
+    FROM (
+      SELECT e.vec_id, c.vec_id AS cand_id, {_dist_expr("e.v", "c.v")} AS dist
+      FROM e CROSS JOIN {cfin} c
+    )
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""w AS (
+  SELECT c.vec_id AS cand_id, count(nn.vec_id) AS weight
+  FROM {cfin} c LEFT JOIN nn ON nn.cand_id = c.vec_id GROUP BY c.vec_id
+)"""
+    )
+    ctes.append(
+        f"topk AS (SELECT cand_id, weight FROM w ORDER BY weight DESC, cand_id ASC LIMIT {k})"
+    )
+    ctes.append(
+        """cent AS (
+  SELECT row_number() OVER (ORDER BY cand_id) - 1 AS cluster, cand_id AS seed_vec_id,
+         weight, e.v AS v
+  FROM topk JOIN e ON e.vec_id = topk.cand_id
+)"""
+    )
+    ctes.append(
+        f"""fa AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM (
+      SELECT e.vec_id, cent.cluster, {_dist_expr("e.v", "cent.v")} AS dist
+      FROM e CROSS JOIN cent
+    )
+  ) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + """
+SELECT cent.cluster::INT AS cluster, cent.seed_vec_id, cent.weight::BIGINT AS weight,
+       count(fa.vec_id)::BIGINT AS n
+FROM cent LEFT JOIN fa ON fa.cluster = cent.cluster
+GROUP BY cent.cluster, cent.seed_vec_id, cent.weight
+ORDER BY cluster"""
+    )
+
+
 @register(
-    "kmeans_mllib_sizes",
-    None,  # iterative seeded MLlib fits — rows-only; invariants in tests/test_kmeans.py
-    "M1-M7 + M3/A15/O4 scale path: seeded MLlib KMeans fits (k-means|| "
-    "init; euclidean AND correct-cosine — the reference's N3 'cosine' is "
-    "the compat shim, ref sources/2.2/source/ScalableKMeans.java) -> "
-    "cluster sizes per distance measure",
+    "kmeans_parallel_sizes",
+    _scalable_init_oracle(K, _KMEANS_PARALLEL_L, _KMEANS_PARALLEL_ROUNDS),
+    "M3/A15/M1/O4 VALUE-GATED: deterministic k-means|| (Bahmani "
+    "oversampling with hash-based Bernoulli draws, weight-by-nearest-"
+    "count, top-k by weight — ref sources/2.2/source/ScalableKMeans.java:"
+    "86-156 with the unseeded Random made reproducible) -> chosen seeds, "
+    "weights, and one-pass cluster sizes. The seeded MLlib fit path "
+    "(mllib_kmeans) stays pytest-gated in tests/test_kmeans.py",
     tags=("cluster", "task2.3"),
 )
-def q_kmeans_mllib_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_kmeans_parallel_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    out = []
-    for distance in ("euclidean", "cosine"):
-        _, assigned = mllib_kmeans(emb, k=K, seed=42, distance=distance)
-        out.append(
-            assigned.groupBy("cluster")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .select(F.lit(distance).alias("distance"), "cluster", "n")
+    cents, weights = scalable_kmeans_init(
+        emb, k=K, l=_KMEANS_PARALLEL_L, rounds=_KMEANS_PARALLEL_ROUNDS
+    )
+    assigned = assign_nearest(emb, [v for _, v in cents], "embedding", round_decimals=6)
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    meta = spark.createDataFrame(
+        [(i, sid, weights[sid]) for i, (sid, _) in enumerate(cents)],
+        "cluster INT, seed_vec_id LONG, weight LONG",
+    )
+    return (
+        meta.join(sizes, "cluster", "left")
+        .select(
+            "cluster", "seed_vec_id", "weight",
+            F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
         )
-    return out[0].unionAll(out[1]).orderBy("distance", "cluster")
+        .orderBy("cluster")
+    )
