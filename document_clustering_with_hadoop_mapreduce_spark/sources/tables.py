@@ -142,9 +142,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
     """One parquet table. Parquet scans get predicate pushdown + column
     pruning from Catalyst for free; we do NOT cache here (caller decides).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) which Spark rejects by
-    default; read it as long nanos and truncate to micros — exactly what
-    DuckDB/pandas do when they downcast ns -> us."""
+    ``events.ts`` varies physically across testdata generations:
+    TIMESTAMP(NANOS) (which Spark rejects by default — read as long nanos
+    and truncate to micros, exactly what DuckDB/pandas do downcasting
+    ns -> us) or TIMESTAMP(MICROS) without timezone (Spark reads
+    TIMESTAMP_NTZ — cast to the session-tz type; session tz is pinned UTC
+    so the cast is value-preserving). Dispatch on the dtype actually read
+    so either layout lands on the declared TimestampType schema."""
     fan_out = fan_out and name in _FAN_OUT_TABLES
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -153,7 +157,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if fan_out:
             df = _fan_out(spark, df, f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     return _fan_out(spark, df, f"{sf_dir}/{name}.parquet") if fan_out else df
 

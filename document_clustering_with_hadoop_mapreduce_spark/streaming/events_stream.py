@@ -26,8 +26,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over events parquet files.
 
     Schema must be declared for streaming reads. The physical files carry
-    TIMESTAMP(NANOS); we read via the same nanos-as-long + truncate-to-µs
-    path as the batch loader so batch/stream results are identical.
+    either TIMESTAMP(NANOS) (read via the same nanos-as-long +
+    truncate-to-µs path as the batch loader) or TIMESTAMP(MICROS)-NTZ
+    (declared as TIMESTAMP_NTZ, cast to session-tz type — UTC session, so
+    value-preserving); we sniff one footer so batch/stream stay identical.
 
     The file source only monitors directories; if given a single parquet
     file (the shape of the test fixtures) we stage a symlink directory.
@@ -38,12 +40,27 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
                    os.path.join(staged, os.path.basename(events_dir)))
         events_dir = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_is_long = True
+    for entry in sorted(os.listdir(events_dir)):
+        if entry.endswith(".parquet"):
+            import pyarrow.parquet as pq
+
+            field = pq.read_schema(os.path.join(events_dir, entry)).field("ts")
+            ts_is_long = field.type.unit == "ns"
+            break
+    if ts_is_long:
+        schema = (
+            "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+            "event_type STRING, value DOUBLE, props STRING"
+        )
+        raw = spark.readStream.schema(schema).parquet(events_dir)
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
     )
     raw = spark.readStream.schema(schema).parquet(events_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def stream_hourly_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
