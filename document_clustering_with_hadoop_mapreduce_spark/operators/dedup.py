@@ -325,10 +325,14 @@ def star_components(
     singletons map to themselves when ``documents`` is given.
     """
     p = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).persist()
-    # undirected neighbor list, both directions
-    edges = p.unionByName(
-        p.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # undirected neighbor list, both directions; distinct so duplicate or
+    # bidirectional input pairs collapse before round 1's shuffle AND so
+    # the round-1 termination compare is set-vs-set like every later one
+    edges = (
+        p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     p.unpersist()
     def neighborhood_min(e: DataFrame) -> DataFrame:
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
@@ -447,9 +451,20 @@ def simhash_fingerprints(term_matrix: DataFrame, bits: int = 32) -> DataFrame:
     return summed.select("doc_id", fp.alias("simhash"))
 
 
-def minhash_oracle_sql(tokens_cte: str, n: int = 3, num_hashes: int = 16, seed: int = 42) -> dict[str, str]:
+def minhash_oracle_sql(
+    tokens_cte: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    seed: int = 42,
+    max_bucket_size: int | None = 256,
+) -> dict[str, str]:
     """DuckDB mirrors of the shingle/minhash/LSH/jaccard pipeline, generated
-    from the SAME hash constants as the Spark operators."""
+    from the SAME hash constants as the Spark operators.
+
+    ``max_bucket_size`` mirrors ``lsh_candidate_pairs``'s hot-bucket guard
+    (same default) so the star-degrade path is itself value-gated: buckets
+    above the cap emit (min_doc, member) star edges instead of the clique,
+    exactly like the Spark window+filter plan."""
     params = minhash_params(num_hashes, seed)
     shingle_cte = f"""
 WITH docs_t AS (
@@ -474,17 +489,38 @@ hashed AS (SELECT doc_id, {hash_expr} AS h FROM shingles),
 sigs AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)"""
     n_bands = num_hashes // 2
     band_keys = ", ".join(f"concat(h{2 * b}, ':', h{2 * b + 1})" for b in range(n_bands))
+    banded_cte = f"""banded AS (
+  SELECT doc_id, i - 1 AS band_idx, keys[i] AS band_key
+  FROM (SELECT doc_id, [{band_keys}] AS keys FROM sigs), UNNEST(generate_series(1, {n_bands})) AS t(i)
+)"""
+    if max_bucket_size is None:
+        lsh_sql = f"""{sig_cte},
+{banded_cte}
+SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+FROM banded l JOIN banded r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id"""
+    else:
+        lsh_sql = f"""{sig_cte},
+{banded_cte},
+sized AS (
+  SELECT doc_id, band_idx, band_key,
+         count(*) OVER (PARTITION BY band_idx, band_key) AS n,
+         min(doc_id) OVER (PARTITION BY band_idx, band_key) AS min_doc
+  FROM banded
+)
+SELECT DISTINCT doc_a, doc_b FROM (
+  SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM sized l JOIN sized r
+    ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+  WHERE l.n <= {max_bucket_size}
+  UNION ALL
+  SELECT min_doc AS doc_a, doc_id AS doc_b
+  FROM sized WHERE n > {max_bucket_size} AND doc_id <> min_doc
+)"""
     return {
         "doc_shingles": f"{shingle_cte} SELECT doc_id, shingle FROM shingles",
         "minhash_signatures": f"{sig_cte} SELECT * FROM sigs",
-        "lsh_candidate_pairs": f"""{sig_cte},
-banded AS (
-  SELECT doc_id, i - 1 AS band_idx, keys[i] AS band_key
-  FROM (SELECT doc_id, [{band_keys}] AS keys FROM sigs), UNNEST(generate_series(1, {n_bands})) AS t(i)
-)
-SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-FROM banded l JOIN banded r
-  ON l.band_idx = r.band_idx AND l.band_key = r.band_key AND l.doc_id < r.doc_id""",
+        "lsh_candidate_pairs": lsh_sql,
         "ngram_jaccard_pairs": f"""{shingle_cte},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
 common AS (

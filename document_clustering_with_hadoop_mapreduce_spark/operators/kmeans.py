@@ -284,10 +284,16 @@ def scalable_kmeans_init(
         draw = F.substring(
             F.md5(F.concat(F.col("id").cast("string"), F.lit(f"_{r}"))), 1, 15
         )
-        # p >= 1 short-circuits the hex compare (whose floor(p * 2^60)
-        # would not fit 15 hex digits); d == 0 rows are existing
+        # The hex threshold only exists for p < 1 (floor(p * 2^60) with
+        # p > 8 overflows BIGINT, and ANSI mode would raise rather than
+        # wrap) — the p >= 1 arm of the filter admits those rows anyway,
+        # and NULL from the WHEN falls out of `draw < thresh` as NULL,
+        # which OR(true, NULL) absorbs. d == 0 rows are existing
         # candidates and can never be drawn (threshold is all-zeros).
-        thresh = F.lower(F.lpad(F.hex(F.floor(p * F.lit(two60)).cast("long")), 15, "0"))
+        thresh = F.when(
+            p < 1.0,
+            F.lower(F.lpad(F.hex(F.floor(p * F.lit(two60)).cast("long")), 15, "0")),
+        )
         selected = (
             dists.crossJoin(F.broadcast(psi_df))
             .filter(

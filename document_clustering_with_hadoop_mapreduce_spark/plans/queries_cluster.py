@@ -177,7 +177,9 @@ def _scalable_init_oracle(k: int, l: float, rounds: int) -> str:
   WHERE d > 0 AND psi > 0 AND (
     ({lrepr} * d) / psi >= 1.0 OR
     substr(md5(CAST(e.vec_id AS VARCHAR) || '_{r}'), 1, 15) <
-    lpad(lower(to_hex(CAST(floor((({lrepr} * d) / psi) * 1152921504606846976.0) AS BIGINT))), 15, '0')
+    CASE WHEN ({lrepr} * d) / psi < 1.0 THEN
+      lpad(lower(to_hex(CAST(floor((({lrepr} * d) / psi) * 1152921504606846976.0) AS BIGINT))), 15, '0')
+    END
   )
 )"""
         )

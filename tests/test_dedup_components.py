@@ -175,3 +175,21 @@ def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
     # canonical a<b pair space, no self-pairs, no duplicates
     assert got.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
     assert got.select("doc_a", "doc_b").distinct().count() == n
+
+
+def test_lsh_guard_oracle_parity_when_cap_triggers(spark, sf_dir, duck):
+    """Cross-engine value gate for the star-degrade path itself: with a cap
+    small enough to trigger on the real corpus, the Spark guard and the
+    generated guarded DuckDB SQL emit identical pair sets (the registered
+    query's default-cap parity is the oracle sweep; this pins the
+    above-cap branch)."""
+    from conftest import assert_matches_oracle
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import minhash_oracle_sql
+    from document_clustering_with_hadoop_mapreduce_spark.plans.oracles import TOKENS_CTE
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    got = lsh_candidate_pairs(sigs, max_bucket_size=2)
+    sql = minhash_oracle_sql(TOKENS_CTE, max_bucket_size=2)["lsh_candidate_pairs"]
+    assert_matches_oracle(got, duck, sql)
