@@ -106,9 +106,27 @@ def q_media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_samples(_media(spark, sf_dir), frame_bytes=64, stride=4, max_frames=8)
 
 
+# Blob oracle for the mapInPandas featurizer: explode every byte position,
+# bin on the high nibble (ord == byte value for the ASCII fixture), pivot
+# wide, and left-join back so empty payloads keep their all-zero row —
+# exactly the numpy bincount the Spark side computes per Arrow batch.
+_HIST_COLS = ", ".join(
+    f"CAST(sum(CASE WHEN bin = {b} THEN 1 ELSE 0 END) AS BIGINT) AS h{b}"
+    for b in range(16)
+)
+_HIST_ZERO = ", ".join(f"CAST(coalesce(h.h{b}, 0) AS BIGINT) AS h{b}" for b in range(16))
+
+
 @register(
     "media_byte_histograms",
-    None,  # mapInPandas featurizer — rows-only here; value oracle in pytest
+    f"""{_MEDIA_CTE},
+    bytes AS (
+      SELECT media_id, (ord(substr(data, i::INT, 1)) // 16)::INT AS bin
+      FROM media, UNNEST(generate_series(1, n_bytes)) AS t(i)
+    ),
+    hist AS (SELECT media_id, {_HIST_COLS} FROM bytes GROUP BY media_id)
+    SELECT m.media_id, {_HIST_ZERO}
+    FROM media m LEFT JOIN hist h USING (media_id)""",
     "multimodal: Arrow-batched mapInPandas byte-histogram featurizer "
     "(the drop-in slot for real image/audio feature extraction)",
     tags=("multimodal",),
