@@ -152,6 +152,15 @@ def lsh_candidate_pairs(
             F.count(F.lit(1)).over(w).alias("__n"),
             F.min("doc_id").over(w).alias("__min_doc"),
         )
+        # The windowed frame feeds THREE consumers (both self-join sides +
+        # the star branch). Catalyst's ReusedExchange does NOT unify them —
+        # the tokenize/shingle lambda expressions upstream defeat plan
+        # canonicalization — so without this the whole text pipeline runs
+        # three times (measured 3x the upstream scan at sf0.1). A lazy
+        # localCheckpoint materializes it once on first action (executor
+        # memory+disk, window partitioning preserved); on a real cluster
+        # prefer reliable checkpoint() if lineage-free retry matters.
+        sized = sized.localCheckpoint(eager=False)
         banded = sized.filter(F.col("__n") <= max_bucket_size).select(
             "doc_id", "band_idx", "band_key"
         )
@@ -161,6 +170,9 @@ def lsh_candidate_pairs(
             )
             .select(F.col("__min_doc").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         )
+    else:
+        # two consumers (the self-join's sides) — same reuse failure
+        banded = banded.localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -240,18 +252,25 @@ def duplicate_components(
     # propagation round into the init (one groupBy replaces the old
     # distinct + identity + first flood round) — on the clique-ish blobs
     # LSH produces, most labels are already final here.
+    #
+    # Action economy: every checkpoint is LAZY (eager=False — materialized
+    # by whichever probe touches it first, then served from executor
+    # storage), and the first probe computes the seed sum and the round-1
+    # sum in ONE job (tagged union of two scalar aggregates). The common
+    # diameter-2 case therefore costs exactly one flood action before the
+    # caller's own result action, vs. four in the naive
+    # checkpoint/probe/checkpoint sequencing.
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("m"))
         .select(F.col("src").alias("doc_id"), F.least("src", "m").alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    total_expr = F.sum(F.col("component").cast("decimal(38,0)"))
-    prev_total = labels.agg(total_expr).first()[0]
-    converged = prev_total is None  # empty graph: nothing to flood
+    total_expr = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+    prev_total = None
+    have_prev = False
+    converged = False
     for _ in range(max_rounds):
-        if converged:
-            break
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "component"
         )
@@ -262,13 +281,23 @@ def duplicate_components(
         )
         # probe the sum BEFORE materializing: labels only decrease, so an
         # unchanged sum means new_labels == labels value-for-value and the
-        # terminal round skips its checkpoint job entirely (the common case
+        # terminal round skips its checkpoint entirely (the common case
         # on clique-ish LSH blobs is seed + one confirming probe)
-        total = new_labels.agg(total_expr).first()[0]
-        if total == prev_total:
+        if not have_prev:
+            rows = (
+                labels.agg(total_expr).select(F.lit(0).alias("w"), "s")
+                .unionAll(new_labels.agg(total_expr).select(F.lit(1).alias("w"), "s"))
+                .collect()
+            )
+            sums = {r["w"]: r["s"] for r in rows}
+            prev_total, total = sums[0], sums[1]
+            have_prev = True
+        else:
+            total = new_labels.agg(total_expr).first()[0]
+        if total == prev_total:  # includes the empty graph (None == None)
             converged = True
             break
-        labels = new_labels.localCheckpoint()
+        labels = new_labels.localCheckpoint(eager=False)
         prev_total = total
     edges.unpersist()
     p.unpersist()
