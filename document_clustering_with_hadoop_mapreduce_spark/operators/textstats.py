@@ -98,6 +98,84 @@ def bpe_ish_token_counts(documents: DataFrame, text_col: str = "text", id_col: s
     )
 
 
+def _run_length_stats(arr: Column) -> Column:
+    """Fold a SORTED array into struct(maxrun, dups): the count of the most
+    frequent element and the number of elements belonging to any value that
+    occurs >= 2 times. Pure ``aggregate`` over ``array_sort`` — stays inside
+    whole-stage codegen, zero shuffle, zero Python."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("maxrun"),
+        F.lit(0).alias("dups"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = acc["prev"].eqNullSafe(x)
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        # 2nd occurrence retro-counts the 1st into the duplicated set
+        dups = acc["dups"] + (
+            F.when(same & (acc["run"] == 1), F.lit(2))
+            .when(same, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["maxrun"], run).alias("maxrun"),
+            dups.alias("dups"),
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step)
+
+
+def doc_repetition(
+    documents: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.2:
+    boilerplate/low-quality text is dominated by a few repeated phrases):
+
+    - ``max_token_frac`` — occurrences of the most frequent token / tokens
+    - ``top_ngram_frac`` — occurrences of the most frequent word n-gram /
+      n-grams
+    - ``dup_ngram_frac`` — fraction of n-grams whose value occurs >= 2 times
+
+    Stopwords KEPT (repetition must see the raw stream, same contract as
+    dedup shingles). Everything is a map-side array fold per row — at
+    100 TB this is a zero-shuffle projection that fuses into the scan."""
+    # drop the [""] that split() yields on empty/punctuation-only text —
+    # same normalization as the oracle's list_filter(t <> '')
+    docs_t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    staged = docs_t.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        _run_length_stats(toks).alias("__t"),
+        # == size(grams), without re-building the gram array
+        F.when(F.size(toks) >= n, F.size(toks) - (n - 1)).otherwise(F.lit(0)).alias("n_ngrams"),
+        _run_length_stats(grams).alias("__g"),
+    )
+
+    def frac(num: Column, denom: Column) -> Column:
+        return F.round(F.when(denom > 0, num / denom).otherwise(F.lit(0.0)), 6)
+
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        "n_ngrams",
+        frac(F.col("__t")["maxrun"], F.col("n_tokens")).alias("max_token_frac"),
+        frac(F.col("__g")["maxrun"], F.col("n_ngrams")).alias("top_ngram_frac"),
+        frac(F.col("__g")["dups"], F.col("n_ngrams")).alias("dup_ngram_frac"),
+    )
+
+
 def hash_split(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -127,6 +205,36 @@ def hash_split(
     return documents.select(
         F.col(id_col).alias("doc_id"), bucket.alias("bucket"), split.alias("split")
     )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "lang",
+    default_rate: float = 1.0,
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified down-sampling: keep each row with a
+    per-stratum probability, decided by a salted id hash instead of an RNG.
+
+    The training-data mixing primitive (up-/down-weight languages, sources,
+    quality buckets): a row's fate is a pure function of (salt, id), so the
+    sample is reproducible across runs/engines/partitionings and stable
+    under corpus growth — exactly like ``hash_split``. Map-side filter, no
+    shuffle, no RNG, keeps whatever columns the input carries."""
+    from ..functions.hashing import md5_int60
+
+    draw = F.pmod(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(1_000_000),
+    )
+    rate: Column = F.lit(float(default_rate))
+    for stratum in sorted(rates):
+        rate = F.when(
+            F.col(stratum_col) == stratum, F.lit(float(rates[stratum]))
+        ).otherwise(rate)
+    return documents.filter(draw < rate * F.lit(1_000_000.0))
 
 
 # PII patterns: explicit ASCII classes only (cross-engine: Java regex and

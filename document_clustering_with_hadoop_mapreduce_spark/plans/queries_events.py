@@ -244,3 +244,59 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.5, 0.95, 0.99)
         ],
     )
+
+
+@register(
+    "doc_repetition",
+    f"""
+    WITH docs_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM docs_t),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tstat AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM docs_t, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+      WHERE len(toks) >= 2
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    gstat AS (SELECT doc_id, max(c) AS maxc,
+                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dups
+              FROM gc GROUP BY doc_id)
+    SELECT t.doc_id,
+           len(t.toks)::INT AS n_tokens,
+           greatest(len(t.toks) - 1, 0)::INT AS n_ngrams,
+           round(coalesce(tstat.maxc::DOUBLE / nullif(len(t.toks), 0), 0), 6) AS max_token_frac,
+           round(coalesce(gstat.maxc::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS top_ngram_frac,
+           round(coalesce(gstat.dups::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS dup_ngram_frac
+    FROM docs_t t
+    LEFT JOIN tstat USING (doc_id)
+    LEFT JOIN gstat USING (doc_id)""",
+    "Gopher-style repetition quality signals (most-frequent-token fraction, "
+    "top-bigram fraction, duplicated-bigram fraction) — map-side array fold "
+    "per row, zero shuffle (the oracle computes the same stats relationally)",
+    tags=("textstats",),
+)
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import doc_repetition
+
+    return doc_repetition(load_table(spark, sf_dir, "documents"), n=2)
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5('sample-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 1000000
+          < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END) * 1000000.0""",
+    "deterministic stratified down-sampling (language mixing weights) by "
+    "salted id hash — reproducible across runs/engines/partitionings, "
+    "map-side filter, no RNG (the training-data mixture primitive)",
+    tags=("textstats",),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import stratified_sample
+
+    return stratified_sample(
+        load_table(spark, sf_dir, "documents"), rates={"en": 0.5, "zh": 0.25}
+    )

@@ -109,3 +109,42 @@ def test_universal_hash_range_pure_python(x):
         b30 = b & ((1 << 30) - 1)
         h = (a30 * (x % (1 << 30)) + b30) % MERSENNE_P
         assert 0 <= h < MERSENNE_P
+
+
+def test_doc_repetition_fold_semantics(spark):
+    """Pin the run-length fold against hand-computed stats: 'a b a b a'
+    has token counts {a:3, b:2} and bigram counts {'a b':2, 'b a':2}."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import doc_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, ""), (4, "w w w w")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_repetition(docs, n=2).collect()}
+    assert got[1]["n_tokens"] == 5 and got[1]["n_ngrams"] == 4
+    assert got[1]["max_token_frac"] == 0.6      # a: 3/5
+    assert got[1]["top_ngram_frac"] == 0.5      # 'a b': 2/4
+    assert got[1]["dup_ngram_frac"] == 1.0      # all 4 bigrams duplicated
+    assert got[2]["max_token_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_ngram_frac"] == 0.0
+    assert got[3] == {"doc_id": 3, "n_tokens": 0, "n_ngrams": 0,
+                      "max_token_frac": 0.0, "top_ngram_frac": 0.0,
+                      "dup_ngram_frac": 0.0}
+    assert got[4]["max_token_frac"] == 1.0 and got[4]["dup_ngram_frac"] == 1.0
+
+
+def test_stratified_sample_is_stable_subset(spark, sf_dir):
+    """Sampling twice gives the identical row set; rate=1.0 strata are kept
+    in full; the sample is a subset of the input."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import stratified_sample
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept1 = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}).select("doc_id").collect()}
+    kept2 = {r["doc_id"] for r in stratified_sample(docs, {"en": 0.5}).select("doc_id").collect()}
+    assert kept1 == kept2
+    non_en = {r["doc_id"] for r in docs.filter("lang <> 'en'").select("doc_id").collect()}
+    assert non_en <= kept1
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = len(kept1) - len(non_en)
+    assert 0 < en_kept < en_total
