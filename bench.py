@@ -61,6 +61,30 @@ def bench_reference_workload(spark) -> float | None:
     return round(time.perf_counter() - t0, 3)
 
 
+def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
+    """Adversarial hot-bucket workload: n identical boilerplate docs land in
+    ONE (band_idx, band_key) bucket per band. Unguarded banding would emit
+    ~n^2/2 pairs (1.6e8 at the default 20k — quadratic OUTPUT, the 100 TB
+    scale-killer); the guard degrades each hot bucket to a star, so output
+    is linear and this measures the cap's actual cost."""
+    from pyspark.sql import functions as F
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("common boilerplate header repeated on every page of the site").alias("text"),
+    )
+    t0 = time.perf_counter()
+    pairs = lsh_candidate_pairs(minhash_signatures(shingle_hashes(docs, n=3)))
+    assert pairs.count() == n_docs - 1  # star on the bucket-min doc, per band
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,6 +110,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(timings.values()), 3)
     ref_sec = bench_reference_workload(spark)
+    skew_sec = bench_lsh_skew_guard(spark)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -95,6 +120,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "cold_queries": cold,
         "bbc_task11_sec": ref_sec,
+        "lsh_skew_guard_sec": skew_sec,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -30,18 +30,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def doc_quality(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Quality-score features per document: token/char counts, average token
-    length, stopword ratio, punctuation ratio."""
-    text = F.col(text_col)
+def _quality_cols(text: Column) -> list[Column]:
+    """The doc_quality feature columns (shared with ``doc_features``)."""
     toks = tokens(text)
     n_tokens = token_count(text)
     n_chars = F.length(text)
     n_punct = n_chars - F.length(F.regexp_replace(text, "[^a-zA-Z0-9 \\t\\n\\r]", ""))
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     clean_len = F.length(F.regexp_replace(clean_text(text), "[ \\t\\n\\r]", ""))
-    return documents.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_tokens.alias("n_tokens"),
         n_chars.alias("n_chars"),
         F.round(
@@ -53,6 +50,14 @@ def doc_quality(documents: DataFrame, text_col: str = "text", id_col: str = "doc
         F.round(
             F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)), 6
         ).alias("punct_ratio"),
+    ]
+
+
+def doc_quality(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality-score features per document: token/char counts, average token
+    length, stopword ratio, punctuation ratio."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"), *_quality_cols(F.col(text_col))
     )
 
 
@@ -204,6 +209,54 @@ def hash_split(
     )
     return documents.select(
         F.col(id_col).alias("doc_id"), bucket.alias("bucket"), split.alias("split")
+    )
+
+
+def doc_features(
+    documents: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ALL per-document quality features in one pass: ``doc_quality``'s
+    ratios + the BPE-ish lexer count + ``doc_repetition``'s Gopher signals.
+
+    At 100 TB you never scan the corpus once per feature family — this is
+    the fused projection a curation pipeline actually runs (still entirely
+    map-side: two narrow selects, no shuffle, no Python). Column semantics
+    are identical to the standalone operators."""
+    text = F.col(text_col)
+    staged = documents.select(
+        F.col(id_col).alias("doc_id"),
+        *_quality_cols(text),
+        F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_REGEX), 0)).alias("bpe_tokens"),
+        F.filter(tokens(text), lambda t: t != "").alias("__toks"),
+    )
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    passthrough = [
+        "n_tokens", "n_chars", "avg_token_len", "stopword_ratio",
+        "punct_ratio", "bpe_tokens",
+    ]
+    folded = staged.select(
+        "doc_id",
+        *passthrough,
+        F.size(toks).alias("__n_clean"),
+        _run_length_stats(toks).alias("__t"),
+        F.when(F.size(toks) >= n, F.size(toks) - (n - 1)).otherwise(F.lit(0)).alias("n_ngrams"),
+        _run_length_stats(grams).alias("__g"),
+    )
+
+    def frac(num: Column, denom: Column) -> Column:
+        return F.round(F.when(denom > 0, num / denom).otherwise(F.lit(0.0)), 6)
+
+    return folded.select(
+        "doc_id",
+        *passthrough,
+        "n_ngrams",
+        frac(F.col("__t")["maxrun"], F.col("__n_clean")).alias("max_token_frac"),
+        frac(F.col("__g")["maxrun"], F.col("n_ngrams")).alias("top_ngram_frac"),
+        frac(F.col("__g")["dups"], F.col("n_ngrams")).alias("dup_ngram_frac"),
     )
 
 

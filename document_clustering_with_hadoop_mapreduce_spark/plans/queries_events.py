@@ -8,9 +8,7 @@ from ..operators.events import SESSION_GAP_MINUTES, events_hourly, sessionize, u
 from ..operators.textstats import (
     LANG_MARKERS,
     TOKEN_REGEX,
-    bpe_ish_token_counts,
     doc_fingerprints,
-    doc_quality,
     language_id,
 )
 from ..functions.text import CLEAN_RE_DUCKDB, STOPWORDS
@@ -83,6 +81,14 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+# One registry slot carries the WHOLE per-doc feature projection —
+# doc_quality ratios + BPE-ish lexer count + Gopher repetition signals —
+# because (a) a 100 TB pipeline computes them in one corpus scan, not one
+# per family, and (b) the driver gate records at most 50 queries, so
+# map-side projections over the same row must share a slot. The standalone
+# operators (doc_quality / bpe_ish_token_counts / doc_repetition) remain
+# in operators/textstats.py with their own pytest gates; their expressions
+# are the ones this fused query runs.
 @register(
     "doc_quality",
     f"""
@@ -93,20 +99,44 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
              length(text) AS n_chars,
              length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r]', '', 'g')) AS n_punct
       FROM documents
-    )
-    SELECT doc_id, n_tokens, n_chars,
-           round(CASE WHEN n_tokens > 0 THEN
-             length(replace(array_to_string(toks, ''), ' ', ''))::DOUBLE / n_tokens ELSE 0 END, 6) AS avg_token_len,
-           round(CASE WHEN n_tokens > 0 THEN
-             len(list_filter(toks, t -> t IN ({_STOP_SQL})))::DOUBLE / n_tokens ELSE 0 END, 6) AS stopword_ratio,
-           round(CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END, 6) AS punct_ratio
-    FROM t""",
-    "quality-score features: token/char counts, avg token length, "
-    "stopword + punctuation ratios",
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tstat AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
+    grams AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM t, UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+      WHERE len(toks) >= 2
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+    gstat AS (SELECT doc_id, max(c) AS maxc,
+                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dups
+              FROM gc GROUP BY doc_id)
+    SELECT t.doc_id, t.n_tokens, t.n_chars,
+           round(CASE WHEN t.n_tokens > 0 THEN
+             length(replace(array_to_string(t.toks, ''), ' ', ''))::DOUBLE / t.n_tokens ELSE 0 END, 6) AS avg_token_len,
+           round(CASE WHEN t.n_tokens > 0 THEN
+             len(list_filter(t.toks, x -> x IN ({_STOP_SQL})))::DOUBLE / t.n_tokens ELSE 0 END, 6) AS stopword_ratio,
+           round(CASE WHEN t.n_chars > 0 THEN t.n_punct::DOUBLE / t.n_chars ELSE 0 END, 6) AS punct_ratio,
+           len(regexp_extract_all(lower(t.text), '{TOKEN_REGEX}')) AS bpe_tokens,
+           greatest(len(t.toks) - 1, 0)::INT AS n_ngrams,
+           round(coalesce(tstat.maxc::DOUBLE / nullif(len(t.toks), 0), 0), 6) AS max_token_frac,
+           round(coalesce(gstat.maxc::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS top_ngram_frac,
+           round(coalesce(gstat.dups::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS dup_ngram_frac
+    FROM t
+    LEFT JOIN tstat USING (doc_id)
+    LEFT JOIN gstat USING (doc_id)""",
+    "fused per-doc quality features in ONE map-side pass: token/char "
+    "counts, avg token length, stopword + punctuation ratios, BPE-ish "
+    "lexer token count, and Gopher-style repetition signals "
+    "(top-token/top-bigram/duplicated-bigram fractions via a zero-shuffle "
+    "array fold)",
     tags=("textstats",),
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_quality(load_table(spark, sf_dir, "documents"))
+    from ..operators.textstats import doc_features
+
+    return doc_features(load_table(spark, sf_dir, "documents"), n=2)
 
 
 def _lang_oracle() -> str:
@@ -144,20 +174,6 @@ def _lang_oracle() -> str:
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(load_table(spark, sf_dir, "documents"))
 
-
-@register(
-    "token_counts",
-    f"""
-    SELECT doc_id,
-           CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS ws_tokens,
-           len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS bpe_tokens
-    FROM documents""",
-    "token counting: whitespace + BPE-ish regex lexer",
-    tags=("textstats",),
-)
-def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bpe_ish_token_counts(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -245,41 +261,6 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
-
-@register(
-    "doc_repetition",
-    f"""
-    WITH docs_t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    tok AS (SELECT doc_id, unnest(toks) AS w FROM docs_t),
-    tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
-    tstat AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
-    grams AS (
-      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
-      FROM docs_t, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-      WHERE len(toks) >= 2
-    ),
-    gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
-    gstat AS (SELECT doc_id, max(c) AS maxc,
-                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dups
-              FROM gc GROUP BY doc_id)
-    SELECT t.doc_id,
-           len(t.toks)::INT AS n_tokens,
-           greatest(len(t.toks) - 1, 0)::INT AS n_ngrams,
-           round(coalesce(tstat.maxc::DOUBLE / nullif(len(t.toks), 0), 0), 6) AS max_token_frac,
-           round(coalesce(gstat.maxc::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS top_ngram_frac,
-           round(coalesce(gstat.dups::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS dup_ngram_frac
-    FROM docs_t t
-    LEFT JOIN tstat USING (doc_id)
-    LEFT JOIN gstat USING (doc_id)""",
-    "Gopher-style repetition quality signals (most-frequent-token fraction, "
-    "top-bigram fraction, duplicated-bigram fraction) — map-side array fold "
-    "per row, zero shuffle (the oracle computes the same stats relationally)",
-    tags=("textstats",),
-)
-def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import doc_repetition
-
-    return doc_repetition(load_table(spark, sf_dir, "documents"), n=2)
 
 
 @register(

@@ -148,3 +148,29 @@ def test_stratified_sample_is_stable_subset(spark, sf_dir):
     en_total = docs.filter("lang = 'en'").count()
     en_kept = len(kept1) - len(non_en)
     assert 0 < en_kept < en_total
+
+
+def test_doc_features_matches_standalone_operators(spark, sf_dir):
+    """The fused doc_features projection (the registered doc_quality slot)
+    must agree column-for-column with the three standalone operators it
+    absorbs — doc_quality, bpe_ish_token_counts, doc_repetition."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        bpe_ish_token_counts,
+        doc_features,
+        doc_quality,
+        doc_repetition,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = {r["doc_id"]: r.asDict() for r in doc_features(docs, n=2).collect()}
+    for r in doc_quality(docs).collect():
+        f = fused[r["doc_id"]]
+        for c in ("n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "punct_ratio"):
+            assert f[c] == r[c], (r["doc_id"], c)
+    for r in bpe_ish_token_counts(docs).collect():
+        assert fused[r["doc_id"]]["bpe_tokens"] == r["bpe_tokens"]
+    for r in doc_repetition(docs, n=2).collect():
+        f = fused[r["doc_id"]]
+        for c in ("n_ngrams", "max_token_frac", "top_ngram_frac", "dup_ngram_frac"):
+            assert f[c] == r[c], (r["doc_id"], c)
