@@ -103,6 +103,35 @@ class LloydTrace:
     max_shift: float
 
 
+def random_dense_init(k: int, dim: int, seed: int = 42) -> list[list[float]]:
+    """M2 reference parity (sources/2.2/source/KMeans.java:146-155): a
+    k x dim dense centroid matrix of uniform [0,1) draws, each rounded to
+    3 decimals (the reference formats every draw through a default
+    ``DecimalFormat``).
+
+    The reference's ``new Random()`` is UNSEEDED — irreproducible by
+    construction — so this engine substitutes a salted-md5 uniform draw:
+    the matrix is a pure function of (seed, j, t), identical across runs,
+    engines, and partitionings, and value-gated by a pure-python oracle
+    (tests/test_kmeans.py). Driver footprint is k x dim floats — the same
+    matrix the reference itself builds driver-side and ships via its
+    Configuration string; for vocabulary-sized dims prefer
+    ``seeded_sparse_centroids`` / ``scalable_kmeans_init``."""
+    import hashlib
+
+    two60 = float(1 << 60)
+    return [
+        [
+            round(
+                int(hashlib.md5(f"{seed}:{j}:{t}".encode()).hexdigest()[:15], 16) / two60,
+                3,
+            )
+            for t in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int,
@@ -110,19 +139,27 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     max_iter: int = 10,
     tol: float = 1e-5,
+    init_centroids: list[list[float]] | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[LloydTrace]]:
     """Traced Lloyd iterations (reference M7-M9 semantics, sane math).
 
     Deterministic init: the k rows with smallest ``id_col`` (the reference's
-    unseeded ``Random`` init is irreproducible by design — SURVEY.md §5).
-    Centroids live on the driver (k×d floats — same as MLlib) and enter the
-    plan as literals, i.e. broadcast; the data never leaves the cluster.
+    unseeded ``Random`` init is irreproducible by design — SURVEY.md §5);
+    pass ``init_centroids`` (e.g. ``random_dense_init`` for M2 parity) to
+    override. Centroids live on the driver (k×d floats — same as MLlib) and
+    enter the plan as literals, i.e. broadcast; the data never leaves the
+    cluster.
 
     Returns (assignments, final_centroids, per-iteration trace).
     """
     feats = df.select(id_col, _as_double_array(F.col(features_col)).alias(features_col)).cache()
-    init_rows = feats.orderBy(id_col).limit(k).collect()
-    centroids = [list(r[features_col]) for r in init_rows]
+    if init_centroids is not None:
+        centroids = [list(c) for c in init_centroids]
+        if len(centroids) != k:
+            raise ValueError(f"init_centroids has {len(centroids)} rows, expected k={k}")
+    else:
+        init_rows = feats.orderBy(id_col).limit(k).collect()
+        centroids = [list(r[features_col]) for r in init_rows]
 
     trace: list[LloydTrace] = []
     for it in range(max_iter):

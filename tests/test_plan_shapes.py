@@ -179,3 +179,27 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
+
+
+def test_doc_features_is_one_shuffle_free_jvm_pass(spark, sf_dir):
+    """The fused per-doc feature projection (quality + lexer + repetition)
+    is a pure map-side plan: no shuffle, no Python stage — the repetition
+    folds run as JVM higher-order functions inside the projection."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import doc_features
+
+    df = doc_features(load_table(spark, sf_dir, "documents", fan_out=False), n=2)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_stratified_sample_is_shuffle_free(spark, sf_dir):
+    """Per-stratum hash sampling is a map-side filter: no shuffle, no RNG."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import stratified_sample
+
+    df = stratified_sample(
+        load_table(spark, sf_dir, "documents", fan_out=False), rates={"en": 0.5}
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "rand(" not in _optimized(df)
