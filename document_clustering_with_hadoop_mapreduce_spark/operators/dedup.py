@@ -480,6 +480,85 @@ def simhash_fingerprints(term_matrix: DataFrame, bits: int = 32) -> DataFrame:
     return summed.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_pairs(
+    fingerprints: DataFrame,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints via banded hamming LSH.
+
+    Pigeonhole guarantee: split the ``bits``-bit fingerprint into ``bands``
+    contiguous chunks; two fingerprints within hamming distance
+    ``bands - 1`` must agree exactly on at least one chunk, so for
+    ``max_hamming <= bands - 1`` the band equi-join has recall 1 — never a
+    cartesian product, same shuffle-bounded shape as ``lsh_candidate_pairs``.
+    Candidates are then verified with an exact popcount on the XOR
+    (``bit_count`` — JVM-side, no Python).
+
+    Hot-bucket guard: identical to the MinHash banding guard — oversized
+    (band_idx, band_val) buckets degrade to a star on the bucket-min doc
+    (hamming-verified like every pair, and on the degenerate
+    identical-boilerplate buckets that trigger the cap the distance is 0,
+    so component connectivity is preserved).
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    chunks = F.array(*[
+        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ])
+    banded = fingerprints.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("band_idx", "band_val")
+    )
+    star = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_val")
+        sized = banded.select(
+            "doc_id", "simhash", "band_idx", "band_val",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.min("doc_id").over(w).alias("__min_doc"),
+            F.min_by("simhash", "doc_id").over(w).alias("__min_hash"),
+        ).localCheckpoint(eager=False)  # three consumers, one materialization
+        banded = sized.filter(F.col("__n") <= max_bucket_size).select(
+            "doc_id", "simhash", "band_idx", "band_val"
+        )
+        star = (
+            sized.filter(
+                (F.col("__n") > max_bucket_size) & (F.col("doc_id") != F.col("__min_doc"))
+            )
+            .select(
+                F.col("__min_doc").alias("doc_a"),
+                F.col("doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("__min_hash").bitwiseXOR(F.col("simhash"))
+                ).alias("hamming"),
+            )
+        )
+    else:
+        banded = banded.localCheckpoint(eager=False)
+    left, right = banded.alias("l"), banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
 def minhash_oracle_sql(
     tokens_cte: str,
     n: int = 3,

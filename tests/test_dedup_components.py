@@ -193,3 +193,56 @@ def test_lsh_guard_oracle_parity_when_cap_triggers(spark, sf_dir, duck):
     got = lsh_candidate_pairs(sigs, max_bucket_size=2)
     sql = minhash_oracle_sql(TOKENS_CTE, max_bucket_size=2)["lsh_candidate_pairs"]
     assert_matches_oracle(got, duck, sql)
+
+
+def test_simhash_pairs_recall_one_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole recall: with bands=4 and max_hamming=3, the banded join
+    must find EXACTLY the brute-force hamming<=3 pair set (computed in
+    python over the collected fingerprints)."""
+    from itertools import combinations
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+
+    fp = simhash_fingerprints(term_doc_counts(load_table(spark, sf_dir, "documents")))
+    fp = fp.cache()
+    rows = {r["doc_id"]: r["simhash"] for r in fp.collect()}
+    want = {
+        (a, b, bin(rows[a] ^ rows[b]).count("1"))
+        for a, b in combinations(sorted(rows), 2)
+        if bin(rows[a] ^ rows[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_pairs(fp, bands=4, max_hamming=3).collect()
+    }
+    assert got == want
+    fp.unpersist()
+
+
+def test_simhash_pairs_hot_bucket_guard(spark):
+    """500 identical docs -> one bucket per band; the guard emits the
+    499-edge star (hamming 0) instead of 124,750 pairs."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "common boilerplate header repeated on every page") for i in range(500)],
+        "doc_id LONG, text STRING",
+    )
+    fp = simhash_fingerprints(term_doc_counts(docs))
+    got = simhash_pairs(fp, bands=4, max_hamming=3).cache()
+    assert got.count() == 499
+    assert got.filter("hamming <> 0").count() == 0
+    assert got.filter("doc_a <> 0").count() == 0  # star on the min doc
+    got.unpersist()
