@@ -360,7 +360,8 @@ def star_components(
     edges = (
         p.unionByName(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        # lazy: the count() below materializes it — one job, not two
+        .localCheckpoint(eager=False)
     )
     p.unpersist()
     def neighborhood_min(e: DataFrame) -> DataFrame:
@@ -398,7 +399,7 @@ def star_components(
         )
         edges = small.unionByName(
             small.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # the count() materializes it
         n = edges.count()
         if n == 0 or (n == prev_n and edges.exceptAll(prev_edges).isEmpty()):
             converged = True
