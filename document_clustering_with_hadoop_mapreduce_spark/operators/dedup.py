@@ -270,6 +270,10 @@ def duplicate_components(
     prev_total = None
     have_prev = False
     converged = False
+    if max_rounds <= 0:
+        # preserve the contract that an EMPTY graph is trivially converged
+        # even when no probe round runs (non-empty still fails loudly below)
+        converged = labels.isEmpty()
     for _ in range(max_rounds):
         prop = edges.join(labels.withColumnRenamed("doc_id", "src"), "src").select(
             F.col("dst").alias("doc_id"), "component"
@@ -363,12 +367,15 @@ def star_components(
         # lazy: the count() below materializes it — one job, not two
         .localCheckpoint(eager=False)
     )
-    p.unpersist()
+
     def neighborhood_min(e: DataFrame) -> DataFrame:
         return e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
 
     prev_edges = edges
     prev_n = edges.count()
+    # only now: unpersisting before the count would drop the cache
+    # unpopulated and recompute the upstream pairs pipeline per union branch
+    p.unpersist()
     converged = prev_n == 0  # genuinely-empty graph: nothing to contract
     for _ in range(max_rounds):
         if converged:
@@ -498,11 +505,18 @@ def simhash_pairs(
     Candidates are then verified with an exact popcount on the XOR
     (``bit_count`` — JVM-side, no Python).
 
-    Hot-bucket guard: identical to the MinHash banding guard — oversized
-    (band_idx, band_val) buckets degrade to a star on the bucket-min doc
-    (hamming-verified like every pair, and on the degenerate
-    identical-boilerplate buckets that trigger the cap the distance is 0,
-    so component connectivity is preserved).
+    Hot-bucket guard: oversized (band_idx, band_val) buckets degrade to a
+    star on the bucket-min doc, bounding output like the MinHash banding
+    guard. NOTE the trade-off is STRONGER here than in MinHash banding,
+    because star edges are hamming-verified like every pair: a doc pair
+    within ``max_hamming`` whose agreeing chunks all sit in over-cap
+    buckets is LOST when both docs are > ``max_hamming`` from the
+    bucket-min — i.e. with the cap active, the recall-1 guarantee holds
+    only for pairs untouched by over-cap buckets. On the degenerate
+    buckets that actually trigger the cap in practice (identical
+    boilerplate, hamming 0 to the bucket-min) the star survives
+    verification and connectivity is preserved; for exhaustive recall pass
+    ``max_bucket_size=None``.
     """
     width = bits // bands
     mask = (1 << width) - 1

@@ -221,7 +221,11 @@ def doc_features(
     At 100 TB you never scan the corpus once per feature family — this is
     the fused projection a curation pipeline actually runs (still entirely
     map-side: two narrow selects, no shuffle, no Python). Column semantics
-    are identical to the standalone operators."""
+    match the standalone operators, with one naming caveat: ``n_tokens``
+    is doc_quality's RAW whitespace count, while the repetition fractions
+    (as in ``doc_repetition``) are computed over CLEANED tokens — exposed
+    here as ``n_clean_tokens`` so the fracs' denominator is recoverable
+    (``doc_repetition``'s own ``n_tokens`` equals this column)."""
     text = F.col(text_col)
     staged = documents.select(
         F.col(id_col).alias("doc_id"),
@@ -253,6 +257,7 @@ def doc_features(
     return folded.select(
         "doc_id",
         *passthrough,
+        F.col("__n_clean").alias("n_clean_tokens"),
         "n_ngrams",
         frac(F.col("__t")["maxrun"], F.col("__n_clean")).alias("max_token_frac"),
         frac(F.col("__g")["maxrun"], F.col("n_ngrams")).alias("top_ngram_frac"),

@@ -119,6 +119,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter(t.toks, x -> x IN ({_STOP_SQL})))::DOUBLE / t.n_tokens ELSE 0 END, 6) AS stopword_ratio,
            round(CASE WHEN t.n_chars > 0 THEN t.n_punct::DOUBLE / t.n_chars ELSE 0 END, 6) AS punct_ratio,
            len(regexp_extract_all(lower(t.text), '{TOKEN_REGEX}')) AS bpe_tokens,
+           len(t.toks)::INT AS n_clean_tokens,
            greatest(len(t.toks) - 1, 0)::INT AS n_ngrams,
            round(coalesce(tstat.maxc::DOUBLE / nullif(len(t.toks), 0), 0), 6) AS max_token_frac,
            round(coalesce(gstat.maxc::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS top_ngram_frac,

@@ -40,7 +40,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
                    os.path.join(staged, os.path.basename(events_dir)))
         events_dir = staged
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ts_is_long = True
+    # Default to the CURRENT testdata generation (micros-NTZ); the legacy
+    # nanos/BIGINT declaration is used only when an existing file's footer
+    # actually says ns. An empty monitored directory (files arrive after
+    # the stream starts — the normal streaming pattern) therefore gets the
+    # schema new files will carry.
+    ts_is_long = False
     for entry in sorted(os.listdir(events_dir)):
         if entry.endswith(".parquet"):
             import pyarrow.parquet as pq

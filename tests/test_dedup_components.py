@@ -196,9 +196,12 @@ def test_lsh_guard_oracle_parity_when_cap_triggers(spark, sf_dir, duck):
 
 
 def test_simhash_pairs_recall_one_vs_bruteforce(spark, sf_dir):
-    """Pigeonhole recall: with bands=4 and max_hamming=3, the banded join
-    must find EXACTLY the brute-force hamming<=3 pair set (computed in
-    python over the collected fingerprints)."""
+    """Pigeonhole recall: with bands=4, max_hamming=3 and NO bucket cap,
+    the banded join must find EXACTLY the brute-force hamming<=3 pair set
+    (computed in python over the collected fingerprints). Uncapped on
+    purpose — with the cap the guarantee is conditional (see the operator
+    docstring) and the equality would silently depend on fixture bucket
+    sizes."""
     from itertools import combinations
 
     from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
@@ -219,7 +222,7 @@ def test_simhash_pairs_recall_one_vs_bruteforce(spark, sf_dir):
     }
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in simhash_pairs(fp, bands=4, max_hamming=3).collect()
+        for r in simhash_pairs(fp, bands=4, max_hamming=3, max_bucket_size=None).collect()
     }
     assert got == want
     fp.unpersist()

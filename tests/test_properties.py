@@ -172,5 +172,7 @@ def test_doc_features_matches_standalone_operators(spark, sf_dir):
         assert fused[r["doc_id"]]["bpe_tokens"] == r["bpe_tokens"]
     for r in doc_repetition(docs, n=2).collect():
         f = fused[r["doc_id"]]
+        # doc_repetition's n_tokens is the CLEANED count = fused n_clean_tokens
+        assert f["n_clean_tokens"] == r["n_tokens"], r["doc_id"]
         for c in ("n_ngrams", "max_token_frac", "top_ngram_frac", "dup_ngram_frac"):
             assert f[c] == r[c], (r["doc_id"], c)
