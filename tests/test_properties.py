@@ -176,3 +176,43 @@ def test_doc_features_matches_standalone_operators(spark, sf_dir):
         assert f["n_clean_tokens"] == r["n_tokens"], r["doc_id"]
         for c in ("n_ngrams", "max_token_frac", "top_ngram_frac", "dup_ngram_frac"):
             assert f[c] == r[c], (r["doc_id"], c)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_fold_matches_python_counter(texts):
+    """Property: the array_sort+aggregate run-length fold equals a python
+    Counter for ANY token stream — max count of any token, and the number
+    of tokens whose value occurs >= 2 times (single-letter tokens avoid
+    stopword/cleaning interaction; that mapping is covered elsewhere)."""
+    from collections import Counter
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import doc_repetition
+    from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
+
+    spark = get_spark("props", master="local[4]")
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {r["doc_id"]: r.asDict() for r in doc_repetition(docs, n=2).collect()}
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split() if w]
+        c = Counter(toks)
+        n = len(toks)
+        grams = [" ".join(toks[j : j + 2]) for j in range(max(0, n - 1))]
+        gc = Counter(grams)
+        exp_max = round(max(c.values()) / n, 6) if n else 0.0
+        exp_top = round(max(gc.values()) / len(grams), 6) if grams else 0.0
+        exp_dup = (
+            round(sum(v for v in gc.values() if v >= 2) / len(grams), 6) if grams else 0.0
+        )
+        assert got[i]["n_tokens"] == n
+        assert got[i]["max_token_frac"] == exp_max, (t, got[i])
+        assert got[i]["top_ngram_frac"] == exp_top, (t, got[i])
+        assert got[i]["dup_ngram_frac"] == exp_dup, (t, got[i])
