@@ -31,20 +31,23 @@ def tfidf(matrix: DataFrame, n_docs: int | None = None, compat_n1: bool = False)
     config side-channel S8) or derived with a scalar subquery-free window:
     we use a cheap distinct-count aggregate if omitted.
     """
-    with_tf = tf(matrix)
     if compat_n1:
         # N1: "df" is the number of distinct terms in the same DOCUMENT.
         w = Window.partitionBy("doc_id")
     else:
         w = Window.partitionBy("term")
     if n_docs is not None:
+        with_n = tf(matrix)
         n_col = F.lit(float(n_docs))
-        with_n = with_tf
     else:
-        # scalar subquery, not a separate .count() action: an eager count
-        # would tokenize/aggregate the whole corpus TWICE (measured ~2x at
-        # sf0.1); as a broadcast single-row crossJoin the count stays in
-        # this plan and Spark reuses the matrix exchange for both branches.
+        # scalar subquery, not a separate .count() action — but Catalyst
+        # does NOT actually unify the count branch with the main branch
+        # (the tokenize-lambda canonicalization failure; plan-audited:
+        # two FileScans), so the shared matrix is lazily materialized
+        # once and both branches read the nnz-sized checkpoint instead of
+        # re-tokenizing the corpus.
+        matrix = matrix.localCheckpoint(eager=False)
+        with_tf = tf(matrix)
         n_df = matrix.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
         with_n = with_tf.crossJoin(F.broadcast(n_df))
         n_col = F.col("__n_docs")

@@ -58,7 +58,16 @@ assign AS (
 
 
 def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
+    # Lazily materialize the tf-idf matrix: its consumers (seeded
+    # centroids, doc_ss, dots, top-terms ranking) each reference it
+    # several times and Catalyst does NOT unify the subtrees (the
+    # tokenize-lambda canonicalization failure — see operators/dedup.py),
+    # so without this the corpus is re-tokenized up to 12x per query
+    # (plan-audited at sf0.01). One nnz-sized executor-storage
+    # materialization replaces those repeat scans at any scale.
+    return tfidf(term_doc_counts(load_table(spark, sf_dir, "documents"))).localCheckpoint(
+        eager=False
+    )
 
 
 @register(
