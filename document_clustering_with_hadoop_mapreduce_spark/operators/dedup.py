@@ -196,6 +196,9 @@ def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFram
     size table. Exact baseline for LSH verification; at scale, run it only
     on LSH candidates (see ``lsh_candidate_pairs``).
     """
+    # three consumers (both join sides + sizes) and no Catalyst subtree
+    # reuse across the tokenize lambdas — materialize the shingle set once
+    doc_shingles = doc_shingles.localCheckpoint(eager=False)
     sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = doc_shingles.alias("a")
     b = doc_shingles.alias("b")
