@@ -203,3 +203,21 @@ def test_stratified_sample_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
+
+
+def test_single_matrix_materialization_plans(spark, sf_dir):
+    """Regression pin for the lambda-canonicalization recompute fixes: the
+    corpus-pipeline queries must show ZERO FileScans above their lazy
+    checkpoint boundary (i.e. the corpus is scanned only inside the one
+    materialized subtree, never re-entered per consumer) and a bounded
+    exchange count. Before the fix doc_kmeans_assign showed 12 FileScans /
+    43 Exchanges."""
+    import re
+
+    bounds = {"tfidf_standard": 6, "doc_kmeans_assign": 10}
+    for name, max_ex in bounds.items():
+        df = all_queries()[name].spark(spark, sf_dir)
+        plan = _plan(df)
+        assert plan.count("FileScan") == 0, name
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        assert n_ex <= max_ex, (name, n_ex)
