@@ -236,6 +236,7 @@ def sparse_lloyd(
     final_centroids: bool = True,
     on_iteration=None,
     centroid_top_t: int | None = None,
+    cache_matrix: bool = True,
 ) -> tuple[DataFrame, DataFrame, list[float]]:
     """Full iterative Lloyd on the SPARSE matrix — task 2.2 end-to-end
     without ever materializing a dense vector or driver-side centroids.
@@ -272,7 +273,10 @@ def sparse_lloyd(
     span jobs, so it is cached here for the loop's lifetime (standard
     iterative-ML practice) unless the caller already cached it.
     """
-    we_cached = not matrix.is_cached
+    # cache_matrix=False for callers whose frame is already materialized
+    # (e.g. a localCheckpoint-ed tf-idf matrix — is_cached cannot see
+    # RDD-level persistence, so without the flag we'd pin a THIRD copy)
+    we_cached = cache_matrix and not matrix.is_cached
     if we_cached:
         matrix = matrix.cache()
     cents = seeded_sparse_centroids(matrix, k, weight_col).cache()

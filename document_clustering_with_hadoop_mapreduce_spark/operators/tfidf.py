@@ -24,12 +24,26 @@ def tf(matrix: DataFrame) -> DataFrame:
     return matrix.withColumn("tf", F.col("cnt") / F.sum("cnt").over(w))
 
 
-def tfidf(matrix: DataFrame, n_docs: int | None = None, compat_n1: bool = False) -> DataFrame:
+def tfidf(
+    matrix: DataFrame,
+    n_docs: int | None = None,
+    compat_n1: bool = False,
+    materialize: bool = True,
+) -> DataFrame:
     """(doc_id, term, cnt, tf, idf, tfidf).
 
     ``n_docs`` may be passed (driver-known scalar, like the reference's
     config side-channel S8) or derived with a scalar subquery-free window:
     we use a cheap distinct-count aggregate if omitted.
+
+    ``materialize`` (only relevant when ``n_docs`` is None): lazily
+    checkpoint the matrix so the derived-count branch does not re-run the
+    matrix pipeline. Pass False when the input is cheap to recompute (an
+    already-materialized triples file) or when the CALLER materializes the
+    tf-idf output itself — double-checkpointing pins two nnz-sized copies
+    in executor storage for no benefit. NB: each materialization lives
+    until its RDD is GC'd (ContextCleaner); long-lived sessions re-running
+    matrix queries should prefer a driver-known ``n_docs``.
     """
     if compat_n1:
         # N1: "df" is the number of distinct terms in the same DOCUMENT.
@@ -46,7 +60,8 @@ def tfidf(matrix: DataFrame, n_docs: int | None = None, compat_n1: bool = False)
         # two FileScans), so the shared matrix is lazily materialized
         # once and both branches read the nnz-sized checkpoint instead of
         # re-tokenizing the corpus.
-        matrix = matrix.localCheckpoint(eager=False)
+        if materialize:
+            matrix = matrix.localCheckpoint(eager=False)
         with_tf = tf(matrix)
         n_df = matrix.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
         with_n = with_tf.crossJoin(F.broadcast(n_df))

@@ -65,6 +65,13 @@ def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so without this the corpus is re-tokenized up to 12x per query
     # (plan-audited at sf0.01). One nnz-sized executor-storage
     # materialization replaces those repeat scans at any scale.
+    # Deliberately TWO materializations: the count matrix inside tfidf
+    # (so the derived-doc-count branch doesn't re-tokenize the corpus)
+    # and the tf-idf output here (so the 4+ downstream consumers don't
+    # re-run the tf/idf windows). Costs two nnz-sized executor-storage
+    # copies; the alternative saves one copy but re-tokenizes the corpus
+    # or re-windows the matrix per consumer — the wrong trade at 100 TB,
+    # where storage is cheap and corpus CPU is not.
     return tfidf(term_doc_counts(load_table(spark, sf_dir, "documents"))).localCheckpoint(
         eager=False
     )
@@ -244,7 +251,8 @@ def q_doc_kmeans_sparse_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.doc_cluster import sparse_lloyd
 
     m = _tfidf_matrix(spark, sf_dir)
-    _, _, trace = sparse_lloyd(m, k=K, max_iter=3, round_centroids=6, final_centroids=False)
+    _, _, trace = sparse_lloyd(m, k=K, max_iter=3, round_centroids=6,
+                               final_centroids=False, cache_matrix=False)
     return spark.createDataFrame(
         [(i, w) for i, w in enumerate(trace)],
         "iteration INT, wcss DOUBLE",

@@ -4,17 +4,33 @@ arrive in (one JSON object per line, typically gzip-compressed shards).
 Scale notes: the reader takes an EXPLICIT schema, so there is no
 schema-inference pre-pass over 100 TB; Spark splits uncompressed JSONL by
 byte range and parallelizes gzip shards per file (compress to many shards,
-not one). Malformed lines follow Spark's PERMISSIVE/DROPMALFORMED modes —
-the same malformed-row policy as the reference's CSV ingestion (P7).
+not one).
+
+Malformed-line policy (reference P7, skip bad rows, but made STABLE):
+Spark's own DROPMALFORMED drops a projection-dependent row set (corruption
+is only detected in columns a query actually parses — two consumers of the
+same frame can see different row counts), so the reader instead always
+parses in PERMISSIVE mode with an explicit ``_corrupt_record`` column and
+applies the drop as an ordinary filter on it — one deterministic row set
+regardless of downstream projection. With ``drop_malformed=False`` the
+raw offending line is preserved in ``_corrupt_record`` (NULL for good
+rows), which is what a quarantine/audit job needs to route bad input.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .tables import SCHEMAS
 
 DOCUMENTS_SCHEMA = SCHEMAS["documents"]
+CORRUPT_COL = "_corrupt_record"
+
+_READ_SCHEMA = T.StructType(
+    list(DOCUMENTS_SCHEMA.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+)
 
 
 def read_documents_jsonl(
@@ -24,11 +40,23 @@ def read_documents_jsonl(
 ) -> DataFrame:
     """Documents from JSONL (plain or .gz), fixed schema, no inference job.
 
-    ``drop_malformed`` mirrors reference P7 (skip bad rows); set False to
-    keep them as null-filled rows for quarantine-style auditing."""
-    reader = spark.read.schema(DOCUMENTS_SCHEMA)
-    mode = "DROPMALFORMED" if drop_malformed else "PERMISSIVE"
-    return reader.option("mode", mode).json(path)
+    ``drop_malformed=True`` filters corrupt lines out (stable,
+    projection-independent — see module docstring) and returns exactly the
+    documents schema; ``False`` keeps them, with the raw line in
+    ``_corrupt_record`` for quarantine routing."""
+    df = (
+        spark.read.schema(_READ_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    # Spark disallows filtering on the corrupt column of a just-parsed JSON
+    # relation without materializing it first (SPARK-21610); a lazy
+    # checkpoint materializes the parse once and makes the filter ordinary.
+    df = df.localCheckpoint(eager=False)
+    if drop_malformed:
+        return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
 
 
 def write_documents_jsonl(

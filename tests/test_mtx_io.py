@@ -78,7 +78,8 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     assert sorted((r.asDict() for r in back.collect()), key=lambda d: d["doc_id"]) == sorted(
         (r.asDict() for r in docs.collect()), key=lambda d: d["doc_id"]
     )
-    # malformed-line policy: a corrupt line vanishes with drop_malformed
+    # malformed-line policy: the corrupt line is dropped by a STABLE filter
+    # (projection-independent: even a doc_id-only projection sees 2 rows)
     bad = tmp_path / "bad"
     bad.mkdir()
     (bad / "part-0.json").write_text(
@@ -88,5 +89,10 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     )
     got = read_documents_jsonl(spark, str(bad))
     assert {r["doc_id"] for r in got.collect()} == {1, 2}
+    assert got.select("doc_id").count() == 2  # stable under projection
+    assert "_corrupt_record" not in got.columns
+    # quarantine path: the raw offending line is preserved
     kept = read_documents_jsonl(spark, str(bad), drop_malformed=False)
     assert kept.count() == 3
+    corrupt = [r["_corrupt_record"] for r in kept.collect() if r["_corrupt_record"]]
+    assert corrupt == ["this is not json"]

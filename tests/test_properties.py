@@ -178,15 +178,19 @@ def test_doc_features_matches_standalone_operators(spark, sf_dir):
             assert f[c] == r[c], (r["doc_id"], c)
 
 
-@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
 @given(
-    st.lists(
+    texts=st.lists(
         st.lists(st.sampled_from("abcdef"), min_size=0, max_size=30).map(" ".join),
         min_size=1,
         max_size=6,
     )
 )
-def test_repetition_fold_matches_python_counter(texts):
+def test_repetition_fold_matches_python_counter(spark, texts):
     """Property: the array_sort+aggregate run-length fold equals a python
     Counter for ANY token stream — max count of any token, and the number
     of tokens whose value occurs >= 2 times (single-letter tokens avoid
@@ -194,9 +198,7 @@ def test_repetition_fold_matches_python_counter(texts):
     from collections import Counter
 
     from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import doc_repetition
-    from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
 
-    spark = get_spark("props", master="local[4]")
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
     )
