@@ -138,7 +138,13 @@ def _fan_out(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
 _FAN_OUT_TABLES = {"documents"}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True) -> DataFrame:
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    fan_out: bool = True,
+    force_fan_out: bool = False,
+) -> DataFrame:
     """One parquet table. Parquet scans get predicate pushdown + column
     pruning from Catalyst for free; we do NOT cache here (caller decides).
 
@@ -149,7 +155,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
     TIMESTAMP_NTZ — cast to the session-tz type; session tz is pinned UTC
     so the cast is value-preserving). Dispatch on the dtype actually read
     so either layout lands on the declared TimestampType schema."""
-    fan_out = fan_out and name in _FAN_OUT_TABLES
+    # force_fan_out: per-call opt-in for tables outside _FAN_OUT_TABLES —
+    # used by CPU-amplifying one-pass vector queries (distance math per
+    # row) whose work would otherwise serialize into one single-row-group
+    # scan task; iterative fits must NOT set it (per-task overhead x
+    # iterations, measured 1.9 s -> 7.8 s — note below).
+    fan_out = force_fan_out or (fan_out and name in _FAN_OUT_TABLES)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
