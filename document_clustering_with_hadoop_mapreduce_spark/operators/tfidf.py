@@ -32,9 +32,12 @@ def tfidf(
 ) -> DataFrame:
     """(doc_id, term, cnt, tf, idf, tfidf).
 
-    ``n_docs`` may be passed (driver-known scalar, like the reference's
-    config side-channel S8) or derived with a scalar subquery-free window:
-    we use a cheap distinct-count aggregate if omitted.
+    ``n_docs`` may be passed (driver-known scalar — the reference-faithful
+    path: task1_4 reads ``totalDocs`` from the MTX dims line into the job
+    config, ref sources/1.4/source/task1_4.java:46-49,115) or derived with
+    a distinct-count aggregate if omitted. PREFER passing it: a parquet
+    footer count is nearly free, and with a known N the matrix has exactly
+    one consumer, so no checkpoint/re-scan trade exists at any scale.
 
     ``materialize`` (only relevant when ``n_docs`` is None): lazily
     checkpoint the matrix so the derived-count branch does not re-run the

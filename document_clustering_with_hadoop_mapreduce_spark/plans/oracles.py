@@ -38,7 +38,12 @@ tf AS (
          cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf
   FROM matrix
 ),
-n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM matrix),
+-- N = total corpus size, a driver-known scalar in the Spark plan (the
+-- reference reads `totalDocs` from a config side-channel, S12 —
+-- ref sources/1.4/source/task1_4.java:46-49,115); count(*) here mirrors
+-- `documents.count()` on the Spark side so the engines agree by
+-- construction even if a document tokenizes to zero terms.
+n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
 tfidf AS (
   SELECT doc_id, term, cnt, tf,
          tf * ln(n.n_docs / count(*) OVER (PARTITION BY term)) AS tfidf

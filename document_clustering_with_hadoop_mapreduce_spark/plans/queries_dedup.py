@@ -213,7 +213,8 @@ HAVING round(sum(a.w*b.w), 6) >= 0.9"""
     tags=("dedup",),
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = tfidf(term_doc_counts(_docs(spark, sf_dir)))
+    docs = _docs(spark, sf_dir)
+    m = tfidf(term_doc_counts(docs), n_docs=docs.count())
     return tfidf_cosine_pairs(m, top_t=20, min_cosine=0.9)
 
 

@@ -65,16 +65,13 @@ def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so without this the corpus is re-tokenized up to 12x per query
     # (plan-audited at sf0.01). One nnz-sized executor-storage
     # materialization replaces those repeat scans at any scale.
-    # Deliberately TWO materializations: the count matrix inside tfidf
-    # (so the derived-doc-count branch doesn't re-tokenize the corpus)
-    # and the tf-idf output here (so the 4+ downstream consumers don't
-    # re-run the tf/idf windows). Costs two nnz-sized executor-storage
-    # copies; the alternative saves one copy but re-tokenizes the corpus
-    # or re-windows the matrix per consumer — the wrong trade at 100 TB,
-    # where storage is cheap and corpus CPU is not.
-    return tfidf(term_doc_counts(load_table(spark, sf_dir, "documents"))).localCheckpoint(
-        eager=False
-    )
+    # ONE materialization: with a driver-known n_docs (parquet footer
+    # count, mirrors the reference's totalDocs side-channel) the count
+    # matrix inside tfidf is single-consumer and needs no checkpoint of
+    # its own; only the tf-idf output is pinned here for the 4+
+    # downstream consumers.
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf(term_doc_counts(docs), n_docs=docs.count()).localCheckpoint(eager=False)
 
 
 @register(
@@ -149,7 +146,7 @@ def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_per_group
 
     docs = load_table(spark, sf_dir, "documents")
-    m = tfidf(term_doc_counts(docs))
+    m = tfidf(term_doc_counts(docs), n_docs=docs.count())
     cats = docs.select("doc_id", F.col("lang").alias("category"))
     avg = category_avg_tfidf(m, cats).withColumn("avg_tfidf", F.round("avg_tfidf", 6))
     top5 = top_k_per_group(

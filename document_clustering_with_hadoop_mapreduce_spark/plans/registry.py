@@ -68,6 +68,16 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
 
+def _n_docs(spark: SparkSession, sf_dir: str) -> int:
+    """Driver-known corpus size (parquet footer count; no data scan).
+
+    Mirrors the reference's ``totalDocs`` config side-channel (S12, ref
+    sources/1.4/source/task1_4.java:46-49) and keeps the count matrix
+    single-consumer inside ``tfidf`` — no checkpoint, no second scan.
+    """
+    return _docs(spark, sf_dir).count()
+
+
 # --------------------------------------------------------------------------
 # Text / matrix pipeline (reference tasks 1.1-1.5)
 # --------------------------------------------------------------------------
@@ -118,7 +128,7 @@ def q_top_terms_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "task1.4"),
 )
 def q_tfidf_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = tfidf(term_doc_counts(_docs(spark, sf_dir)))
+    m = tfidf(term_doc_counts(_docs(spark, sf_dir)), n_docs=_n_docs(spark, sf_dir))
     return m.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
 
 
@@ -130,7 +140,7 @@ def q_tfidf_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
              cnt::DOUBLE / sum(cnt) OVER (PARTITION BY doc_id) AS tf
       FROM matrix
     ),
-    n AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM matrix)
+    n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents)
     SELECT doc_id, term,
            round(tf * ln(n.n_docs / count(*) OVER (PARTITION BY doc_id)), 6) AS tfidf
     FROM tf, n""",
@@ -139,7 +149,11 @@ def q_tfidf_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "task1.4", "compat"),
 )
 def q_tfidf_compat_n1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = tfidf(term_doc_counts(_docs(spark, sf_dir)), compat_n1=True)
+    m = tfidf(
+        term_doc_counts(_docs(spark, sf_dir)),
+        n_docs=_n_docs(spark, sf_dir),
+        compat_n1=True,
+    )
     return m.select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"))
 
 
@@ -170,7 +184,7 @@ def q_category_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_per_group
 
     docs = _docs(spark, sf_dir)
-    m = tfidf(term_doc_counts(docs))
+    m = tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
     cats = docs.select("doc_id", F.col("lang").alias("category"))
     avg = category_avg_tfidf(m, cats).withColumn("avg_tfidf", F.round("avg_tfidf", 6))
     return top_k_per_group(avg, ["category"], [F.col("avg_tfidf").desc(), F.col("term").asc()], 5)

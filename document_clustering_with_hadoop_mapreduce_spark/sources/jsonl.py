@@ -9,12 +9,20 @@ not one).
 Malformed-line policy (reference P7, skip bad rows, but made STABLE):
 Spark's own DROPMALFORMED drops a projection-dependent row set (corruption
 is only detected in columns a query actually parses — two consumers of the
-same frame can see different row counts), so the reader instead always
-parses in PERMISSIVE mode with an explicit ``_corrupt_record`` column and
-applies the drop as an ordinary filter on it — one deterministic row set
-regardless of downstream projection. With ``drop_malformed=False`` the
-raw offending line is preserved in ``_corrupt_record`` (NULL for good
-rows), which is what a quarantine/audit job needs to route bad input.
+same frame can see different row counts), so the reader scans with
+``spark.read.text`` and parses each line via a single full-schema
+``from_json`` projection (PERMISSIVE, explicit ``_corrupt_record``
+column). The drop is then an ordinary predicate over that projection —
+one deterministic row set regardless of downstream projection, because
+the filter expression always parses the whole line against the full
+schema no matter which columns a consumer keeps. Crucially this needs NO
+materialization: unlike filtering a just-parsed JSON relation's corrupt
+column (SPARK-21610), a ``from_json`` expression carries no such
+restriction, so the 100 TB ingest stays a streaming scan→project→filter
+pipeline with full lineage (recompute-on-executor-loss intact). With
+``drop_malformed=False`` the raw offending line is preserved in
+``_corrupt_record`` (NULL for good rows), which is what a
+quarantine/audit job needs to route bad input.
 """
 
 from __future__ import annotations
@@ -45,15 +53,18 @@ def read_documents_jsonl(
     documents schema; ``False`` keeps them, with the raw line in
     ``_corrupt_record`` for quarantine routing."""
     df = (
-        spark.read.schema(_READ_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
+        spark.read.text(path)
+        # the native JSON reader silently skips blank lines; mirror that
+        .where(F.length(F.trim(F.col("value"))) > 0)
+        .select(
+            F.from_json(
+                F.col("value"),
+                _READ_SCHEMA,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("__parsed")
+        )
+        .select("__parsed.*")
     )
-    # Spark disallows filtering on the corrupt column of a just-parsed JSON
-    # relation without materializing it first (SPARK-21610); a lazy
-    # checkpoint materializes the parse once and makes the filter ordinary.
-    df = df.localCheckpoint(eager=False)
     if drop_malformed:
         return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     return df

@@ -96,3 +96,10 @@ def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
     assert kept.count() == 3
     corrupt = [r["_corrupt_record"] for r in kept.collect() if r["_corrupt_record"]]
     assert corrupt == ["this is not json"]
+    # the ingest path is a pure scan->project->filter pipeline: no
+    # materialization (localCheckpoint would surface as Scan ExistingRDD)
+    # — full lineage, nothing pinned in executor storage at 100 TB
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" not in plan
+    assert "Checkpoint" not in plan
+    assert "Scan text" in plan
