@@ -192,25 +192,31 @@ def lsh_candidate_pairs(
 def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard over shared shingles.
 
-    join-on-shingle -> count common -> sizes via broadcast of the per-doc
-    size table. Exact baseline for LSH verification; at scale, run it only
-    on LSH candidates (see ``lsh_candidate_pairs``).
+    Each doc's shingle-set size is attached to the shingle frame with ONE
+    window (count over doc_id) and carried through the shingle self-join,
+    so |A| and |B| fall out of the pair aggregate itself — no per-doc size
+    table, no O(corpus) broadcast (a one-row-per-document frame is NOT
+    "small" at 100 TB; hinting it broadcast would OOM the driver). Exact
+    baseline for LSH verification; at scale, run it only on LSH candidates
+    (see ``lsh_candidate_pairs``).
     """
-    # three consumers (both join sides + sizes) and no Catalyst subtree
-    # reuse across the tokenize lambdas — materialize the shingle set once
-    doc_shingles = doc_shingles.localCheckpoint(eager=False)
-    sizes = doc_shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = doc_shingles.alias("a")
-    b = doc_shingles.alias("b")
-    common = (
+    w = Window.partitionBy("doc_id")
+    sized = doc_shingles.withColumn("sz", F.count(F.lit(1)).over(w))
+    # two consumers (the self-join's sides) and no Catalyst subtree reuse
+    # across the tokenize lambdas — materialize the sized frame once
+    sized = sized.localCheckpoint(eager=False)
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        common.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+        # every row in a (doc_a, doc_b) group carries the same sz on each
+        # side; min() is a deterministic pick, fused into the same aggregate
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
         .withColumn(
             "jaccard",
             F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
