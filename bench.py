@@ -81,7 +81,13 @@ def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
     )
     t0 = time.perf_counter()
     pairs = lsh_candidate_pairs(minhash_signatures(shingle_hashes(docs, n=3)))
-    assert pairs.count() == n_docs - 1  # star on the bucket-min doc, per band
+    got = pairs.count()
+    if got != n_docs - 1:  # star on the bucket-min doc, per band
+        raise RuntimeError(
+            f"LSH hot-bucket guard produced {got} pairs, expected {n_docs - 1} "
+            "(star on the bucket-min doc); timing aborted because the work "
+            "being measured is wrong"
+        )
     return round(time.perf_counter() - t0, 3)
 
 

@@ -482,7 +482,13 @@ def simhash_fingerprints(term_matrix: DataFrame, bits: int = 32) -> DataFrame:
     bit_b(doc) = sign of sum over terms of cnt * (±1 per md5 bit b). One
     aggregate with ``bits`` signed-sum columns, then bit-packing — map-side
     partial sums keep the shuffle at ``bits`` longs per doc.
+
+    ``bits`` is capped at 60: the per-term hash is 60-bit md5
+    (``md5_int60``), so wider fingerprints would pack constant zero bits
+    (and bit 63 cannot be represented in a positive signed long anyway).
     """
+    if not 1 <= bits <= 60:
+        raise ValueError(f"bits must be in [1, 60] (60-bit md5 term hash), got {bits}")
     h = md5_int60(F.col("term"))
     aggs = [
         F.sum(
@@ -494,7 +500,10 @@ def simhash_fingerprints(term_matrix: DataFrame, bits: int = 32) -> DataFrame:
     fp: Column = F.lit(0).cast("long")
     for b in range(bits):
         fp = fp + F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-    return summed.select("doc_id", fp.alias("simhash"))
+    # record the fingerprint width in column metadata so downstream banding
+    # (simhash_pairs) can refuse a mismatched `bits` instead of silently
+    # banding only the low chunk of a wider fingerprint
+    return summed.select("doc_id", fp.alias("simhash", metadata={"bits": bits}))
 
 
 def simhash_pairs(
@@ -526,7 +535,20 @@ def simhash_pairs(
     boilerplate, hamming 0 to the bucket-min) the star survives
     verification and connectivity is preserved; for exhaustive recall pass
     ``max_bucket_size=None``.
+
+    ``bits`` must match the width the fingerprints were built with —
+    otherwise only the low chunks are banded and the pigeonhole guarantee
+    silently breaks. ``simhash_fingerprints`` records its width in the
+    ``simhash`` column metadata; a mismatch raises here at plan time.
     """
+    if "simhash" in fingerprints.columns:
+        fp_bits = fingerprints.schema["simhash"].metadata.get("bits")
+        if fp_bits is not None and int(fp_bits) != bits:
+            raise ValueError(
+                f"simhash_pairs(bits={bits}) over fingerprints built with "
+                f"bits={fp_bits}: banding would cover only the low {bits} "
+                f"bits and silently lose recall; pass bits={fp_bits}"
+            )
     width = bits // bands
     mask = (1 << width) - 1
     chunks = F.array(*[

@@ -157,6 +157,18 @@ def lloyd_kmeans(
         centroids = [list(c) for c in init_centroids]
         if len(centroids) != k:
             raise ValueError(f"init_centroids has {len(centroids)} rows, expected k={k}")
+        dims = {len(c) for c in centroids}
+        if len(dims) != 1:
+            raise ValueError(f"init_centroids rows have inconsistent dimensions: {sorted(dims)}")
+        # cheap 1-row probe: a wrong-dim init (e.g. a stale random_dense_init)
+        # would otherwise flow into the literal-array distance math and fail
+        # late (or silently compute over mismatched lengths)
+        first = feats.select(F.size(features_col).alias("d")).head()
+        if first is not None and first["d"] != dims.pop():
+            raise ValueError(
+                f"init_centroids dimension {len(centroids[0])} != data "
+                f"dimension {first['d']} in column {features_col!r}"
+            )
     else:
         init_rows = feats.orderBy(id_col).limit(k).collect()
         centroids = [list(r[features_col]) for r in init_rows]

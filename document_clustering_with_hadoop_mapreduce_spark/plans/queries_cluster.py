@@ -130,12 +130,13 @@ def _lloyd_trace_oracle(k: int, iters: int) -> str:
     tags=("cluster", "task2.2", "bench"),
 )
 def q_kmeans_lloyd_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the features frame is cached ONCE then iterated, so fanning the
-    # single-row-group scan out parallelizes the per-iteration distance
-    # math without repaying the split each round (measured -15% at sf0.1;
-    # contrast kmeans_parallel_sizes, whose uncached per-round passes
-    # regress under fan-out)
-    emb = load_table(spark, sf_dir, "embeddings", force_fan_out=True)
+    # NO fan-out: at bench scale the per-iteration jobs are task-overhead
+    # bound, so 32-way fanning the tiny cached frame costs more than the
+    # parallel distance math saves (re-measured each round on regenerated
+    # testdata: currently ~1.6 s un-fanned vs ~2.3 s fanned at sf0.1; an
+    # earlier generation measured the opposite). At cluster scale the scan
+    # has thousands of natural splits and fan-out is a no-op either way.
+    emb = load_table(spark, sf_dir, "embeddings")
     trace = lloyd_trace_deterministic(emb, k=K, iters=LLOYD_ITERS)
     return spark.createDataFrame(trace, "iteration INT, wcss DOUBLE").orderBy("iteration")
 

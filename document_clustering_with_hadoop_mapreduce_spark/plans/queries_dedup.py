@@ -21,6 +21,7 @@ from ..operators.dedup import (
     shingle_hashes,
     shingles,
     simhash_fingerprints,
+    simhash_pairs,
     tfidf_cosine_pairs,
 )
 from ..operators.term_matrix import term_doc_counts
@@ -218,24 +219,83 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(m, top_t=20, min_cosine=0.9)
 
 
-def _simhash_oracle(bits: int = 32) -> str:
+def _simhash_fused_oracle(
+    bits: int = 32, bands: int = 4, max_hamming: int = 3, max_bucket_size: int = 256
+) -> str:
+    """Fingerprints + banded-hamming verified pairs in ONE result (the
+    registry is capped at 50 slots, so the pair generator is value-gated by
+    fusion — same pattern as the fused doc_quality slot). Mirrors
+    ``simhash_pairs`` exactly, INCLUDING the hot-bucket star guard."""
     h_expr = "CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT)"
     sums = ", ".join(
         f"sum(CASE WHEN (h & {1 << b}) > 0 THEN cnt ELSE -cnt END) AS s{b}"
         for b in range(bits)
     )
     packed = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    width = bits // bands
+    mask = (1 << width) - 1
     return f"""{MATRIX_CTE},
 hashed AS (SELECT doc_id, {h_expr} AS h, cnt FROM matrix),
-sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
-SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums"""
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM sums),
+banded0 AS (
+  SELECT doc_id, simhash, t.band_idx,
+         (simhash >> (t.band_idx * {width})) & {mask} AS band_val
+  FROM fp, UNNEST(generate_series(0, {bands - 1})) AS t(band_idx)
+),
+sized AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY band_idx, band_val) AS n,
+         min(doc_id) OVER (PARTITION BY band_idx, band_val) AS min_doc,
+         arg_min(simhash, doc_id) OVER (PARTITION BY band_idx, band_val) AS min_hash
+  FROM banded0
+),
+keep AS (SELECT doc_id, simhash, band_idx, band_val FROM sized WHERE n <= {max_bucket_size}),
+star AS (
+  SELECT min_doc AS a, doc_id AS b, bit_count(xor(min_hash, simhash)) AS hamming
+  FROM sized WHERE n > {max_bucket_size} AND doc_id <> min_doc
+),
+cand AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, bit_count(xor(l.simhash, r.simhash)) AS hamming
+  FROM keep l JOIN keep r
+    ON l.band_idx = r.band_idx AND l.band_val = r.band_val AND l.doc_id < r.doc_id
+),
+pairs AS (
+  SELECT DISTINCT a, b, hamming
+  FROM (SELECT * FROM cand UNION ALL SELECT * FROM star)
+  WHERE hamming <= {max_hamming}
+)
+SELECT 'fp' AS kind, doc_id AS id_a, NULL::BIGINT AS id_b, simhash AS value FROM fp
+UNION ALL
+SELECT 'pair' AS kind, a AS id_a, b AS id_b, hamming::BIGINT AS value FROM pairs"""
 
 
 @register(
     "simhash_fingerprints",
-    _simhash_oracle(),
-    "32-bit frequency-weighted SimHash per doc over the term matrix",
+    _simhash_fused_oracle(),
+    "32-bit frequency-weighted SimHash per doc PLUS banded-hamming verified "
+    "near-dup pairs (pigeonhole recall-1, hot-bucket star guard), fused into "
+    "one value-gated result: kind='fp' rows carry (doc_id, simhash), "
+    "kind='pair' rows carry (doc_a, doc_b, hamming)",
     tags=("dedup",),
 )
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_fingerprints(term_doc_counts(_docs(spark, sf_dir)), bits=32)
+    # two consumers (direct fp rows + the banding) and no subtree reuse
+    # across the tokenize lambdas — materialize the 1-row-per-doc frame once
+    fp = simhash_fingerprints(term_doc_counts(_docs(spark, sf_dir)), bits=32).localCheckpoint(
+        eager=False
+    )
+    pairs = simhash_pairs(fp, bits=32, bands=4, max_hamming=3)
+    fp_rows = fp.select(
+        F.lit("fp").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("simhash").alias("value"),
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("hamming").cast("long").alias("value"),
+    )
+    return fp_rows.unionByName(pair_rows)

@@ -56,10 +56,19 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_metadata(_media(spark, sf_dir))
 
 
+# The documents fixture has no duplicate texts, so hashing each doc's own
+# payload would make this gate trivially green on an empty result. Derive
+# the blob from doc_id % 100 instead (a 256-byte md5-repeat payload):
+# duplicates exist BY CONSTRUCTION (~5 copies per group at sf0.01), so the
+# driver hash-compares a non-empty group set every round.
 @register(
     "media_exact_dedup",
-    f"""{_MEDIA_CTE},
-    hashed AS (SELECT media_id, lower(sha256(data)) AS content_sha FROM media),
+    """WITH blobs AS (
+      SELECT doc_id AS media_id,
+             repeat(md5((doc_id % 100)::VARCHAR), 8) AS data
+      FROM documents
+    ),
+    hashed AS (SELECT media_id, lower(sha256(data)) AS content_sha FROM blobs),
     grp AS (
       SELECT content_sha,
              count(*)::BIGINT AS n_copies,
@@ -68,13 +77,18 @@ def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT content_sha, n_copies, keeper_id FROM grp WHERE n_copies > 1""",
     "multimodal: exact blob-level dedup groups by content hash "
-    "(keeper = lowest media_id)",
+    "(keeper = lowest media_id); payloads derived modulo-100 so duplicate "
+    "groups are non-empty by construction",
     tags=("multimodal", "dedup"),
 )
 def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hashed = _media(spark, sf_dir).select(
-        "media_id", F.sha2("data", 256).alias("content_sha")
+    blobs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.repeat(F.md5((F.col("doc_id") % 100).cast("string")), 8), "UTF-8").alias(
+            "data"
+        ),
     )
+    hashed = blobs.select("media_id", F.sha2("data", 256).alias("content_sha"))
     return (
         hashed.groupBy("content_sha")
         .agg(

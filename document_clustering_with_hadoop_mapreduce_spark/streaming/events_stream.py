@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, events_dir: str, ts_unit: str | None = None
+) -> DataFrame:
     """File-source stream over events parquet files.
 
     Schema must be declared for streaming reads. The physical files carry
@@ -31,29 +33,41 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     (declared as TIMESTAMP_NTZ, cast to session-tz type — UTC session, so
     value-preserving); we sniff one footer so batch/stream stay identical.
 
+    ``ts_unit`` ('ns' | 'us') pins the expected generation explicitly —
+    REQUIRED KNOWLEDGE when the monitored directory is empty at stream
+    start (files arrive later, the normal streaming pattern): there is
+    nothing to sniff, and a wrong guess would mis-declare the schema for
+    every file that lands. With ``None`` and a non-empty directory, the
+    first footer decides; with ``None`` and an empty directory, 'us' (the
+    current generation) is assumed.
+
+    The legacy ``nanosAsLong`` session flag is set ONLY on the ns branch —
+    leaving it on while declaring TIMESTAMP_NTZ would make a later
+    TIMESTAMP(NANOS) file read as BIGINT against the declared schema and
+    fail or misread ts.
+
     The file source only monitors directories; if given a single parquet
     file (the shape of the test fixtures) we stage a symlink directory.
     """
+    if ts_unit not in (None, "ns", "us"):
+        raise ValueError(f"ts_unit must be 'ns', 'us' or None, got {ts_unit!r}")
     if os.path.isfile(events_dir):
         staged = tempfile.mkdtemp(prefix="events_stream_")
         os.symlink(os.path.abspath(events_dir),
                    os.path.join(staged, os.path.basename(events_dir)))
         events_dir = staged
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Default to the CURRENT testdata generation (micros-NTZ); the legacy
-    # nanos/BIGINT declaration is used only when an existing file's footer
-    # actually says ns. An empty monitored directory (files arrive after
-    # the stream starts — the normal streaming pattern) therefore gets the
-    # schema new files will carry.
-    ts_is_long = False
-    for entry in sorted(os.listdir(events_dir)):
-        if entry.endswith(".parquet"):
-            import pyarrow.parquet as pq
+    if ts_unit is None:
+        for entry in sorted(os.listdir(events_dir)):
+            if entry.endswith(".parquet"):
+                import pyarrow.parquet as pq
 
-            field = pq.read_schema(os.path.join(events_dir, entry)).field("ts")
-            ts_is_long = field.type.unit == "ns"
-            break
-    if ts_is_long:
+                field = pq.read_schema(os.path.join(events_dir, entry)).field("ts")
+                ts_unit = "ns" if field.type.unit == "ns" else "us"
+                break
+        else:
+            ts_unit = "us"
+    if ts_unit == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         schema = (
             "event_id BIGINT, ts BIGINT, user_id BIGINT, "
             "event_type STRING, value DOUBLE, props STRING"

@@ -249,3 +249,30 @@ def test_simhash_pairs_hot_bucket_guard(spark):
     assert got.filter("hamming <> 0").count() == 0
     assert got.filter("doc_a <> 0").count() == 0  # star on the min doc
     got.unpersist()
+
+
+def test_simhash_pairs_rejects_mismatched_bits(spark):
+    """Fingerprints carry their width in column metadata; banding with a
+    different `bits` would silently cover only the low chunks and lose the
+    pigeonhole guarantee — it must fail loudly at plan time instead."""
+    import pytest
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta")], "doc_id LONG, text STRING"
+    )
+    fp48 = simhash_fingerprints(term_doc_counts(docs), bits=48)
+    with pytest.raises(ValueError, match="bits=48"):
+        simhash_pairs(fp48, bits=32)
+    # matching width still works
+    assert simhash_pairs(fp48, bits=48, bands=4, max_hamming=3).count() >= 0
+    # widths beyond the 60-bit term hash are degenerate and refused
+    with pytest.raises(ValueError, match=r"\[1, 60\]"):
+        simhash_fingerprints(term_doc_counts(docs), bits=64)

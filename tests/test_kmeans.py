@@ -193,3 +193,10 @@ def test_lloyd_accepts_dense_random_init(spark, sf_dir):
     wcss = [t.wcss for t in trace]
     assert all(b <= a * (1 + 1e-9) for a, b in zip(wcss, wcss[1:]))
     assert assigned.select("cluster").distinct().count() <= 3
+    # wrong-dim init (stale dim) fails loudly at entry, not mid-plan
+    import pytest
+
+    with pytest.raises(ValueError, match="dimension"):
+        lloyd_kmeans(emb, k=3, init_centroids=random_dense_init(k=3, dim=dim + 1, seed=42))
+    with pytest.raises(ValueError, match="inconsistent"):
+        lloyd_kmeans(emb, k=2, init_centroids=[[0.0] * dim, [0.0] * (dim - 1)])
