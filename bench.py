@@ -107,13 +107,18 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
     for name in names:
         q = registry[name]
-        # run 1 (cold: includes plan + codegen compile), run 2 (steady state)
+        # run 1 (cold: includes plan + codegen compile), then two steady-state
+        # runs, reporting the min — single warm samples on a shared-host VM
+        # carry scheduler noise that can swamp a 10% code-level change
         t0 = time.perf_counter()
         assert q.spark(spark, SF_DIR).count() >= 0
         cold[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        assert q.spark(spark, SF_DIR).count() >= 0
-        timings[name] = round(time.perf_counter() - t0, 3)
+        warm = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            assert q.spark(spark, SF_DIR).count() >= 0
+            warm.append(time.perf_counter() - t0)
+        timings[name] = round(min(warm), 3)
     total = round(sum(timings.values()), 3)
     ref_sec = bench_reference_workload(spark)
     skew_sec = bench_lsh_skew_guard(spark)
