@@ -132,7 +132,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
     pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
-    return duplicate_components(pairs, documents=docs)
+    # the singleton fan-back only projects doc_id — no fan-out shuffle
+    ids = load_table(spark, sf_dir, "documents", fan_out=False)
+    return duplicate_components(pairs, documents=ids)
 
 
 # The capstone a 100 TB training-data pipeline actually runs: quality
@@ -173,11 +175,14 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    # 2-column / id-only projections: no fan-out shuffle (tokenizing
+    # consumers above keep the fanned frame)
+    ids = load_table(spark, sf_dir, "documents", fan_out=False)
     comp = duplicate_components(lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2),
-                                documents=docs)
+                                documents=ids)
     qual = doc_quality(docs)
     return (
-        docs.select("doc_id", "lang")
+        ids.select("doc_id", "lang")
         .join(qual, "doc_id")
         .join(comp, "doc_id")
         .filter(

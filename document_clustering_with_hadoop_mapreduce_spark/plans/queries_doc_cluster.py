@@ -147,7 +147,10 @@ def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     m = tfidf(term_doc_counts(docs), n_docs=docs.count())
-    cats = docs.select("doc_id", F.col("lang").alias("category"))
+    # broadcast-bound 2-column dim: skip the fan-out shuffle
+    cats = load_table(spark, sf_dir, "documents", fan_out=False).select(
+        "doc_id", F.col("lang").alias("category")
+    )
     avg = category_avg_tfidf(m, cats).withColumn("avg_tfidf", F.round("avg_tfidf", 6))
     top5 = top_k_per_group(
         avg, ["category"], [F.col("avg_tfidf").desc(), F.col("term").asc()], 5

@@ -185,6 +185,10 @@ def q_category_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     m = tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
-    cats = docs.select("doc_id", F.col("lang").alias("category"))
+    # the category dim is a 2-column projection headed into a broadcast —
+    # fanning it out first would shuffle rows only to collect them again
+    cats = load_table(spark, sf_dir, "documents", fan_out=False).select(
+        "doc_id", F.col("lang").alias("category")
+    )
     avg = category_avg_tfidf(m, cats).withColumn("avg_tfidf", F.round("avg_tfidf", 6))
     return top_k_per_group(avg, ["category"], [F.col("avg_tfidf").desc(), F.col("term").asc()], 5)

@@ -225,6 +225,29 @@ def test_single_matrix_materialization_plans(spark, sf_dir):
         assert n_ex <= max_ex, (name, n_ex)
 
 
+def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
+    """Blanket invariant over ALL registered queries: no CartesianProduct
+    (an unbounded all-pairs plan is never acceptable) and no
+    BatchEvalPython (row-at-a-time Python) anywhere; BroadcastNestedLoopJoin
+    only where the broadcast side is bounded by construction (k-row
+    centroid frames, ≤25-row probe sets) — listed explicitly so any new
+    query that falls back to a nested-loop join fails this test until the
+    bound is justified here."""
+    bnlj_bounded = {
+        # broadcast side is the k-row sparse-centroid frame (k=5)
+        "doc_kmeans_assign",
+        "doc_cluster_top_terms",
+        # broadcast side is the 25-row probe set of the brute-force baseline
+        "knn_bruteforce",
+    }
+    for name, q in sorted(all_queries().items()):
+        plan = _plan(q.spark(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if name not in bnlj_bounded:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_jaccard_pairs_never_hints_per_doc_broadcast(spark, sf_dir):
     """jaccard_pairs must not HINT any frame broadcast: its per-doc sizes
     are one row per document — O(corpus), never driver-safe at 100 TB.
