@@ -28,7 +28,7 @@ from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
 from ..sources.tables import load_table
 from .oracles import MATRIX_CTE, TFIDF_CTE, TOKENS_CTE
-from .registry import register
+from .registry import _n_docs, register
 
 _ORACLES = minhash_oracle_sql(TOKENS_CTE)
 
@@ -220,7 +220,7 @@ HAVING round(sum(a.w*b.w), 6) >= 0.9"""
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    m = tfidf(term_doc_counts(docs), n_docs=docs.count())
+    m = tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
     return tfidf_cosine_pairs(m, top_t=20, min_cosine=0.9)
 
 

@@ -21,7 +21,7 @@ from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
 from ..sources.tables import load_table
 from .oracles import TFIDF_CTE
-from .registry import register
+from .registry import _n_docs, register
 
 K = 5
 
@@ -71,7 +71,9 @@ def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its own; only the tf-idf output is pinned here for the 4+
     # downstream consumers.
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf(term_doc_counts(docs), n_docs=docs.count()).localCheckpoint(eager=False)
+    return tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir)).localCheckpoint(
+        eager=False
+    )
 
 
 @register(
@@ -146,7 +148,7 @@ def q_category_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.topk import top_k_per_group
 
     docs = load_table(spark, sf_dir, "documents")
-    m = tfidf(term_doc_counts(docs), n_docs=docs.count())
+    m = tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
     # broadcast-bound 2-column dim: skip the fan-out shuffle
     cats = load_table(spark, sf_dir, "documents", fan_out=False).select(
         "doc_id", F.col("lang").alias("category")

@@ -213,7 +213,9 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import hash_split
 
-    return hash_split(load_table(spark, sf_dir, "documents"))
+    # pure map-side hash projection: a fan-out repartition would be the
+    # query's ONLY shuffle — skip it (plan-pinned shuffle-free in tests)
+    return hash_split(load_table(spark, sf_dir, "documents", fan_out=False))
 
 
 @register(
@@ -279,6 +281,8 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import stratified_sample
 
+    # pure map-side hash filter: same no-shuffle reasoning as hash_split
     return stratified_sample(
-        load_table(spark, sf_dir, "documents"), rates={"en": 0.5, "zh": 0.25}
+        load_table(spark, sf_dir, "documents", fan_out=False),
+        rates={"en": 0.5, "zh": 0.25},
     )

@@ -179,6 +179,8 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
+    # the REGISTERED query must stay shuffle-free too (no fan-out creep)
+    assert "Exchange" not in _plan(all_queries()["hash_split"].spark(spark, sf_dir))
 
 
 def test_doc_features_is_one_shuffle_free_jvm_pass(spark, sf_dir):
@@ -203,6 +205,8 @@ def test_stratified_sample_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
+    # the REGISTERED query must stay shuffle-free too (no fan-out creep)
+    assert "Exchange" not in _plan(all_queries()["stratified_sample"].spark(spark, sf_dir))
 
 
 def test_single_matrix_materialization_plans(spark, sf_dir):
