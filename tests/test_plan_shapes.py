@@ -117,11 +117,52 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
     assert out[0]["n_customers"] >= out[-1]["n_customers"]
 
 
+def test_sql_surface_matches_dataframe_queries(spark, sf_dir):
+    """The spark.sql surface is a first-class way to run the engine: ANSI
+    re-statements of registered queries over the views must return the
+    exact row set the DataFrame plans produce."""
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql_twins = {
+        "revenue_by_nation": """
+            SELECT r.r_name, n.n_name,
+                   CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        """,
+        "top_revenue_orders": """
+            SELECT l.l_orderkey,
+                   CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(28,6))), 2) AS DOUBLE) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, l.l_orderkey ASC LIMIT 10
+        """,
+        "customers_without_orders": """
+            SELECT c.c_custkey, c.c_name
+            FROM customer c ANTI JOIN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+            ) o ON o.o_custkey = c.c_custkey
+        """,
+    }
+    for name, sql in sql_twins.items():
+        want = {tuple(r) for r in all_queries()[name].spark(spark, sf_dir).collect()}
+        got = {tuple(r) for r in spark.sql(sql).collect()}
+        assert got == want, name
+
+
 def test_cosine_pairs_is_equi_join_not_cartesian(spark, sf_dir):
     """The all-pairs cosine self-join must equi-join on term (the inverted
     index) — never a cartesian doc x doc expansion — with map-side partial
-    sums, staying JVM-side. (The one BroadcastNestedLoopJoin in the plan is
-    the deliberate single-row n_docs scalar crossJoin inside tfidf.)"""
+    sums, staying JVM-side. (Since n_docs became a driver-known scalar the
+    plan has no nested-loop join at all — pinned by the blanket test.)"""
     df = all_queries()["tfidf_cosine_pairs"].spark(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
