@@ -226,6 +226,64 @@ def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFram
     )
 
 
+def jaccard_verify_pairs(
+    pairs: DataFrame, doc_shingles: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs — the second half of
+    the candidate-generate/verify pattern every banding dedup needs at
+    scale (Leskovec et al., Mining of Massive Datasets ch. 3): LSH emits a
+    shuffle-bounded candidate set with false positives (hash collisions,
+    band coincidences on small shingle sets); this verifies each candidate
+    against the true shingle sets and keeps only pairs at or above
+    ``min_jaccard``.
+
+    Work is bounded by |candidates| x shingles-per-doc, NOT corpus^2: the
+    pair list joins each side's shingle stream by doc id (two shuffle
+    equi-joins), common shingles fall out of one aggregate, and set sizes
+    ride along via the same per-doc count window as ``jaccard_pairs`` — no
+    per-doc broadcast anywhere.
+
+    Returns (doc_a, doc_b, jaccard) — feed to ``duplicate_components`` for
+    a false-merge-free duplicate clustering.
+
+    Accepts ``shingles()`` output (strings, already distinct) or the
+    ``shingle_hashes()`` stream (column ``h``, duplicates possible — unlike
+    MinHash's min(), set intersection/size counts are NOT duplicate-
+    insensitive, so the hash stream is distinct-ed here first).
+    """
+    if "h" in doc_shingles.columns:
+        doc_shingles = doc_shingles.select(
+            "doc_id", F.col("h").alias("shingle")
+        ).distinct()
+    w = Window.partitionBy("doc_id")
+    sized = doc_shingles.withColumn("sz", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=False
+    )  # two consumers (each pair side)
+    sa = sized.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    sb = sized.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     documents: DataFrame | None = None,

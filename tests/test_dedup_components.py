@@ -251,6 +251,37 @@ def test_simhash_pairs_hot_bucket_guard(spark):
     got.unpersist()
 
 
+def test_jaccard_verify_pairs_matches_full_baseline(spark, sf_dir):
+    """Candidate verification must agree value-for-value with the full
+    jaccard_pairs baseline on every pair both produce, and never emit a
+    pair the baseline would reject at the same threshold (string and hash
+    shingle inputs both; hash stream is distinct-ed internally)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        jaccard_pairs,
+        jaccard_verify_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+        shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = shingle_hashes(docs, n=3)
+    cand = lsh_candidate_pairs(minhash_signatures(hashes), max_bucket_size=None)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_pairs(shingles(docs, n=3), min_jaccard=0.2).collect()
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify_pairs(cand, hashes, min_jaccard=0.2).collect()
+    }
+    # verified-candidate results are a subset of the full baseline (LSH
+    # recall < 1 at 0.2 is fine) with identical values where both appear
+    for pair, j in got.items():
+        assert pair in full and full[pair] == j, pair
+
+
 def test_simhash_pairs_rejects_mismatched_bits(spark):
     """Fingerprints carry their width in column metadata; banding with a
     different `bits` would silently cover only the low chunks and lose the

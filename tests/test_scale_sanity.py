@@ -1,0 +1,84 @@
+"""Scale sanity: the dedup chain beyond fixture size, with planted truth.
+
+The sf fixtures verify values; this verifies BEHAVIOR at 10x the largest
+fixture — 50k synthetic docs with planted duplicate clusters through
+shingle -> minhash -> LSH -> connected components. Asserts recall of the
+planted clusters and the linear-output guard, not timings (wall-clock is
+ambient-dependent; the plan invariants are pinned elsewhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+    duplicate_components,
+    jaccard_verify_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingle_hashes,
+)
+
+N_DOCS = 50_000
+N_CLUSTERS = 1_000  # docs 0..2999 form 1000 planted triplet clusters
+
+
+def test_planted_duplicate_clusters_recovered_at_50k_docs(spark):
+    """1000 planted exact-duplicate triplets inside 47k unique docs: every
+    triplet must land in one component keyed by its min doc_id, and unique
+    docs must stay singletons. Exact duplicates share every shingle, so
+    every band collides — recall here is structural, not probabilistic."""
+    # doc_id < 3000: text keyed by doc_id % 1000 -> 1000 triplets. The
+    # cluster id is baked into EVERY token so clusters are token-disjoint:
+    # cross-cluster Jaccard is exactly 0 (shared boilerplate would make
+    # near-identical docs across clusters, which LSH would — correctly —
+    # merge; that is a property of the data, not a defect to test).
+    # doc_id >= 3000: unique text (doc_id baked into every token).
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 3 * N_CLUSTERS,
+            F.format_string(
+                "pc%s qd%s re%s sf%s tg%s uh%s vi%s wj%s xk%s yl%s",
+                *([F.col("id") % N_CLUSTERS] * 10),
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "unique document u%s alpha%s beta%s gamma%s delta%s epsilon%s "
+                "zeta%s eta%s theta%s",
+                *([F.col("id")] * 9),
+            )
+        )
+        .alias("text"),
+    )
+    # the full scale composition: generate candidates with LSH, VERIFY
+    # them with exact Jaccard restricted to the candidate set, then
+    # cluster. At 50k docs the raw candidate set contains a handful of
+    # false positives (short 7-shingle docs + band coincidences — measured
+    # 7 in an earlier revision of this test); verification removes them
+    # all, which is exactly why the verify stage exists at 100 TB.
+    hashes = shingle_hashes(docs, n=3)
+    sigs = minhash_signatures(hashes, num_hashes=16, seed=42)
+    cand = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
+    verified = jaccard_verify_pairs(cand, hashes, min_jaccard=0.9)
+    comp = duplicate_components(verified, documents=docs).cache()
+    try:
+        assert comp.count() == N_DOCS
+        # every planted triplet collapses to component = min member (id % K)
+        planted = comp.filter(F.col("doc_id") < 3 * N_CLUSTERS)
+        bad = planted.filter(
+            F.col("component") != F.col("doc_id") % N_CLUSTERS
+        ).count()
+        assert bad == 0
+        # components sized exactly 3 for all planted clusters
+        sizes = (
+            planted.groupBy("component").count().filter(F.col("count") != 3).count()
+        )
+        assert sizes == 0
+        # unique docs: self-labeled singletons — verification guarantees no
+        # false merges survive regardless of LSH band coincidences
+        uniq = comp.filter(F.col("doc_id") >= 3 * N_CLUSTERS)
+        assert uniq.filter(F.col("component") != F.col("doc_id")).count() == 0
+    finally:
+        comp.unpersist()
