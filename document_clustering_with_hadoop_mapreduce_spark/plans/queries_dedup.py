@@ -15,6 +15,7 @@ from ..operators.dedup import (
     duplicate_components,
     exact_dup_groups,
     jaccard_pairs,
+    jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_oracle_sql,
     minhash_signatures,
@@ -138,13 +139,61 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The capstone a 100 TB training-data pipeline actually runs: quality
-# filters + duplicate-cluster representatives, one declarative plan.
+# filters + VERIFIED duplicate-cluster representatives, one declarative
+# plan. Unlike dedup_components (which demonstrates raw banding CC), the
+# curation path verifies every LSH candidate with exact Jaccard >= 0.5
+# before clustering — at 100 TB an unverified band coincidence would
+# silently discard a unique document as a "duplicate".
+_CURATION_JACCARD = 0.5
+
+
+def _verified_cc_oracle() -> str:
+    """Mirror of lsh_candidate_pairs -> jaccard_verify_pairs ->
+    duplicate_components: candidates verified against the distinct 60-bit
+    shingle-hash sets (the same sets the Spark side uses), then min-label
+    components over the verified edges only."""
+    hash_expr = "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT)"
+    return f"""
+cand AS ({_ORACLES["lsh_candidate_pairs"]}),
+sh AS (SELECT DISTINCT doc_id, {hash_expr} AS h FROM ({_ORACLES["doc_shingles"]})),
+szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.h = a.h
+  GROUP BY c.doc_a, c.doc_b
+),
+verified AS (
+  SELECT m.doc_a, m.doc_b
+  FROM common m
+  JOIN szs x ON x.doc_id = m.doc_a
+  JOIN szs y ON y.doc_id = m.doc_b
+  WHERE round(m.n_common::DOUBLE / (x.sz + y.sz - m.n_common), 6) >= {_CURATION_JACCARD}
+),
+v_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM verified
+),
+v_reach AS (
+  SELECT src AS doc_id, src AS label FROM v_edges
+  UNION
+  SELECT e.dst AS doc_id, r.label FROM v_reach r JOIN v_edges e ON e.src = r.doc_id
+),
+v_comp AS (SELECT doc_id, min(label) AS component FROM v_reach GROUP BY doc_id),
+comp_full AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN v_comp c USING (doc_id)
+)"""
+
+
 def _curation_oracle() -> str:
     from .queries_events import _STOP_SQL, _TOKS
 
     n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END"
     return f"""
-WITH RECURSIVE comp_full AS ({_CC_ORACLE}),
+WITH RECURSIVE {_verified_cc_oracle()},
 q AS (
   SELECT doc_id, lang,
          {n_tokens} AS n_tokens,
@@ -165,21 +214,27 @@ WHERE c.component = q.doc_id AND q.n_tokens >= 20
     "corpus_curation",
     _curation_oracle(),
     "end-to-end corpus curation: quality gates (length, stopword ratio, "
-    "punctuation ratio) + keep only duplicate-cluster representatives — the "
-    "composed pipeline a training-data build runs; all stages map-side "
-    "except the LSH join and the CC flood",
+    "punctuation ratio) + keep only VERIFIED duplicate-cluster "
+    "representatives (LSH candidates exact-Jaccard-verified >= 0.5 before "
+    "clustering) — the composed pipeline a training-data build runs; all "
+    "stages map-side except the LSH join, the pair-bounded verify joins "
+    "and the CC flood",
     tags=("dedup", "textstats"),
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import doc_quality
 
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
+    # two consumers of the shingle-hash stream (signatures + verification)
+    # and no subtree reuse across the tokenize lambdas — materialize once
+    hashes = shingle_hashes(docs, n=3).localCheckpoint(eager=False)
+    sigs = minhash_signatures(hashes, num_hashes=16, seed=42)
+    cand = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
+    verified = jaccard_verify_pairs(cand, hashes, min_jaccard=_CURATION_JACCARD)
     # 2-column / id-only projections: no fan-out shuffle (tokenizing
     # consumers above keep the fanned frame)
     ids = load_table(spark, sf_dir, "documents", fan_out=False)
-    comp = duplicate_components(lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2),
-                                documents=ids)
+    comp = duplicate_components(verified, documents=ids)
     qual = doc_quality(docs)
     return (
         ids.select("doc_id", "lang")
