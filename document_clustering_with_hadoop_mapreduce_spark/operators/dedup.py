@@ -197,8 +197,8 @@ def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFram
     so |A| and |B| fall out of the pair aggregate itself — no per-doc size
     table, no O(corpus) broadcast (a one-row-per-document frame is NOT
     "small" at 100 TB; hinting it broadcast would OOM the driver). Exact
-    baseline for LSH verification; at scale, run it only on LSH candidates
-    (see ``lsh_candidate_pairs``).
+    SMALL-SCALE baseline; at scale use ``jaccard_verify_pairs`` to compute
+    the same measure restricted to the LSH candidate set.
     """
     w = Window.partitionBy("doc_id")
     sized = doc_shingles.withColumn("sz", F.count(F.lit(1)).over(w))
