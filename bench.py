@@ -52,13 +52,18 @@ def bench_reference_workload(spark) -> float | None:
     with zipfile.ZipFile(REF_ZIP) as z:
         z.extractall(corpus)
     ref_in = os.path.dirname(REF_ZIP)
-    t0 = time.perf_counter()
-    m = task_1_1_term_doc_matrix(
-        spark, corpus, f"{ref_in}/bbc.terms", f"{ref_in}/bbc.docs",
-        f"{ref_in}/stopwords.txt",
-    )
-    assert m.count() == 142278  # golden nnz — the timing is for VERIFIED work
-    return round(time.perf_counter() - t0, 3)
+    runs = []
+    for _ in range(2):  # min-of-2, same discipline as the headline loop
+        t0 = time.perf_counter()
+        m = task_1_1_term_doc_matrix(
+            spark, corpus, f"{ref_in}/bbc.terms", f"{ref_in}/bbc.docs",
+            f"{ref_in}/stopwords.txt",
+        )
+        nnz = m.count()
+        if nnz != 142278:  # golden nnz — the timing is for VERIFIED work
+            raise RuntimeError(f"bbc task 1.1 produced {nnz} nnz, expected 142278")
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
 
 
 def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
@@ -79,16 +84,19 @@ def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
         F.col("id").alias("doc_id"),
         F.lit("common boilerplate header repeated on every page of the site").alias("text"),
     )
-    t0 = time.perf_counter()
-    pairs = lsh_candidate_pairs(minhash_signatures(shingle_hashes(docs, n=3)))
-    got = pairs.count()
-    if got != n_docs - 1:  # star on the bucket-min doc, per band
-        raise RuntimeError(
-            f"LSH hot-bucket guard produced {got} pairs, expected {n_docs - 1} "
-            "(star on the bucket-min doc); timing aborted because the work "
-            "being measured is wrong"
-        )
-    return round(time.perf_counter() - t0, 3)
+    runs = []
+    for _ in range(2):  # min-of-2, same discipline as the headline loop
+        t0 = time.perf_counter()
+        pairs = lsh_candidate_pairs(minhash_signatures(shingle_hashes(docs, n=3)))
+        got = pairs.count()
+        if got != n_docs - 1:  # star on the bucket-min doc, per band
+            raise RuntimeError(
+                f"LSH hot-bucket guard produced {got} pairs, expected {n_docs - 1} "
+                "(star on the bucket-min doc); timing aborted because the work "
+                "being measured is wrong"
+            )
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> None:
