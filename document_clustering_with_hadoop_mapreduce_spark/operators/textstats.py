@@ -407,3 +407,46 @@ def c4_line_filter(
             F.size("__kept").alias("n_kept_lines"),
         )
     )
+
+
+def unigram_cross_entropy(matrix: DataFrame, materialize: bool = True) -> DataFrame:
+    """Perplexity-proxy quality score (CCNet-style, Wenzek et al. 2020):
+    each document's cross-entropy against the CORPUS'S OWN unigram LM.
+
+    Input is the sparse (doc_id, term, cnt) matrix (``term_doc_counts``),
+    so this composes with the existing tokenize substrate and the
+    MATRIX_CTE oracle. Per doc:
+
+        score = -sum(cnt * ln p(term)) / sum(cnt),  p(term) = corpus_cnt / M
+
+    where M is the total corpus token mass (MLE — every doc term is in the
+    vocabulary by construction, so no smoothing mass is needed).
+    ``exp(score)`` is the doc's unigram perplexity; outlier-high means
+    unusual/garbled text, outlier-low means repetitive boilerplate — both
+    tails are what a CCNet-style quality gate cuts.
+
+    Scale shape: the term-probability table is VOCAB-sized (not
+    corpus-sized) — the join against the matrix is an ordinary equi-join
+    that AQE broadcast-converts when the vocab is small; the scalar mass M
+    rides a 1-row broadcast crossJoin exactly like tfidf's derived-N
+    branch. Two aggregate exchanges total (term totals, per-doc score).
+    ``materialize``: the matrix has two consumers (totals + the join) and
+    Catalyst cannot unify tokenize-lambda subtrees (see ``tfidf``), so the
+    nnz-sized frame is lazily checkpointed once by default; pass False
+    when the caller already materialized it.
+    """
+    if materialize:
+        matrix = matrix.localCheckpoint(eager=False)
+    totals = matrix.groupBy("term").agg(F.sum("cnt").alias("__tc"))
+    mass = totals.agg(F.sum("__tc").cast("double").alias("__m"))
+    return (
+        matrix.join(totals, "term")
+        .crossJoin(F.broadcast(mass))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(F.col("cnt") * F.log(F.col("__tc") / F.col("__m"))) / F.sum("cnt"), 6
+            ).alias("cross_entropy"),
+            F.sum("cnt").alias("n_tokens"),
+        )
+    )
