@@ -218,3 +218,72 @@ def test_repetition_fold_matches_python_counter(spark, texts):
         assert got[i]["max_token_frac"] == exp_max, (t, got[i])
         assert got[i]["top_ngram_frac"] == exp_top, (t, got[i])
         assert got[i]["dup_ngram_frac"] == exp_dup, (t, got[i])
+
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])  # tiny alphabet forces n-gram collisions
+_DOC = st.lists(_WORDS, min_size=0, max_size=12).map(" ".join)
+
+
+@SETTINGS
+@given(docs=st.lists(_DOC, min_size=1, max_size=8), n_eval=st.integers(min_value=1, max_value=3))
+def test_contamination_matches_python_ngram_overlap(spark, docs, n_eval):
+    """contamination_stats == a pure-Python distinct n-gram intersection for
+    ANY corpus/eval split (n=2 over a 5-word alphabet: dense collisions)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.decontam import (
+        contamination_stats,
+        decontaminate,
+    )
+
+    n = 2
+    rows = [(i, t) for i, t in enumerate(docs)]
+    frame = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_frame = spark.createDataFrame(rows[:n_eval], "doc_id long, text string")
+
+    def grams(t):
+        ws = [w for w in t.split() if w]
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    eval_set = set().union(*(grams(t) for _, t in rows[:n_eval]))
+    want = {i: len(grams(t) & eval_set) for i, t in rows if grams(t) & eval_set}
+    got = {
+        r["doc_id"]: r["n_overlap"]
+        for r in contamination_stats(frame, eval_frame, n=n).collect()
+    }
+    assert got == want
+    kept = {r["doc_id"] for r in decontaminate(frame, eval_frame, n=n).collect()}
+    assert kept == {i for i, _ in rows} - set(want)
+
+
+@SETTINGS
+@given(
+    lines=st.lists(
+        st.tuples(st.lists(_WORDS, min_size=0, max_size=7), st.sampled_from([".", "!", "?", '"', "", " x"])),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_c4_filter_matches_python_rules(spark, lines):
+    """c4_line_filter == the same rules applied in pure Python, any page."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import c4_line_filter
+
+    text = "\n".join(" ".join(ws) + end for ws, end in lines)
+    frame = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def keep_line(l):
+        import re
+
+        return (
+            re.search(r'[.!?"\'][ \t\r]*$', l) is not None
+            and len(re.split(r"[ \t\r]+", l.strip())) >= 5
+            and "javascript" not in l.lower()
+        )
+
+    kept = [l for l in text.split("\n") if keep_line(l)]
+    page_ok = len(kept) >= 3 and "lorem ipsum" not in text.lower() and "{" not in text
+    out = c4_line_filter(frame).collect()
+    if not page_ok:
+        assert out == []
+    else:
+        assert len(out) == 1
+        assert out[0]["clean_text"] == "\n".join(kept)
+        assert out[0]["n_kept_lines"] == len(kept)
