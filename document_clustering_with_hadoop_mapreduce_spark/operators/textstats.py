@@ -7,7 +7,7 @@ no Python in the row path; each op is one map-side projection, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS, clean_text, token_count, tokens
@@ -293,6 +293,74 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(float(rates[stratum]))
         ).otherwise(rate)
     return documents.filter(draw < rate * F.lit(1_000_000.0))
+
+
+def sequence_pack(
+    documents: DataFrame,
+    max_tokens: int = 2048,
+    num_streams: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a position
+    in a fixed-capacity training sequence (the GPT-style packing step that
+    turns a filtered corpus into ``max_tokens``-sized model inputs; docs are
+    conceptually concatenated and the stream split at capacity boundaries,
+    so a document may straddle two sequences — the standard trade against
+    padding waste).
+
+    Output per doc: ``stream`` (which independent packing stream), ``seq``
+    (sequence index within the stream where the doc's FIRST token lands),
+    ``seq_id`` (globally unique ``stream * 2^32 + seq``), ``offset`` (token
+    offset of the doc inside that sequence), ``global_start`` (cumulative
+    token start within the stream — with ``n_tokens`` this fully determines
+    every chunk boundary, so a consumer can re-chunk without re-scanning),
+    and ``n_tokens``.
+
+    Scale shape: ONE hash-partitioned window per stream — a global-order
+    cumsum would serialize 100 TB through a single sort, so the corpus is
+    salted into ``num_streams`` independent streams (pure function of
+    (salt, id), same discipline as ``hash_split``) and each stream packs
+    its members by ``doc_id`` order. Streams pack independently ->
+    parallelism = ``num_streams``; size the knob so one stream's docs fit a
+    task sort (corpus_tokens / num_streams partitions comfortably).
+    Determinism: assignment is a pure function of (salt, the stream's
+    member ids, their token counts) — reordering input rows or changing
+    partitioning never moves a doc; unlike ``hash_split``, corpus GROWTH
+    does shift packing of later ids within a stream (inherent to packing:
+    positions are cumulative by construction).
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if num_streams < 1:
+        raise ValueError(f"num_streams must be >= 1, got {num_streams}")
+    from ..functions.hashing import md5_int60
+
+    stream = F.pmod(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.lit(num_streams),
+    )
+    counted = documents.select(
+        F.col(id_col).alias("doc_id"),
+        stream.alias("stream"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("stream").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("global_start")
+    return (
+        counted.withColumn("global_start", start)
+        .withColumn("seq", F.floor(F.col("global_start") / max_tokens))
+        .select(
+            "doc_id",
+            "stream",
+            "seq",
+            (F.col("stream") * F.lit(1 << 32) + F.col("seq")).alias("seq_id"),
+            F.pmod(F.col("global_start"), F.lit(max_tokens)).alias("offset"),
+            "global_start",
+            "n_tokens",
+        )
+    )
 
 
 # PII patterns: explicit ASCII classes only (cross-engine: Java regex and

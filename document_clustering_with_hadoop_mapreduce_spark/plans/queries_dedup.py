@@ -139,12 +139,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The capstone a 100 TB training-data pipeline actually runs: quality
-# filters + VERIFIED duplicate-cluster representatives, one declarative
-# plan. Unlike dedup_components (which demonstrates raw banding CC), the
+# filters + benchmark decontamination + perplexity-proxy scoring +
+# VERIFIED duplicate-cluster representatives, one declarative plan.
+# Unlike dedup_components (which demonstrates raw banding CC), the
 # curation path verifies every LSH candidate with exact Jaccard >= 0.5
 # before clustering — at 100 TB an unverified band coincidence would
 # silently discard a unique document as a "duplicate".
+#
+# The decontamination gate uses a deterministic modulo slice of the corpus
+# as the benchmark stand-in (the fixtures ship no separate eval suite):
+# each "eval" doc trivially self-overlaps, so the gate provably removes a
+# known, non-empty id set plus any 5-gram near-copies — both engines
+# derive the same eval set, so the whole broadcast-semi-join + anti-join
+# machinery of ``operators/decontam.py`` is value-gated by the driver.
+# Gates compose as an INTERSECTION over the full corpus (quality AND clean
+# AND representative), which is order-independent; a production build
+# would typically decontaminate before electing representatives, but that
+# ordering only matters when a component representative is itself
+# contaminated, and the conservative intersection drops the doc either way.
 _CURATION_JACCARD = 0.5
+_DECONTAM_N = 5  # fixture texts are short word-soup; 5-grams overlap non-trivially
+_EVAL_PRED_SQL = "doc_id % 101 = 7"  # benchmark stand-in slice, mirrored in Spark
 
 
 def _verified_cc_oracle() -> str:
@@ -189,11 +204,40 @@ comp_full AS (
 
 
 def _curation_oracle() -> str:
+    from .oracles import MATRIX_CTE
     from .queries_events import _STOP_SQL, _TOKS
 
     n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END"
+    # matrix CTEs for the unigram-LM score (strip the leading WITH so they
+    # splice into the recursive CTE list)
+    matrix_ctes = MATRIX_CTE.strip().removeprefix("WITH")
     return f"""
 WITH RECURSIVE {_verified_cc_oracle()},
+{matrix_ctes},
+xtotals AS (SELECT term, sum(cnt)::BIGINT AS tc FROM matrix GROUP BY term),
+xmass AS (SELECT sum(tc)::DOUBLE AS m FROM xtotals),
+xent AS (
+  SELECT doc_id,
+         round(-sum(cnt * ln(t.tc / xmass.m)) / sum(cnt), 6) AS cross_entropy
+  FROM matrix JOIN xtotals t USING (term), xmass
+  GROUP BY doc_id
+),
+decon_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+decon_h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(array_to_string(toks[i:i+{_DECONTAM_N - 1}], ' ')), 1, 15)) AS BIGINT) AS h
+  FROM decon_t, UNNEST(generate_series(1, len(toks) - {_DECONTAM_N - 1})) AS t(i)
+  WHERE len(toks) >= {_DECONTAM_N}
+),
+eval_set AS (SELECT DISTINCT h FROM decon_h WHERE {_EVAL_PRED_SQL}),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM decon_h JOIN eval_set USING (h)
+),
 q AS (
   SELECT doc_id, lang,
          {n_tokens} AS n_tokens,
@@ -204,25 +248,33 @@ q AS (
                / nullif({n_tokens}, 0), 6) AS stopword_ratio
   FROM documents
 )
-SELECT q.doc_id, q.lang, q.n_tokens, q.n_chars, q.stopword_ratio, q.punct_ratio
+SELECT q.doc_id, q.lang, q.n_tokens, q.n_chars, q.stopword_ratio, q.punct_ratio,
+       x.cross_entropy
 FROM q JOIN comp_full c ON q.doc_id = c.doc_id
+LEFT JOIN xent x ON x.doc_id = q.doc_id
+LEFT JOIN contaminated k ON k.doc_id = q.doc_id
 WHERE c.component = q.doc_id AND q.n_tokens >= 20
-  AND q.stopword_ratio >= 0.02 AND q.punct_ratio <= 0.05"""
+  AND q.stopword_ratio >= 0.02 AND q.punct_ratio <= 0.05
+  AND k.doc_id IS NULL"""
 
 
 @register(
     "corpus_curation",
     _curation_oracle(),
     "end-to-end corpus curation: quality gates (length, stopword ratio, "
-    "punctuation ratio) + keep only VERIFIED duplicate-cluster "
-    "representatives (LSH candidates exact-Jaccard-verified >= 0.5 before "
-    "clustering) — the composed pipeline a training-data build runs; all "
-    "stages map-side except the LSH join, the pair-bounded verify joins "
-    "and the CC flood",
+    "punctuation ratio) + benchmark decontamination (broadcast eval 5-gram "
+    "set, anti-join removal of overlapping docs) + unigram cross-entropy "
+    "perplexity proxy surfaced per survivor + keep only VERIFIED "
+    "duplicate-cluster representatives (LSH candidates "
+    "exact-Jaccard-verified >= 0.5 before clustering) — the composed "
+    "pipeline a training-data build runs; all stages map-side except the "
+    "LSH join, the pair-bounded verify joins, the vocab-sized LM join and "
+    "the CC flood",
     tags=("dedup", "textstats"),
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import doc_quality
+    from ..operators.decontam import contamination_stats
+    from ..operators.textstats import doc_quality, unigram_cross_entropy
 
     docs = _docs(spark, sf_dir)
     # two consumers of the shingle stream (signatures + verification) and
@@ -246,17 +298,36 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = load_table(spark, sf_dir, "documents", fan_out=False)
     comp = duplicate_components(verified, documents=ids)
     qual = doc_quality(docs)
+    # CCNet-style perplexity proxy per survivor (vocab-sized LM join; the
+    # n_tokens it carries is the MATRIX mass, not the whitespace count the
+    # quality gate uses — keep only the score)
+    xent = unigram_cross_entropy(term_doc_counts(docs)).select("doc_id", "cross_entropy")
+    # benchmark decontamination, inlined from `decontaminate`: the anti-join
+    # runs against the HITS-sized flagged set (never the corpus-sized clean
+    # set) — the eval suite here is a deterministic modulo slice of the
+    # corpus, see the module comment above
+    eval_docs = docs.filter(F.col("doc_id") % 101 == 7)
+    flagged = (
+        contamination_stats(docs, eval_docs, n=_DECONTAM_N)
+        .filter(F.col("n_overlap") >= 1)
+        .select("doc_id")
+    )
     return (
         ids.select("doc_id", "lang")
         .join(qual, "doc_id")
         .join(comp, "doc_id")
+        .join(xent, "doc_id", "left")
+        .join(flagged, "doc_id", "left_anti")
         .filter(
             (F.col("component") == F.col("doc_id"))
             & (F.col("n_tokens") >= 20)
             & (F.col("stopword_ratio") >= 0.02)
             & (F.col("punct_ratio") <= 0.05)
         )
-        .select("doc_id", "lang", "n_tokens", "n_chars", "stopword_ratio", "punct_ratio")
+        .select(
+            "doc_id", "lang", "n_tokens", "n_chars", "stopword_ratio", "punct_ratio",
+            "cross_entropy",
+        )
     )
 
 
