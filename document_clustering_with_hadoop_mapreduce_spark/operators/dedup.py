@@ -189,6 +189,108 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def lsh_incremental_pairs(
+    existing_signatures: DataFrame,
+    new_signatures: DataFrame,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 256,
+    broadcast_new: bool = True,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental LSH dedup: candidate pairs that involve at least one NEW
+    document — new-vs-existing and new-vs-new, never existing-vs-existing
+    (those were enumerated when the existing corpus was built).
+    ``materialize=False`` skips the multi-consumer lazy checkpoints (for
+    callers that already materialized the banded substrate, and for plan
+    inspection — a lazy checkpoint truncates the visible plan).
+
+    The ingestion shape a 100 TB corpus actually needs: a daily batch lands
+    and must be deduped against the whole corpus without re-running the
+    quadratic-candidate step over history. Mechanics: both signature frames
+    band as in ``lsh_candidate_pairs``; the EXISTING banded stream is then
+    semi-joined against the new batch's (band_idx, band_key) set — with
+    ``broadcast_new`` (the normal case: a batch is MBs-GBs against a TB
+    corpus) that semi-join is a broadcast, so history is filtered map-side
+    down to only the buckets the batch touches, and everything downstream
+    (bucket-size window, guard, pair join) runs on that batch-bounded
+    subset. At full scale keep the existing corpus's banded frame as a
+    bucketed table on (band_idx, band_key) (``sources/bucketing.py``) and
+    the probe is exchange-free on the history side.
+
+    The hot-bucket guard matches ``lsh_candidate_pairs`` (bucket size
+    measured over the RELEVANT rows, which for a touched bucket is its full
+    membership): oversize buckets degrade to star edges on the bucket-min
+    doc, then — like every emitted pair — are filtered to those touching a
+    new doc. With the guard disabled, output is exactly
+    ``pairs(existing + new) - pairs(existing)``.
+
+    Doc ids must be unique ACROSS both frames (they share the pair space).
+    """
+    n_bands = num_hashes // rows_per_band
+
+    def band(sigs: DataFrame, is_new: bool) -> DataFrame:
+        bands = F.array(*[
+            F.concat_ws(":", *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+            for b in range(n_bands)
+        ])
+        return sigs.select(
+            "doc_id",
+            F.posexplode(bands).alias("band_idx", "band_key"),
+            F.lit(is_new).alias("is_new"),
+        )
+
+    banded_new = band(new_signatures, True)
+    if materialize:
+        banded_new = banded_new.localCheckpoint(eager=False)
+    touched = banded_new.select("band_idx", "band_key").distinct()
+    if broadcast_new:
+        touched = F.broadcast(touched)
+    relevant_old = band(existing_signatures, False).join(touched, ["band_idx", "band_key"], "left_semi")
+    banded = relevant_old.unionByName(banded_new)
+    star = None
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_idx", "band_key")
+        # min over (doc_id, is_new) structs = the min doc WITH its flag, so
+        # star edges can apply the at-least-one-new filter without a join
+        sized = banded.select(
+            "doc_id", "band_idx", "band_key", "is_new",
+            F.count(F.lit(1)).over(w).alias("__n"),
+            F.min(F.struct("doc_id", "is_new")).over(w).alias("__min"),
+        )
+        if materialize:
+            # three consumers, same reuse failure as lsh_candidate_pairs
+            sized = sized.localCheckpoint(eager=False)
+        banded = sized.filter(F.col("__n") <= max_bucket_size).select(
+            "doc_id", "band_idx", "band_key", "is_new"
+        )
+        star = (
+            sized.filter(
+                (F.col("__n") > max_bucket_size)
+                & (F.col("doc_id") != F.col("__min.doc_id"))
+                & (F.col("is_new") | F.col("__min.is_new"))
+            )
+            .select(F.col("__min.doc_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        )
+    elif materialize:
+        banded = banded.localCheckpoint(eager=False)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id"))
+            & (F.col("l.is_new") | F.col("r.is_new")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+    )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard over shared shingles.
 

@@ -518,3 +518,55 @@ def unigram_cross_entropy(matrix: DataFrame, materialize: bool = True) -> DataFr
             F.sum("cnt").alias("n_tokens"),
         )
     )
+
+
+def perplexity_buckets(
+    matrix: DataFrame,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    exact: bool = True,
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): bucket
+    every document by where its ``unigram_cross_entropy`` score falls
+    against the corpus-wide ``cuts`` quantiles — ``head`` (lowest
+    cross-entropy, most LM-like text) through ``tail`` (highest, the
+    garbled/unusual end). CCNet trains on head+middle and drops or
+    down-weights tail; the bucket label is the mixing key.
+
+    Output: (doc_id, cross_entropy, n_tokens, bucket). Thresholds are
+    ROUNDED to 6 decimals before the comparison in both engines, so the
+    boundary predicate is deterministic cross-engine even when scores tie
+    at a cut.
+
+    Scale shape: the quantile input is ONE double per document (corpus-count
+    rows, not token rows). ``exact=True`` uses ``percentile`` (==DuckDB
+    ``quantile_cont``, the oracle-parity path) whose final merge holds the
+    score column of one aggregation partition; at the 100 TB corpus scale
+    pass ``exact=False`` for ``approx_percentile`` (t-digest, map-side
+    merges, bounded memory) — the bucket EDGES shift within the sketch
+    error but the mechanism is identical. The 2-value threshold row rides a
+    broadcast crossJoin; everything else stays on the score frame.
+    """
+    lo, hi = cuts
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    # two consumers of the score frame (threshold agg + the labeling pass)
+    # and its lineage re-runs the whole LM join — materialize the
+    # one-row-per-doc frame once
+    scored = unigram_cross_entropy(matrix).localCheckpoint(eager=False)
+    fn = "percentile" if exact else "approx_percentile"
+    th = scored.agg(
+        F.round(F.expr(f"{fn}(cross_entropy, {lo!r})"), 6).alias("__t_lo"),
+        F.round(F.expr(f"{fn}(cross_entropy, {hi!r})"), 6).alias("__t_hi"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "cross_entropy",
+            "n_tokens",
+            F.when(F.col("cross_entropy") <= F.col("__t_lo"), F.lit("head"))
+            .when(F.col("cross_entropy") <= F.col("__t_hi"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
