@@ -189,6 +189,97 @@ def lsh_candidate_pairs(
     return pairs.distinct()
 
 
+def span_hashes(
+    documents: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Map-side (doc_id, pos, h) stream of rolling ``window``-token span
+    hashes (60-bit md5, 1-based token position, every ``stride`` tokens).
+    The substrate for exact-substring duplicate detection — same narrow
+    explode shape as ``shingle_hashes``, zero shuffle."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window and stride must be >= 1, got {window}, {stride}")
+    toks = F.col("__toks")
+    idx = F.when(
+        F.size(toks) >= window,
+        F.sequence(F.lit(1), F.size(toks) - (window - 1), F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"), md5_int60(F.concat_ws(" ", F.slice(toks, i, window))).alias("h")
+        ),
+    )
+    return _tokenized(documents, text_col, id_col).select(
+        "doc_id", F.explode(spans).alias("__s")
+    ).select("doc_id", F.col("__s.pos").alias("pos"), F.col("__s.h").alias("h"))
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    min_doc_freq: int = 2,
+    max_examples: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate report (the ExactSubstr signal of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally): every ``window``-token span whose EXACT
+    text recurs in at least ``min_doc_freq`` distinct documents, with
+    occurrence stats and a bounded sample of (doc, position) sites.
+
+    MinHash/SimHash find near-duplicate DOCUMENTS; this finds verbatim
+    repeated PASSAGES inside otherwise-distinct documents (licence
+    blocks, boilerplate headers, quoted chain-mail) — the signal a
+    span-cutting pass consumes. The suffix-array construction of the paper
+    is replaced by rolling span hashes: recall for spans >= ``window``
+    tokens aligned to ``stride`` (stride 1 = every span; stride ~window/2
+    halves the explode volume and still catches any duplicated run >=
+    window + stride - 1 tokens).
+
+    Output: (span_hash, n_docs, n_occurrences, example_docs) where
+    ``example_docs`` is a deterministic "doc:pos" sample joined with ','.
+
+    Scale shape: map-side explode -> ONE agg on (h, doc) (map-side partial
+    combine collapses within-doc repeats) -> window + agg on h. No
+    unbounded collect anywhere: the per-span example list is row_number-
+    capped at ``max_examples`` BEFORE the collect, so a span occurring in
+    a million docs aggregates counts wide but materializes only the cap
+    (the hot-key discipline every operator here follows).
+    """
+    spans = span_hashes(documents, window, stride, text_col, id_col)
+    per_doc = spans.groupBy("h", "doc_id").agg(
+        F.count(F.lit(1)).alias("__occ"), F.min("pos").alias("__first_pos")
+    )
+    w = Window.partitionBy("h")
+    ranked = per_doc.select(
+        "h", "doc_id", "__occ", "__first_pos",
+        F.count(F.lit(1)).over(w).alias("n_docs"),
+        F.sum("__occ").over(w).alias("n_occurrences"),
+        F.row_number().over(w.orderBy("doc_id")).alias("__rn"),
+    ).filter(F.col("n_docs") >= min_doc_freq)
+    return (
+        ranked.filter(F.col("__rn") <= max_examples)
+        .groupBy("h")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("n_occurrences").alias("n_occurrences"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.concat_ws(":", "doc_id", "__first_pos"))
+                ),
+                ",",
+            ).alias("example_docs"),
+        )
+        .withColumnRenamed("h", "span_hash")
+    )
+
+
 def lsh_incremental_pairs(
     existing_signatures: DataFrame,
     new_signatures: DataFrame,
