@@ -295,6 +295,74 @@ def stratified_sample(
     return documents.filter(draw < rate * F.lit(1_000_000.0))
 
 
+def mixture_rates(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum keep-rates that hit a token budget: the data-mixing
+    planner (Pile/Doremi-style "N billion tokens of lang X" recipes) that
+    feeds ``stratified_sample``.
+
+    Output: (stratum, available_tokens, budget_tokens, rate) with
+    rate = min(1, budget / available) rounded to 6 decimals — a stratum
+    with no budget entry keeps everything (rate 1, budget NULL); a budget
+    above the available mass also keeps everything (you cannot up-sample
+    by dropping). Document-level hash sampling then keeps the budget in
+    EXPECTATION over documents — exact-to-the-token packing is
+    ``sequence_pack``'s job downstream.
+
+    One aggregate exchange on the stratum key (map-side partial sums of a
+    map-side token count); output is strata-count rows.
+    """
+    avail = documents.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("available_tokens")
+    )
+    budget: Column = F.lit(None).cast("long")
+    for stratum in sorted(budgets):
+        budget = F.when(
+            F.col("stratum") == stratum, F.lit(int(budgets[stratum]))
+        ).otherwise(budget)
+    return avail.select(
+        "stratum",
+        "available_tokens",
+        budget.alias("budget_tokens"),
+        F.round(
+            F.when(
+                F.col("budget_tokens").isNull()
+                | (F.col("available_tokens") <= 0)
+                | (F.col("budget_tokens") >= F.col("available_tokens")),
+                F.lit(1.0),
+            ).otherwise(F.col("budget_tokens") / F.col("available_tokens")),
+            6,
+        ).alias("rate"),
+    )
+
+
+def sample_to_budget(
+    documents: DataFrame,
+    budgets: dict[str, int],
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``mixture_rates`` composed with ``stratified_sample``: down-sample
+    each stratum to its token budget (in expectation), deterministically.
+
+    The rates frame is strata-count rows — it is collected to the driver
+    (a k-row action, the same size class as k-means centroids) so the
+    sample itself stays a pure map-side hash filter with no join."""
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in mixture_rates(documents, budgets, stratum_col, text_col).collect()
+    }
+    return stratified_sample(
+        documents, rates, stratum_col=stratum_col, default_rate=1.0, salt=salt, id_col=id_col
+    )
+
+
 def sequence_pack(
     documents: DataFrame,
     max_tokens: int = 2048,
