@@ -112,3 +112,49 @@ def test_stream_term_counts_equals_batch(spark, sf_dir):
     want = {r["term"]: r["total_freq"]
             for r in term_totals(term_doc_counts(docs)).collect()}
     assert got == want
+
+
+def test_stream_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Telescoping equivalence: streaming the corpus in one-file micro-
+    batches and deduping each against the accumulated signature store
+    emits exactly the pairs the one-shot batch LSH finds — each pair once,
+    in the batch where its later doc arrives (guard off for exactness)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        run_stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # stage the corpus as 3 files so availableNow + maxFilesPerTrigger=1
+    # yields 3 micro-batches
+    staged = str(tmp_path / "docs_in")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(staged)
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+    )
+    got = run_stream_incremental_dedup(
+        stream,
+        signature_store=str(tmp_path / "sig_store"),
+        pairs_out=str(tmp_path / "pairs"),
+        max_bucket_size=None,
+    )
+    want = lsh_candidate_pairs(
+        minhash_signatures(shingle_hashes(docs, n=3)), max_bucket_size=None
+    )
+    g = {(r["doc_a"], r["doc_b"]) for r in got.collect()}
+    w = {(r["doc_a"], r["doc_b"]) for r in want.collect()}
+    assert g == w and len(got.collect()) == len(g), (
+        f"stream != batch: {len(g ^ w)} pairs differ (dupes={len(got.collect()) - len(g)})"
+    )
+    # the signature store accumulated every doc exactly once
+    assert spark.read.parquet(str(tmp_path / "sig_store")).count() == docs.count()
