@@ -284,6 +284,10 @@ def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
         "doc_cluster_top_terms",
         # broadcast side is the 25-row probe set of the brute-force baseline
         "knn_bruteforce",
+        # broadcast side is unigram_cross_entropy's 1-ROW corpus token-mass
+        # scalar (crossJoin(broadcast(mass)) — same class as tfidf's
+        # derived-N branch)
+        "corpus_curation",
     }
     for name, q in sorted(all_queries().items()):
         plan = _plan(q.spark(spark, sf_dir))
