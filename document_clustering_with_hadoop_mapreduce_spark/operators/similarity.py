@@ -328,3 +328,98 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def quantization_params(
+    embeddings: DataFrame, bits: int = 8, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension affine quantization parameters (mins, scales) for
+    ``quantize_embeddings``: scale_d = (max_d - min_d) / (2^bits - 1),
+    both rounded to 6 decimals so the DuckDB oracle reproduces every code.
+
+    One posexplode + (dim)-key aggregate; the result is dim-sized (the
+    same driver-footprint class as k-means centroids) and enters the
+    quantize plan as literal arrays. A degenerate dimension
+    (max == min) gets scale 0 and quantizes to code 0.
+    """
+    if bits < 1 or bits > 16:
+        raise ValueError(f"bits must be in [1, 16], got {bits}")
+    levels = (1 << bits) - 1
+    stats = (
+        embeddings.select(F.posexplode(_as_double(F.col(vec_col))).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("dim")
+        .collect()
+    )
+    mins = [round(r["mn"], 6) for r in stats]
+    maxs = [round(r["mx"], 6) for r in stats]
+    scales = [round((hi - lo) / levels, 6) for lo, hi in zip(mins, maxs)]
+    return mins, scales
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Affine int quantization of an embedding column: code_d =
+    floor((x_d - min_d) / scale_d + 0.5), clamped to [0, 2^bits - 1].
+
+    The storage/bandwidth lever for 100 TB embedding tables: float32 ->
+    int8 is a 4x cut in scan bytes and shuffle volume, with recall
+    measured (not assumed) by the tests against the exact float top-k.
+    floor(+0.5) instead of round() because both engines evaluate it with
+    identical IEEE semantics — DuckDB and the JVM disagree on round()'s
+    tie behavior. Map-side only: two literal dim-sized arrays, one
+    transform, no shuffle, no Python.
+    """
+    levels = (1 << bits) - 1
+    mn, sc = F.lit(mins), F.lit(scales)
+    code = F.transform(
+        _as_double(F.col(vec_col)),
+        lambda x, i: F.least(
+            F.lit(levels),
+            F.greatest(
+                F.lit(0),
+                F.when(F.element_at(sc, i + 1) == 0.0, F.lit(0)).otherwise(
+                    F.floor((x - F.element_at(mn, i + 1)) / F.element_at(sc, i + 1) + 0.5)
+                ).cast("int"),
+            ),
+        ),
+    )
+    return embeddings.select(F.col(id_col).alias("vec_id"), code.alias("qcodes"))
+
+
+def dequantize(qcodes: Column, mins: list[float], scales: list[float]) -> Column:
+    """x̂_d = min_d + code_d * scale_d — the reconstruction the quantized
+    scorer works over (error <= scale/2 per dimension)."""
+    mn, sc = F.lit(mins), F.lit(scales)
+    return F.transform(
+        qcodes, lambda q, i: F.element_at(mn, i + 1) + q * F.element_at(sc, i + 1)
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``cosine_topk`` over the QUANTIZED corpus: corpus and queries share
+    one parameter set, scoring runs on dequantized codes (same broadcast-
+    probe plan as the exact scorer — only the vector bytes shrink).
+    Recall vs the exact float top-k is pinned by the tests."""
+    mins, scales = quantization_params(embeddings, bits, vec_col)
+    corpus = quantize_embeddings(embeddings, mins, scales, bits, id_col, vec_col).select(
+        "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
+    )
+    probes = quantize_embeddings(queries, mins, scales, bits, id_col, vec_col).select(
+        "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
+    )
+    return cosine_topk(corpus, probes, k, id_col="vec_id", vec_col=vec_col)

@@ -1,0 +1,114 @@
+"""Embedding quantization: DuckDB oracle parity for the int codes,
+reconstruction-error bound, measured recall of the quantized scorer vs
+the exact float top-k, and the no-shuffle plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+    cosine_topk,
+    dequantize,
+    quantization_params,
+    quantize_embeddings,
+    quantized_topk,
+)
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+from conftest import assert_matches_oracle
+
+BITS = 8
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _codes_oracle(mins: list[float], scales: list[float], bits: int) -> str:
+    """Mirror of quantize_embeddings with the SAME literal params: the
+    floor(+0.5) form evaluates identically under IEEE doubles in both
+    engines (round() tie behavior differs between DuckDB and the JVM)."""
+    levels = (1 << bits) - 1
+    mn = "[" + ", ".join(repr(v) for v in mins) + "]"
+    sc = "[" + ", ".join(repr(v) for v in scales) + "]"
+    return f"""
+WITH p AS (SELECT {mn}::DOUBLE[] AS mn, {sc}::DOUBLE[] AS sc)
+SELECT vec_id,
+       list_transform(
+         list_zip(embedding, generate_series(1, len(embedding))),
+         t -> CASE WHEN p.sc[t[2]] = 0.0 THEN 0
+                   ELSE least({levels}, greatest(0,
+                        CAST(floor((t[1]::DOUBLE - p.mn[t[2]]) / p.sc[t[2]] + 0.5) AS INT)))
+              END
+       ) AS qcodes
+FROM read_parquet('__SF__/embeddings.parquet'), p"""
+
+
+def test_quantize_codes_match_oracle(spark, sf_dir, duck):
+    emb = _emb(spark, sf_dir)
+    mins, scales = quantization_params(emb, BITS)
+    df = quantize_embeddings(emb, mins, scales, BITS)
+    sql = _codes_oracle(mins, scales, BITS).replace("__SF__", sf_dir)
+    assert_matches_oracle(df, duck, sql)
+
+
+def test_quantization_reconstruction_error_bounded(spark, sf_dir):
+    """|x - dequantize(quantize(x))| <= scale/2 + rounding slack, per dim."""
+    emb = _emb(spark, sf_dir)
+    mins, scales = quantization_params(emb, BITS)
+    q = quantize_embeddings(emb, mins, scales, BITS)
+    joined = emb.select(F.col("vec_id"), "embedding").join(
+        q.select("vec_id", dequantize(F.col("qcodes"), mins, scales).alias("recon")),
+        "vec_id",
+    )
+    max_scale = max(scales)
+    err = joined.select(
+        F.aggregate(
+            F.zip_with("embedding", "recon", lambda a, b: F.abs(a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("e")
+    ).agg(F.max("e")).collect()[0][0]
+    assert err <= max_scale / 2 + 1e-5, (err, max_scale)
+
+
+def test_quantized_topk_recall_vs_exact(spark, sf_dir):
+    """int8 quantization must preserve the neighbor structure: recall@10
+    of the quantized scorer vs the exact float top-k, averaged over 20
+    probes, >= 0.8 (measured, not assumed)."""
+    emb = _emb(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk(emb, probes, k=10)
+    quant = quantized_topk(emb, probes, k=10, bits=BITS)
+    e = {}
+    for r in exact.collect():
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    qn = {}
+    for r in quant.collect():
+        qn.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & qn.get(q, set())) / len(e[q]) for q in e]
+    assert sum(recalls) / len(recalls) >= 0.8, sorted(recalls)[:5]
+
+
+def test_quantize_degenerate_dim_and_validation(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 5.0]), (2, [1.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    mins, scales = quantization_params(emb, bits=2)
+    assert mins == [1.0, 5.0] and scales == [0.0, round((9.0 - 5.0) / 3, 6)]
+    codes = {r["vec_id"]: r["qcodes"] for r in quantize_embeddings(emb, mins, scales, 2).collect()}
+    assert codes[1] == [0, 0] and codes[2] == [0, 3]  # constant dim -> 0
+    with pytest.raises(ValueError, match="bits"):
+        quantization_params(emb, bits=0)
+
+
+def test_quantize_plan_is_map_side(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    mins, scales = quantization_params(emb, BITS)
+    plan = (
+        quantize_embeddings(emb, mins, scales, BITS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Python" not in plan
