@@ -287,3 +287,108 @@ def test_c4_filter_matches_python_rules(spark, lines):
         assert len(out) == 1
         assert out[0]["clean_text"] == "\n".join(kept)
         assert out[0]["n_kept_lines"] == len(kept)
+
+
+word = st.text(alphabet="abcde", min_size=1, max_size=4)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(word, min_size=0, max_size=12).map(" ".join),
+        min_size=1, max_size=10,
+    ),
+    max_tokens=st.integers(min_value=1, max_value=16),
+)
+def test_sequence_pack_matches_python_packer(spark, docs, max_tokens):
+    """sequence_pack over one stream == a pure-Python cumulative packer."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        sequence_pack,
+    )
+
+    frame = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["seq"], r["offset"], r["global_start"], r["n_tokens"])
+        for r in sequence_pack(frame, max_tokens=max_tokens, num_streams=1).collect()
+    }
+    cum = 0
+    for i, text in enumerate(docs):
+        n = len(text.split()) if text.strip() else 0
+        assert got[i] == (cum // max_tokens, cum % max_tokens, cum, n), (i, got[i])
+        cum += n
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(word, min_size=0, max_size=10).map(" ".join),
+        min_size=1, max_size=8,
+    ),
+    window=st.integers(min_value=1, max_value=4),
+)
+def test_duplicate_spans_match_python_counter(spark, docs, window):
+    """duplicate_spans == a pure-Python rolling-window counter (the dedup
+    token pipeline: lowercase/clean keeps [a-e ] texts verbatim)."""
+    from collections import defaultdict
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    sites = defaultdict(list)  # span text -> [(doc, pos)]
+    for i, text in enumerate(docs):
+        toks = text.split()
+        for p in range(len(toks) - window + 1):
+            sites[" ".join(toks[p:p + window])].append((i, p + 1))
+    want = {}
+    for span, occ in sites.items():
+        by_doc = defaultdict(list)
+        for d, p in occ:
+            by_doc[d].append(p)
+        if len(by_doc) >= 2:
+            ex = sorted(f"{d}:{min(ps)}" for d, ps in sorted(by_doc.items())[:8])
+            want[span] = (len(by_doc), len(occ), ",".join(ex))
+    frame = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+    got = {
+        (r["n_docs"], r["n_occurrences"], r["example_docs"])
+        for r in duplicate_spans(frame, window=window).collect()
+    }
+    assert got == set(want.values()), (got, want)
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+            min_size=2, max_size=4,
+        ),
+        min_size=1, max_size=8,
+    ).filter(lambda vs: len({len(v) for v in vs}) == 1),
+    bits=st.integers(min_value=1, max_value=8),
+)
+def test_quantize_matches_python_formula(spark, vecs, bits):
+    """quantize_embeddings == the pure-Python floor(+0.5) affine formula."""
+    import math
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    mins, scales = quantization_params(frame, bits=bits)
+    levels = (1 << bits) - 1
+    got = {r["vec_id"]: r["qcodes"] for r in quantize_embeddings(frame, mins, scales, bits).collect()}
+    for i, v in enumerate(vecs):
+        for d, x in enumerate(v):
+            if scales[d] == 0.0:
+                expect = 0
+            else:
+                expect = min(levels, max(0, int(math.floor((float(x) - mins[d]) / scales[d] + 0.5))))
+            assert got[i][d] == expect, (i, d, got[i][d], expect)
