@@ -82,3 +82,73 @@ def test_planted_duplicate_clusters_recovered_at_50k_docs(spark):
         assert uniq.filter(F.col("component") != F.col("doc_id")).count() == 0
     finally:
         comp.unpersist()
+
+
+def test_incremental_dedup_recovers_planted_batch_dups_at_50k_history(spark):
+    """A 500-doc batch against 50k history docs: every batch doc is an
+    exact copy of one history doc (every band collides — structural
+    recall), so the incremental probe must link each to its source, emit
+    no history-history pairs, and nothing else."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        lsh_incremental_pairs,
+    )
+
+    hist = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.format_string(
+            "hist h%s na%s ob%s pc%s qd%s re%s sf%s tg%s uh%s",
+            *([F.col("id")] * 9),
+        ).alias("text"),
+    )
+    batch = spark.range(500).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.format_string(
+            "hist h%s na%s ob%s pc%s qd%s re%s sf%s tg%s uh%s",
+            *([F.col("id") * 50] * 9),
+        ).alias("text"),
+    )
+    sigs = lambda d: minhash_signatures(shingle_hashes(d, n=3), num_hashes=16, seed=42)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_incremental_pairs(sigs(hist), sigs(batch)).collect()
+    }
+    want = {(j * 50, 10_000_000 + j) for j in range(500)}
+    assert want <= pairs, f"missed {len(want - pairs)} planted batch duplicates"
+    assert all(a >= 10_000_000 or b >= 10_000_000 for a, b in pairs), (
+        "emitted a history-history pair"
+    )
+    # unique-text histories can only pair through the planted copies
+    assert pairs == want, f"{len(pairs - want)} spurious pairs"
+
+
+def test_duplicate_spans_planted_license_block_at_50k_docs(spark):
+    """A 10-token licence block planted verbatim in 2,000 of 50k otherwise
+    unique docs: duplicate_spans must report exactly that span with full
+    counts and the bounded example sample (the hot-span path — no
+    quadratic or unbounded materialization)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    licence = "permission is hereby granted free of charge to any person"  # 10 tokens
+    docs = spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") < 2_000,
+            F.format_string(
+                licence + " t%s u%s v%s w%s", *([F.col("id")] * 4)
+            ),
+        )
+        .otherwise(
+            F.format_string(
+                "unique words only a%s b%s c%s d%s e%s f%s g%s h%s i%s j%s",
+                *([F.col("id")] * 10),
+            )
+        )
+        .alias("text"),
+    )
+    out = duplicate_spans(docs, window=10, max_examples=8).collect()
+    assert len(out) == 1, [r.asDict() for r in out[:3]]
+    r = out[0]
+    assert r["n_docs"] == 2_000 and r["n_occurrences"] == 2_000
+    assert len(r["example_docs"].split(",")) == 8
