@@ -68,3 +68,44 @@ def test_decode_stub_is_explicit(spark, sf_dir):
         assert "plumbing" in str(exc) or "decoder" in str(exc)
     else:  # pragma: no cover - only if PIL ever appears
         raise AssertionError("expected NotImplementedError without Pillow")
+
+
+def test_media_histogram_pairs_matches_bruteforce_and_planted_dups(spark, sf_dir):
+    """Decode-free near-dup: the block-partitioned histogram-cosine top-k
+    equals the O(n^2) brute-force scorer over the same histograms, and a
+    planted re-encoded copy (same byte distribution, different id) ranks
+    as a perfect-cosine pair."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.multimodal import (
+        N_HIST_BINS,
+        byte_histograms,
+        media_histogram_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        top_similar_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    # plant a "re-encoded" copy: doc 0's bytes shuffled (identical
+    # histogram) under a fresh id
+    planted = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 900_000).alias("doc_id"),
+        F.reverse(F.col("text")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    media = as_media(docs.unionByName(planted))
+    got = media_histogram_pairs(media, k=10).collect()
+    # parity with the brute-force scorer over the same signature vectors
+    hists = byte_histograms(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.array(*[F.col(f"h{b}").cast("double") for b in range(N_HIST_BINS)]).alias(
+            "embedding"
+        ),
+    )
+    want = top_similar_pairs(hists, k=10).collect()
+    assert [(r["media_a"], r["media_b"], r["cos"]) for r in got] == [
+        (r["vec_a"], r["vec_b"], r["cos"]) for r in want
+    ]
+    # the planted byte-permuted copy is a perfect histogram match for doc 0
+    top = got[0]
+    assert (top["media_a"], top["media_b"]) == (0, 900_000)
+    assert top["cos"] == 1.0
