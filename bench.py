@@ -33,6 +33,18 @@ HEADLINE = [
 REF_ZIP = "/root/reference/sources/1.1/input/bbc-fulltext.zip"
 
 
+def min_of_runs(fn, n: int = 2) -> float:
+    """Min-of-n steady-state timing — the ONE timing discipline every bench
+    here uses (single warm samples on a shared-host VM carry scheduler
+    noise that can swamp a 10% code-level change)."""
+    runs = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        runs.append(time.perf_counter() - t0)
+    return round(min(runs), 3)
+
+
 def bench_reference_workload(spark) -> float | None:
     """Time the reference's OWN workload end-to-end: the BBC corpus
     (2,225 docs) through task 1.1's full pipeline (scan -> tokenize ->
@@ -52,9 +64,8 @@ def bench_reference_workload(spark) -> float | None:
     with zipfile.ZipFile(REF_ZIP) as z:
         z.extractall(corpus)
     ref_in = os.path.dirname(REF_ZIP)
-    runs = []
-    for _ in range(2):  # min-of-2, same discipline as the headline loop
-        t0 = time.perf_counter()
+
+    def run():
         m = task_1_1_term_doc_matrix(
             spark, corpus, f"{ref_in}/bbc.terms", f"{ref_in}/bbc.docs",
             f"{ref_in}/stopwords.txt",
@@ -62,8 +73,8 @@ def bench_reference_workload(spark) -> float | None:
         nnz = m.count()
         if nnz != 142278:  # golden nnz — the timing is for VERIFIED work
             raise RuntimeError(f"bbc task 1.1 produced {nnz} nnz, expected 142278")
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+
+    return min_of_runs(run)
 
 
 def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
@@ -84,9 +95,7 @@ def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
         F.col("id").alias("doc_id"),
         F.lit("common boilerplate header repeated on every page of the site").alias("text"),
     )
-    runs = []
-    for _ in range(2):  # min-of-2, same discipline as the headline loop
-        t0 = time.perf_counter()
+    def run():
         pairs = lsh_candidate_pairs(minhash_signatures(shingle_hashes(docs, n=3)))
         got = pairs.count()
         if got != n_docs - 1:  # star on the bucket-min doc, per band
@@ -95,8 +104,8 @@ def bench_lsh_skew_guard(spark, n_docs: int = 20000) -> float:
                 "(star on the bucket-min doc); timing aborted because the work "
                 "being measured is wrong"
             )
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
+
+    return min_of_runs(run)
 
 
 def bench_incremental_dedup(spark) -> dict[str, float]:
@@ -128,18 +137,10 @@ def bench_incremental_dedup(spark) -> dict[str, float]:
     old = sigs(hist).localCheckpoint()
     new = sigs(batch).localCheckpoint()
     both = old.unionByName(new)
-    out = {}
-    for name, fn in (
-        ("incremental_dedup_sec", lambda: lsh_incremental_pairs(old, new)),
-        ("full_dedup_sec", lambda: lsh_candidate_pairs(both)),
-    ):
-        runs = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn().count()
-            runs.append(time.perf_counter() - t0)
-        out[name] = round(min(runs), 3)
-    return out
+    return {
+        "incremental_dedup_sec": min_of_runs(lambda: lsh_incremental_pairs(old, new).count()),
+        "full_dedup_sec": min_of_runs(lambda: lsh_candidate_pairs(both).count()),
+    }
 
 
 def main() -> None:
@@ -161,15 +162,8 @@ def main() -> None:
         # run 1 (cold: includes plan + codegen compile), then two steady-state
         # runs, reporting the min — single warm samples on a shared-host VM
         # carry scheduler noise that can swamp a 10% code-level change
-        t0 = time.perf_counter()
-        assert q.spark(spark, SF_DIR).count() >= 0
-        cold[name] = round(time.perf_counter() - t0, 3)
-        warm = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            assert q.spark(spark, SF_DIR).count() >= 0
-            warm.append(time.perf_counter() - t0)
-        timings[name] = round(min(warm), 3)
+        cold[name] = min_of_runs(lambda: q.spark(spark, SF_DIR).count(), n=1)
+        timings[name] = min_of_runs(lambda: q.spark(spark, SF_DIR).count())
     total = round(sum(timings.values()), 3)
     ref_sec = bench_reference_workload(spark)
     skew_sec = bench_lsh_skew_guard(spark)
@@ -177,11 +171,7 @@ def main() -> None:
     # the curation capstone, timed but NOT in the headline total (it
     # composes many headline stages; keeping the total comparable
     # round-over-round matters more than double-counting them)
-    cur_runs = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        registry["corpus_curation"].spark(spark, SF_DIR).count()
-        cur_runs.append(time.perf_counter() - t0)
+    cur_sec = min_of_runs(lambda: registry["corpus_curation"].spark(spark, SF_DIR).count())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -192,7 +182,7 @@ def main() -> None:
         "cold_queries": cold,
         "bbc_task11_sec": ref_sec,
         "lsh_skew_guard_sec": skew_sec,
-        "corpus_curation_sec": round(min(cur_runs), 3),
+        "corpus_curation_sec": cur_sec,
         **inc,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

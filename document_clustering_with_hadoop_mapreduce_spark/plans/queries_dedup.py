@@ -159,7 +159,9 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contaminated, and the conservative intersection drops the doc either way.
 _CURATION_JACCARD = 0.5
 _DECONTAM_N = 5  # fixture texts are short word-soup; 5-grams overlap non-trivially
-_EVAL_PRED_SQL = "doc_id % 101 = 7"  # benchmark stand-in slice, mirrored in Spark
+# benchmark stand-in slice — interpolated into the oracle SQL AND applied
+# verbatim on the Spark side via F.expr, so the engines cannot drift
+_EVAL_PRED_SQL = "doc_id % 101 = 7"
 
 
 def _verified_cc_oracle() -> str:
@@ -306,7 +308,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs against the HITS-sized flagged set (never the corpus-sized clean
     # set) — the eval suite here is a deterministic modulo slice of the
     # corpus, see the module comment above
-    eval_docs = docs.filter(F.col("doc_id") % 101 == 7)
+    eval_docs = docs.filter(F.expr(_EVAL_PRED_SQL))  # ONE source of truth with the oracle
     flagged = (
         contamination_stats(docs, eval_docs, n=_DECONTAM_N)
         .filter(F.col("n_overlap") >= 1)

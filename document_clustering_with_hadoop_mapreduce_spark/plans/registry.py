@@ -82,7 +82,11 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     not pay a count job each time.
     """
     if sf_dir not in _N_DOCS_CACHE:
-        _N_DOCS_CACHE[sf_dir] = _docs(spark, sf_dir).count()
+        # fan_out=False: a count needs no repartition — with the fan-out the
+        # "footer count" would schedule a scan + exchange for nothing
+        _N_DOCS_CACHE[sf_dir] = load_table(
+            spark, sf_dir, "documents", fan_out=False
+        ).count()
     return _N_DOCS_CACHE[sf_dir]
 
 

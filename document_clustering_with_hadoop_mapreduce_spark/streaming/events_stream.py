@@ -74,6 +74,10 @@ def read_events_stream(
         )
         raw = spark.readStream.schema(schema).parquet(events_dir)
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # reset explicitly: the flag may linger from a prior ns-mode stream in
+    # this session, which is exactly the mis-declared-schema state the
+    # docstring warns about
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     schema = (
         "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
         "event_type STRING, value DOUBLE, props STRING"
@@ -230,7 +234,18 @@ def run_stream_incremental_dedup(
     state; at scale keep the store as a bucketed table on the band keys
     (``sources/bucketing.py``) so the history side of the probe is
     exchange-free, and compact it on the same cadence as checkpoints.
+
+    Restart/retry discipline: the stream checkpoint lives NEXT TO the
+    signature store (``<signature_store>_checkpoint``) so a later
+    invocation over the same store RESUMES from the recorded file offsets
+    instead of replaying ingested files into it; and both stores are
+    written as per-batch OVERWRITES keyed by ``batch_id``
+    (``.../batch=<id>/``) so foreachBatch's at-least-once retry of a
+    half-written batch is idempotent — a retry rewrites its own batch
+    directory, never appends a duplicate.
     """
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import (
         lsh_candidate_pairs,
         lsh_incremental_pairs,
@@ -240,18 +255,26 @@ def run_stream_incremental_dedup(
 
     spark = doc_stream.sparkSession
 
+    def _read_store(path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path).drop("batch")
+        except AnalysisException as e:
+            # only "path does not exist" means an empty store; any other
+            # read failure (corrupt file, FS error) must SURFACE — silently
+            # deduping a batch against nothing loses every new-vs-history
+            # pair with no error
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return None
+            raise
+
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         sigs_new = minhash_signatures(
             shingle_hashes(batch_df, n=3), num_hashes=num_hashes
         ).localCheckpoint()  # two consumers (pair join + store append): one materialization
         if sigs_new.isEmpty():
             return
-        try:
-            old = spark.read.parquet(signature_store)
-            have_history = True
-        except Exception:
-            have_history = False
-        if have_history:
+        old = _read_store(signature_store)
+        if old is not None:
             pairs = lsh_incremental_pairs(
                 old, sigs_new,
                 num_hashes=num_hashes, rows_per_band=rows_per_band,
@@ -262,21 +285,21 @@ def run_stream_incremental_dedup(
                 sigs_new, num_hashes=num_hashes, rows_per_band=rows_per_band,
                 max_bucket_size=max_bucket_size,
             )
-        pairs.write.mode("append").parquet(pairs_out)
-        sigs_new.write.mode("append").parquet(signature_store)
+        pairs.write.mode("overwrite").parquet(f"{pairs_out}/batch={batch_id}")
+        sigs_new.write.mode("overwrite").parquet(f"{signature_store}/batch={batch_id}")
 
     q = (
         doc_stream.writeStream.foreachBatch(process_batch)
         .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="dedup_stream_ckpt_"))
+        .option("checkpointLocation", f"{signature_store}_checkpoint")
         .start()
     )
     q.awaitTermination()
-    try:
-        return spark.read.parquet(pairs_out)
-    except Exception:
+    out = _read_store(pairs_out)
+    if out is None:
         # no batch produced pairs — empty frame with the pair schema
         return spark.createDataFrame([], "doc_a BIGINT, doc_b BIGINT")
+    return out
 
 
 def stream_term_counts(documents: DataFrame) -> DataFrame:

@@ -158,3 +158,53 @@ def test_stream_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     )
     # the signature store accumulated every doc exactly once
     assert spark.read.parquet(str(tmp_path / "sig_store")).count() == docs.count()
+
+
+def test_stream_incremental_dedup_resumes_without_replay(spark, tmp_path):
+    """A second invocation over the same stores must RESUME from the
+    recorded file offsets (checkpoint lives next to the signature store):
+    already-ingested files are not re-signed into the store and previously
+    emitted pairs are not re-emitted."""
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        run_stream_incremental_dedup,
+    )
+
+    docs = load_table(spark, sf_dir_module := "/root/testdata/sf0.001", "documents")
+    staged = str(tmp_path / "docs_in")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    mk_stream = lambda: (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(staged)
+    )
+    first = docs.filter(F.col("doc_id") % 2 == 0)
+    first.coalesce(1).write.mode("append").parquet(staged)
+    store, pairs_out = str(tmp_path / "sigs"), str(tmp_path / "pairs")
+    got1 = run_stream_incremental_dedup(
+        mk_stream(), signature_store=store, pairs_out=pairs_out, max_bucket_size=None
+    )
+    n1 = got1.count()
+    assert spark.read.parquet(store).count() == first.count()
+    # second run: one NEW file lands; the first file must not replay
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(staged)
+    got2 = run_stream_incremental_dedup(
+        mk_stream(), signature_store=store, pairs_out=pairs_out, max_bucket_size=None
+    )
+    assert spark.read.parquet(store).count() == docs.count(), (
+        "store grew beyond the corpus: ingested files were replayed"
+    )
+    # pairs accumulate exactly the one-shot result, no duplicates
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(shingle_hashes(docs, n=3)), max_bucket_size=None
+        ).collect()
+    }
+    rows = got2.select("doc_a", "doc_b").collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert got == want and len(rows) == len(got)
+    assert got2.count() >= n1
