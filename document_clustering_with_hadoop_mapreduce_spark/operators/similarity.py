@@ -423,3 +423,98 @@ def quantized_topk(
         "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
     )
     return cosine_topk(corpus, probes, k, id_col="vec_id", vec_col=vec_col)
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
+    k-means-cluster the embedding space, then find near-duplicate pairs ONLY
+    within each cluster and keep, per above-threshold pair, the member with
+    the LOWER cosine similarity to its cluster centroid (the paper's
+    keep-the-outlier policy — the low-centroid-sim member is the less
+    redundant representative).
+
+    Returns ``(docs, pairs)``:
+
+    - ``docs``:  (vec_id, cluster, centroid_cos, keep) — one row per input
+      vector; ``keep`` is False iff some same-cluster neighbor with cosine
+      >= threshold has a strictly lower (centroid_cos, vec_id) key, so of
+      every near-dup pair exactly one member is dropped and the decision is
+      engine-deterministic (6dp-rounded sims, vec_id tie-break).
+    - ``pairs``: (cluster, vec_a, vec_b, cos) with vec_a < vec_b — the
+      above-threshold within-cluster near-dup edges, for auditing.
+
+    Scale design (the whole point of the method): pair candidates
+    materialize only inside an equi-join on ``cluster``, so the candidate
+    volume is sum_c |c|^2 — controlled by k, which SemDeDup scales with the
+    corpus (n/k vectors per cluster; the paper uses ~10k-100k clusters at
+    web scale). Assignment is one map-side pass against a k x d literal
+    (``assign_nearest``); no global pair enumeration, no broadcast of any
+    per-document frame. The drop rule is a projection over the pair frame
+    plus one distinct + one hash join back on vec_id.
+
+    Reference parity note: the reference engine has no semantic dedup; this
+    is a north-star extension composing its clustering surface
+    (sources/2.2/source/KMeans.java assignment semantics, re-expressed in
+    ``assign_nearest``) with the dedup family in ``operators/dedup.py``.
+    """
+    from .kmeans import assign_nearest
+
+    cents = F.lit([[float(v) for v in c] for c in centroids])
+    assigned = assign_nearest(embeddings, centroids, features_col=vec_col)
+    base = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        F.col("cluster"),
+        F.round(
+            cosine_similarity(
+                _as_double(F.col(vec_col)), F.element_at(cents, F.col("cluster") + 1)
+            ),
+            6,
+        ).alias("centroid_cos"),
+        _as_double(F.col(vec_col)).alias("_v"),
+    )
+    left = base.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("centroid_cos").alias("cos_a"),
+        F.col("_v").alias("_va"),
+    )
+    right = base.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("centroid_cos").alias("cos_b"),
+        F.col("_v").alias("_vb"),
+    )
+    pairs = (
+        left.join(right, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+        )
+        .filter(F.col("cos") >= float(threshold))
+        .select("cluster", "vec_a", "vec_b", "cos", "cos_a", "cos_b")
+    )
+    # of each pair drop the HIGHER-centroid-sim member; centroid_cos tie
+    # (incl. exact duplicates) drops the larger vec_id, so exactly one
+    # member of every edge is marked and the mark-set is deterministic.
+    dropped = pairs.select(
+        F.when(F.col("cos_b") >= F.col("cos_a"), F.col("vec_b"))
+        .otherwise(F.col("vec_a"))
+        .alias("vec_id")
+    ).distinct()
+    docs = (
+        base.drop("_v")
+        .join(dropped.withColumn("_drop", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            "centroid_cos",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep"),
+        )
+    )
+    return docs, pairs.select("cluster", "vec_a", "vec_b", "cos")
