@@ -431,6 +431,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    materialize: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embedding space, then find near-duplicate pairs ONLY
@@ -478,6 +479,12 @@ def semdedup(
         ).alias("centroid_cos"),
         _as_double(F.col(vec_col)).alias("_v"),
     )
+    if materialize:
+        # three consumers (pair-join left/right + the keep fan-back):
+        # Catalyst never unifies the assignment subtrees, so without this
+        # the scan + k-centroid distance math runs three times (the
+        # single-materialization pattern, see operators/dedup.py:160)
+        base = base.localCheckpoint(eager=False)
     left = base.select(
         F.col("cluster"),
         F.col("vec_id").alias("vec_a"),

@@ -4,11 +4,14 @@ the generated oracle SQL (bit-identical bucket assignment)."""
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     block_topk_pairs,
+    semdedup,
     cosine_topk,
     lsh_bucketed_topk,
     random_hyperplanes,
@@ -100,36 +103,114 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_topk(_emb(spark, sf_dir), PLANES, k=3)
 
 
-@register(
-    "embedding_top_pairs",
-    f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    pairs AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             round({_cos_sql('a.v', 'b.v')}, 6) AS cos
-      FROM e a JOIN e b ON a.vec_id < b.vec_id
-    )
-    SELECT vec_a, vec_b, cos FROM pairs
-    ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20""",
-    "embedding-cosine near-dup: 20 globally most-similar pairs, EXACT via "
-    "block-pair partitioning (equi-join on block-task key, no broadcast "
-    "nested loop; LSH can't reach recall-1 on isotropic data — see "
-    "operators.similarity.block_topk_pairs)",
-    tags=("similarity", "dedup"),
-)
-def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return block_topk_pairs(_emb(spark, sf_dir), k=20, n_blocks=16)
-
-
-N_CELLS = 8
-NPROBE = 2
-
-
 def _sqd_sql(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(generate_series(1, len({a})), "
         f"i -> ({a}[i]-{b}[i])*({a}[i]-{b}[i])))"
     )
+
+
+# SemDeDup half of the fused embedding_top_pairs slot: seeded gaussian
+# centroids (data-independent literals shared with the oracle), within-
+# cluster pair threshold picked at the ~99.9th pct of this corpus's
+# pairwise-cosine distribution so the verified set is non-trivial but
+# bounded at every SF.
+SD_K = 8
+SD_THRESH = 0.35
+
+
+def _sd_centroids() -> list[list[float]]:
+    rng = random.Random(21)
+    return [
+        [round(rng.gauss(0.0, 1.0), 6) for _ in range(DIM)] for _ in range(SD_K)
+    ]
+
+
+def _semdedup_fused_oracle() -> str:
+    cent_rows = ", ".join(
+        f"({cid}, {c}::DOUBLE[])" for cid, c in enumerate(_sd_centroids())
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    top AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+      ORDER BY cos DESC, vec_a ASC, vec_b ASC LIMIT 20
+    ),
+    cents(cid, c) AS (VALUES {cent_rows}),
+    d AS (
+      SELECT vec_id, v, cid,
+             round({_sqd_sql('v', 'c')}, 6) AS dist
+      FROM e CROSS JOIN cents
+    ),
+    a AS (
+      SELECT vec_id, v, cid AS cluster,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+      FROM d
+    ),
+    base AS (
+      SELECT vec_id, v, cluster, round({_cos_sql('v', 'c')}, 6) AS centroid_cos
+      FROM a JOIN cents ON cluster = cid WHERE rn = 1
+    ),
+    sd_pairs AS (
+      SELECT l.cluster, l.vec_id AS vec_a, r.vec_id AS vec_b,
+             round({_cos_sql('l.v', 'r.v')}, 6) AS cos,
+             l.centroid_cos AS cos_a, r.centroid_cos AS cos_b
+      FROM base l JOIN base r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+    ),
+    hits AS (SELECT * FROM sd_pairs WHERE cos >= {SD_THRESH}),
+    dropped AS (
+      SELECT DISTINCT CASE WHEN cos_b >= cos_a THEN vec_b ELSE vec_a END AS vec_id
+      FROM hits
+    )
+    SELECT 'top' AS kind, vec_a AS id_a, vec_b AS id_b, cos AS value FROM top
+    UNION ALL
+    SELECT 'sd_pair' AS kind, vec_a, vec_b, cos FROM hits
+    UNION ALL
+    SELECT 'sd_drop' AS kind, b.vec_id, b.cluster::BIGINT, b.centroid_cos
+    FROM base b JOIN dropped d ON b.vec_id = d.vec_id"""
+
+
+@register(
+    "embedding_top_pairs",
+    _semdedup_fused_oracle(),
+    "embedding near-dup, fused slot: kind='top' rows are the 20 globally "
+    "most-similar pairs, EXACT via block-pair partitioning (equi-join on "
+    "block-task key, no broadcast nested loop; LSH can't reach recall-1 on "
+    "isotropic data — see operators.similarity.block_topk_pairs); "
+    "kind='sd_pair'/'sd_drop' rows are SemDeDup (Abbas et al. 2023): "
+    "within-cluster near-dup edges over seeded centroids and the dropped "
+    "(higher-centroid-sim) member of each, cluster-bounded candidate volume",
+    tags=("similarity", "dedup"),
+)
+def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    top = block_topk_pairs(emb, k=20, n_blocks=16)
+    docs, sd_pairs = semdedup(emb, _sd_centroids(), threshold=SD_THRESH)
+    top_rows = top.select(
+        F.lit("top").alias("kind"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("cos").alias("value"),
+    )
+    pair_rows = sd_pairs.select(
+        F.lit("sd_pair").alias("kind"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("cos").alias("value"),
+    )
+    drop_rows = docs.filter(~F.col("keep")).select(
+        F.lit("sd_drop").alias("kind"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster").cast("long").alias("id_b"),
+        F.col("centroid_cos").alias("value"),
+    )
+    return top_rows.unionByName(pair_rows).unionByName(drop_rows)
+
+
+N_CELLS = 8
+NPROBE = 2
 
 
 @register(
