@@ -100,11 +100,14 @@ def dsir_weights(
     a hand-curated subset). Both unigram LMs are add-``alpha`` smoothed over
     the same ``n_buckets`` support, so every bucket has finite log-mass.
 
-    Per-bucket log-ratios are quantized to EXACT 1e-8 integers before the
-    per-doc sum — sum(cnt * lr8) is then pure BIGINT arithmetic, identical
+    Per-bucket log-ratios are quantized to EXACT 1e-6 integers before the
+    per-doc sum — sum(cnt * lr6) is then pure BIGINT arithmetic, identical
     in any engine and any partition order (a float sum rounded after the
-    fact still flips the 6th decimal across engines — measured); the final
-    weight is lr-sum / 1e8 rounded to 6dp.
+    fact still flips the 6th decimal across engines — measured), and the
+    final weight lr-sum / 1e6 carries exactly six decimal digits so NO
+    further rounding happens (round(x, 6) itself is engine-divergent when
+    an 8-digit quotient lands on a half: BigDecimal-of-shortest-repr vs
+    multiply-round — also measured, one flipped row at sf0.1).
     """
     # three consumers (raw LM, target LM, per-doc scoring): materialize the
     # explode+aggregate ONCE (the single-materialization pattern used for
@@ -140,20 +143,18 @@ def dsir_weights(
                         / (F.col("q_tot") + F.lit(float(alpha) * n_buckets))
                     )
                 )
-                * F.lit(1e8),
+                * F.lit(1e6),
                 0,
             )
             .cast("long")
-            .alias("lr8"),
+            .alias("lr6"),
         )
     )
     return (
         feat.join(F.broadcast(dist), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum(F.col("cnt") * F.col("lr8")) / F.lit(1e8), 6).alias(
-                "log_weight"
-            )
+            (F.sum(F.col("cnt") * F.col("lr6")) / F.lit(1e6)).alias("log_weight")
         )
     )
 
@@ -196,3 +197,55 @@ def dsir_resample(
         .withColumn("rank", F.row_number().over(w))
         .select("doc_id", "log_weight", "score", "rank")
     )
+
+
+def dsir_oracle_cte(
+    target_pred_sql: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    prefix: str = "ds_",
+) -> str:
+    """DuckDB CTE list (no leading WITH) reproducing ``dsir_weights`` over
+    the ``documents`` view bit-for-bit — same clean/split regexes, the same
+    md5-60bit gram hash, the same 1e-8 integer quantization of the
+    log-ratios. ``{prefix}w`` is the final (doc_id, log_weight) relation;
+    all CTE names carry ``prefix`` so the block splices into composed
+    oracles (the curation capstone) without collisions."""
+    from ..functions.text import CLEAN_RE_DUCKDB
+
+    p = prefix
+    a = float(alpha)
+    ab = a * n_buckets
+    hash_g = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)"
+    return f"""{p}t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g')), '[ \\t\\n\\r]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+{p}grams AS (
+  SELECT doc_id, toks[i] AS g
+  FROM {p}t, UNNEST(generate_series(1, len(toks))) AS t(i)
+  UNION ALL
+  SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS g
+  FROM {p}t, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+  WHERE len(toks) >= 2
+),
+{p}feat AS (
+  SELECT doc_id, ({hash_g}) % {n_buckets} AS bucket, count(*) AS cnt
+  FROM {p}grams GROUP BY doc_id, bucket
+),
+{p}tids AS (SELECT doc_id FROM documents WHERE {target_pred_sql}),
+{p}raw AS (SELECT bucket, sum(cnt) AS q_cnt FROM {p}feat GROUP BY bucket),
+{p}tgt AS (SELECT bucket, sum(cnt) AS p_cnt FROM {p}feat JOIN {p}tids USING (doc_id) GROUP BY bucket),
+{p}tots AS (SELECT (SELECT sum(q_cnt) FROM {p}raw) AS q_tot, (SELECT sum(p_cnt) FROM {p}tgt) AS p_tot),
+{p}dist AS (
+  SELECT bucket,
+         CAST(round((ln((coalesce(p_cnt, 0) + {a}) / (p_tot + {ab}))
+             - ln((q_cnt + {a}) / (q_tot + {ab}))) * 1e6, 0) AS BIGINT) AS lr6
+  FROM {p}raw LEFT JOIN {p}tgt USING (bucket) CROSS JOIN {p}tots
+),
+{p}w AS (
+  SELECT doc_id, sum(cnt * lr6) / 1e6 AS log_weight
+  FROM {p}feat JOIN {p}dist USING (bucket) GROUP BY doc_id
+)"""

@@ -162,6 +162,10 @@ _DECONTAM_N = 5  # fixture texts are short word-soup; 5-grams overlap non-trivia
 # benchmark stand-in slice — interpolated into the oracle SQL AND applied
 # verbatim on the Spark side via F.expr, so the engines cannot drift
 _EVAL_PRED_SQL = "doc_id % 101 = 7"
+# DSIR target slice + bucket table size for the capstone's target-likeness
+# score (operators/dsir.py) — same shared-predicate discipline as above
+_DSIR_TGT_SQL = "lang = 'en'"
+_DSIR_B = 512
 
 
 def _verified_cc_oracle() -> str:
@@ -206,6 +210,7 @@ comp_full AS (
 
 
 def _curation_oracle() -> str:
+    from ..operators.dsir import dsir_oracle_cte
     from .oracles import MATRIX_CTE
     from .queries_events import _STOP_SQL, _TOKS
 
@@ -215,6 +220,7 @@ def _curation_oracle() -> str:
     matrix_ctes = MATRIX_CTE.strip().removeprefix("WITH")
     return f"""
 WITH RECURSIVE {_verified_cc_oracle()},
+{dsir_oracle_cte(_DSIR_TGT_SQL, n_buckets=_DSIR_B)},
 {matrix_ctes},
 xtotals AS (SELECT term, sum(cnt)::BIGINT AS tc FROM matrix GROUP BY term),
 xmass AS (SELECT sum(tc)::DOUBLE AS m FROM xtotals),
@@ -251,9 +257,10 @@ q AS (
   FROM documents
 )
 SELECT q.doc_id, q.lang, q.n_tokens, q.n_chars, q.stopword_ratio, q.punct_ratio,
-       x.cross_entropy
+       x.cross_entropy, w.log_weight AS dsir_logw
 FROM q JOIN comp_full c ON q.doc_id = c.doc_id
 LEFT JOIN xent x ON x.doc_id = q.doc_id
+LEFT JOIN ds_w w ON w.doc_id = q.doc_id
 LEFT JOIN contaminated k ON k.doc_id = q.doc_id
 WHERE c.component = q.doc_id AND q.n_tokens >= 20
   AND q.stopword_ratio >= 0.02 AND q.punct_ratio <= 0.05
@@ -276,6 +283,7 @@ WHERE c.component = q.doc_id AND q.n_tokens >= 20
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decontam import contamination_stats
+    from ..operators.dsir import dsir_weights
     from ..operators.textstats import doc_quality, unigram_cross_entropy
 
     docs = _docs(spark, sf_dir)
@@ -314,11 +322,15 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_overlap") >= 1)
         .select("doc_id")
     )
+    # DSIR target-likeness per survivor (bucketed n-gram LMs; the log-ratio
+    # table is n_buckets-bounded so its join broadcasts — see operators/dsir.py)
+    dsw = dsir_weights(docs, F.expr(_DSIR_TGT_SQL), n_buckets=_DSIR_B)
     return (
         ids.select("doc_id", "lang")
         .join(qual, "doc_id")
         .join(comp, "doc_id")
         .join(xent, "doc_id", "left")
+        .join(dsw.withColumnRenamed("log_weight", "dsir_logw"), "doc_id", "left")
         .join(flagged, "doc_id", "left_anti")
         .filter(
             (F.col("component") == F.col("doc_id"))
@@ -328,7 +340,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "lang", "n_tokens", "n_chars", "stopword_ratio", "punct_ratio",
-            "cross_entropy",
+            "cross_entropy", "dsir_logw",
         )
     )
 

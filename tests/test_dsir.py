@@ -11,8 +11,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from document_clustering_with_hadoop_mapreduce_spark.functions.text import CLEAN_RE_DUCKDB
 from document_clustering_with_hadoop_mapreduce_spark.operators.dsir import (
+    dsir_oracle_cte,
     dsir_resample,
     dsir_weights,
     gumbel_key,
@@ -26,47 +26,9 @@ B = 512  # small bucket table so collisions actually occur in the fixture
 ALPHA = 1.0
 TARGET = "lang = 'en'"  # exemplar slice: both engines share this predicate
 
-# token array per doc — same clean/split as functions.text.tokens, empties
-# filtered (mirrors hashed_ngram_counts' projection)
-_TOKS_CTE = f"""
-docs_t AS (
-  SELECT doc_id,
-         list_filter(string_split_regex(trim(regexp_replace(lower(text), '{CLEAN_RE_DUCKDB}', '', 'g')), '[ \\t\\n\\r]+'),
-                     t -> t <> '') AS toks
-  FROM documents
-)"""
-
-_HASH = "CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)"
-
-_FEAT_CTE = f"""{_TOKS_CTE},
-grams AS (
-  SELECT doc_id, toks[i] AS g
-  FROM docs_t, UNNEST(generate_series(1, len(toks))) AS t(i)
-  UNION ALL
-  SELECT doc_id, concat(toks[i], ' ', toks[i+1]) AS g
-  FROM docs_t, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
-  WHERE len(toks) >= 2
-),
-feat AS (
-  SELECT doc_id, ({_HASH}) % {B} AS bucket, count(*) AS cnt
-  FROM grams GROUP BY doc_id, bucket
-)"""
-
-_WEIGHTS_CTE = f"""{_FEAT_CTE},
-tgt_ids AS (SELECT doc_id FROM documents WHERE {TARGET}),
-raw AS (SELECT bucket, sum(cnt) AS q_cnt FROM feat GROUP BY bucket),
-tgt AS (SELECT bucket, sum(cnt) AS p_cnt FROM feat JOIN tgt_ids USING (doc_id) GROUP BY bucket),
-tots AS (SELECT (SELECT sum(q_cnt) FROM raw) AS q_tot, (SELECT sum(p_cnt) FROM tgt) AS p_tot),
-dist AS (
-  SELECT bucket,
-         CAST(round((ln((coalesce(p_cnt, 0) + {ALPHA}) / (p_tot + {ALPHA * B}))
-             - ln((q_cnt + {ALPHA}) / (q_tot + {ALPHA * B}))) * 1e8, 0) AS BIGINT) AS lr8
-  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tots
-),
-weights AS (
-  SELECT doc_id, round(sum(cnt * lr8) / 1e8, 6) AS log_weight
-  FROM feat JOIN dist USING (bucket) GROUP BY doc_id
-)"""
+# the SINGLE-SOURCE oracle CTE block — the same generator the registered
+# curation capstone splices in (operators.dsir.dsir_oracle_cte)
+_WEIGHTS_CTE = dsir_oracle_cte(TARGET, n_buckets=B, alpha=ALPHA, prefix="ds_")
 
 
 def _docs(spark, sf_dir):
@@ -76,7 +38,7 @@ def _docs(spark, sf_dir):
 def test_hashed_ngram_counts_match_duckdb(spark, sf_dir, duck):
     feat = hashed_ngram_counts(_docs(spark, sf_dir), n_buckets=B)
     assert_matches_oracle(
-        feat, duck, f"WITH {_FEAT_CTE.lstrip()} SELECT doc_id, bucket, cnt FROM feat"
+        feat, duck, f"WITH {_WEIGHTS_CTE} SELECT doc_id, bucket, cnt FROM ds_feat"
     )
 
 
@@ -85,7 +47,7 @@ def test_dsir_weights_match_duckdb(spark, sf_dir, duck):
         _docs(spark, sf_dir), F.expr(TARGET), n_buckets=B, alpha=ALPHA
     )
     assert_matches_oracle(
-        w, duck, f"WITH {_WEIGHTS_CTE.lstrip()} SELECT doc_id, log_weight FROM weights"
+        w, duck, f"WITH {_WEIGHTS_CTE} SELECT doc_id, log_weight FROM ds_w"
     )
 
 
@@ -98,11 +60,11 @@ def test_dsir_resample_matches_duckdb(spark, sf_dir, duck):
         "((CAST(('0x' || substr(md5(concat('dsir', ':', doc_id::VARCHAR)), 1, 15)) AS BIGINT) + 1)"
         f" / ({float(1 << 60)} + 1.0))"
     )
-    sql = f"""WITH {_WEIGHTS_CTE.lstrip()},
+    sql = f"""WITH {_WEIGHTS_CTE},
     scored AS (
       SELECT doc_id, log_weight,
              round(log_weight + (-ln(-ln({u}))), 6) AS score
-      FROM weights
+      FROM ds_w
     ),
     rk AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank FROM scored)
     SELECT doc_id, log_weight, score, rank FROM rk WHERE rank <= 25"""
