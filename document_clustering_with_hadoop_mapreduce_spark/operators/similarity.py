@@ -248,6 +248,46 @@ def block_topk_pairs(
     )
 
 
+def _probe_cells(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qvec, cell): each query replicated onto its ``nprobe``
+    nearest coarse-quantizer cells (re-rank all k dists — k is tiny).
+    Centroids ship as one nested-array literal; zip_with+aggregate keeps
+    the same fold order as an unrolled sum (see operators.kmeans)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
+    )
+    cents_lit = F.lit([[float(v) for v in c] for c in centroids])
+    probe_structs = F.transform(
+        cents_lit,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("qvec"), c, lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            i.alias("cell"),
+        ),
+    )
+    return (
+        q.select(
+            "query_id",
+            "qvec",
+            F.slice(F.array_sort(probe_structs), 1, nprobe).alias("pr"),
+        )
+        .select("query_id", "qvec", F.explode("pr").alias("p"))
+        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -282,36 +322,7 @@ def ivf_topk(
         "vec_id", "vec", F.col("cluster").alias("cell")
     )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    )
-    # per query: nprobe nearest cells (re-rank all k dists — k is tiny).
-    # Centroids ship as one nested-array literal; zip_with+aggregate keeps
-    # the same fold order as an unrolled sum (see operators.kmeans).
-    cents_lit = F.lit([[float(v) for v in c] for c in centroids])
-    probe_structs = F.transform(
-        cents_lit,
-        lambda c, i: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(F.col("qvec"), c, lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
-            ).alias("d"),
-            i.alias("cell"),
-        ),
-    )
-    probes = (
-        q.select(
-            "query_id",
-            "qvec",
-            F.slice(F.array_sort(probe_structs), 1, nprobe).alias("pr"),
-        )
-        .select("query_id", "qvec", F.explode("pr").alias("p"))
-        .select("query_id", "qvec", F.col("p.cell").alias("cell"))
-    )
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
 
     scored = (
         cells.join(F.broadcast(probes), "cell")
@@ -525,3 +536,79 @@ def semdedup(
         )
     )
     return docs, pairs.select("cluster", "vec_a", "vec_b", "cos")
+
+
+def build_ivf_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    table: str,
+    path: str,
+    n_buckets: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index AS A STORAGE LAYOUT: assign every vector
+    its coarse cell and write the corpus bucketed by ``cell``
+    (``sources.bucketing.write_bucketed``).
+
+    At 100 TB the index IS the layout — a probe query then sort-merge-joins
+    against catalog bucketing metadata and the corpus side needs NO
+    exchange at read time (the shuffle was paid once, at build time), which
+    is what turns IVF from "a smaller scan" into "a co-located join".
+    Rebuilds are per-partition appends in production; here the whole build
+    is one assignment pass + one bucketed write.
+    """
+    from ..sources.bucketing import write_bucketed
+    from .kmeans import assign_nearest
+
+    e = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    cells = assign_nearest(e, centroids, "vec").select(
+        "vec_id", "vec", F.col("cluster").alias("cell")
+    )
+    write_bucketed(cells, table, path, ["cell"], n_buckets=n_buckets)
+
+
+def ivf_probe_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int = 2,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """ANN top-k against a ``build_ivf_index`` table.
+
+    Same semantics as ``ivf_topk`` (identical probe derivation, scoring,
+    rounding and tie-breaks — the tests pin equality row for row), but the
+    corpus comes from the bucketed catalog table:
+
+    - small probe sets broadcast (``broadcast_probes=True``) — corpus never
+      shuffles, same as the in-memory path;
+    - LARGE probe sets (the 100 TB regime where the query stream itself is
+      a table) use ``broadcast_probes=False``: the join plans sort-merge on
+      ``cell`` and ONLY the probe side exchanges — the corpus side reads
+      its buckets in place (plan-asserted in tests/test_ivf_index.py).
+    """
+    corpus = spark.table(table)
+    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    probe_side = F.broadcast(probes) if broadcast_probes else probes
+    scored = (
+        corpus.join(probe_side, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
