@@ -43,9 +43,17 @@ def _tokenized(documents: DataFrame, text_col: str, id_col: str) -> DataFrame:
     projection. Referencing ``tokens(text)`` directly inside the shingle
     lambda makes Catalyst re-split the full document text once per shingle
     (O(len²) per doc — measured 3-8x slower at sf0.1); a separate projection
-    pins the array so each slice reuses it."""
+    pins the array so each slice reuses it.
+
+    Empty tokens are filtered: ``split('')`` yields ``[""]``, so without the
+    filter a blank/cleans-to-blank document carries one phantom empty token
+    — at window/shingle size 1 two blank docs would then share a bogus
+    ""-span. Every DuckDB oracle already models the filtered stream
+    (``list_filter(..., t -> t <> '')``); for any non-blank cleaned text the
+    filter is a no-op (trim+split emits no interior empties)."""
     return documents.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
     )
 
 
@@ -277,6 +285,87 @@ def duplicate_spans(
             ).alias("example_docs"),
         )
         .withColumnRenamed("h", "span_hash")
+    )
+
+
+def cut_duplicate_spans(
+    documents: DataFrame,
+    window: int = 50,
+    stride: int = 1,
+    min_doc_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplicate REMOVAL — the cutting pass of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better") that
+    consumes the signal ``duplicate_spans`` reports: every ``window``-token
+    span whose exact text occurs in >= ``min_doc_freq`` distinct documents
+    keeps its FIRST occurrence (lexicographic min (doc_id, pos)) and is cut
+    from every other occurrence site.
+
+    Output, one row per input document (over the CLEANED token stream —
+    lowercased, punctuation-stripped, the same stream the span hashes see):
+    (doc_id, clean_text, n_tokens, n_removed) where ``clean_text`` is the
+    surviving tokens re-joined with single spaces, ``n_tokens`` the
+    pre-cut token count and ``n_removed`` how many tokens the cut dropped.
+    Within-document repeats of a cross-document span are also cut (every
+    non-keeper site goes); a span repeated only WITHIN one document is not
+    touched at the default ``min_doc_freq=2`` — that in-doc signal is
+    ``doc_repetition``'s job.
+
+    Scale shape: map-side rolling hashes (``span_hashes``) -> ONE agg
+    exchange on the hash (count-distinct docs + lexicographic-min keeper in
+    the same rollup) -> the hits-bounded site stream joins back on the hash
+    and aggregates per doc -> one hash join on doc_id attaches each doc's
+    sorted cut-starts array -> the rebuild is a single map-side
+    filter-with-index (O(tokens x cuts) per doc, both factors bounded by
+    the doc's own length — no token-level shuffle, the token stream never
+    leaves its row). Nothing corpus-sized is broadcast or collected.
+    """
+    if min_doc_freq < 2:
+        raise ValueError(f"min_doc_freq must be >= 2, got {min_doc_freq}")
+    spans = span_hashes(documents, window, stride, text_col, id_col)
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("__nd"),
+            F.min(F.struct("doc_id", "pos")).alias("__keep"),
+        )
+        .filter(F.col("__nd") >= min_doc_freq)
+        .select("h", "__keep")
+    )
+    # (doc_id, pos) is unique in the span stream (one hash per site), so no
+    # distinct is needed before the per-doc aggregate
+    sites = (
+        spans.join(dup, "h")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("__keep.doc_id"))
+                & (F.col("pos") == F.col("__keep.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cuts = sites.groupBy("doc_id").agg(F.array_sort(F.collect_list("pos")).alias("__cuts"))
+    toked = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(tokens(F.col(text_col)), lambda t: t != "").alias("__toks"),
+    )
+    cut_arr = F.coalesce(F.col("__cuts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            cut_arr, lambda s: (i + 1 >= s) & (i + 1 <= s + F.lit(window - 1))
+        ),
+    )
+    return (
+        toked.join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", kept).alias("clean_text"),
+            F.size("__toks").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("int").alias("n_removed"),
+        )
     )
 
 

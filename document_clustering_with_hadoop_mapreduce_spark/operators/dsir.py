@@ -207,7 +207,7 @@ def dsir_oracle_cte(
 ) -> str:
     """DuckDB CTE list (no leading WITH) reproducing ``dsir_weights`` over
     the ``documents`` view bit-for-bit — same clean/split regexes, the same
-    md5-60bit gram hash, the same 1e-8 integer quantization of the
+    md5-60bit gram hash, the same 1e-6 integer quantization of the
     log-ratios. ``{prefix}w`` is the final (doc_id, log_weight) relation;
     all CTE names carry ``prefix`` so the block splices into composed
     oracles (the curation capstone) without collisions."""
