@@ -1,0 +1,137 @@
+"""Corpus data card: the per-slice statistics report a training-data build
+publishes next to the data (datasheet/data-card practice — Gebru et al.
+2021, "Datasheets for Datasets"; the Pile/Dolma/RefinedWeb papers all ship
+per-source token-count and length-distribution tables of exactly this
+shape).
+
+Scale design:
+- counts/sums/means are ONE rollup aggregate over a map-side token-count
+  projection (partial aggregation, group-key exchange only);
+- quantiles are EXACT but never group-buffered: Spark's ``percentile``
+  aggregate holds every group value in executor memory (a genuine OOM at a
+  100 TB group), so ``exact_quantiles`` instead rides a per-group
+  distributed SORT (window row_number + count) and linearly interpolates
+  the two straddling ranks — the same math as DuckDB/Postgres
+  ``quantile_cont``/``percentile_cont``, which is what the oracle runs;
+- vocabulary size is a distinct-aggregate over the exploded cleaned token
+  stream (stopwords KEPT — the dedup/statistics stream, not the
+  stopword-filtered modeling stream);
+- all per-group frames are group-cardinality-sized, so the final
+  assembly joins broadcast.
+
+Reference parity: the reference engine has no reporting surface beyond the
+per-category formatted report (sources/1.5, covered by
+``category_report``); this generalizes it to the corpus-hygiene family.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count, tokens
+
+
+def exact_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    qs: Sequence[float],
+    out_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles per group, computed on a
+    distributed sort instead of a group-buffering aggregate.
+
+    For quantile q over n sorted values v_1..v_n the continuous definition
+    (DuckDB ``quantile_cont``, SQL ``percentile_cont``) is
+    ``pos = 1 + q*(n-1); v = v_lo + (pos-lo)*(v_hi - v_lo)`` with
+    lo = floor(pos), hi = ceil(pos). Each input row learns its rank and its
+    group size from one window pass (a per-group SORT shuffle — scales as a
+    sort, holds nothing per group), contributes weight (1-frac) if it sits
+    at lo, frac if at hi (both when lo == hi, where frac = 0), and a plain
+    rollup sums the weighted values. Output: one row per group,
+    ``out_names`` (default ``q<percent>``) columns rounded to 6 decimals.
+    """
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if out_names is None:
+        out_names = [f"q{int(round(q * 100))}" for q in qs]
+    if len(out_names) != len(qs):
+        raise ValueError(f"{len(qs)} quantiles but {len(out_names)} names")
+    groups = [F.col(c) for c in group_cols]
+    w = Window.partitionBy(*groups).orderBy(F.col(value_col).asc())
+    wn = Window.partitionBy(*groups)
+    ranked = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    aggs = []
+    for q, name in zip(qs, out_names):
+        pos = F.lit(1.0) + F.lit(float(q)) * (F.col("__n") - 1)
+        lo = F.floor(pos)
+        hi = F.ceil(pos)
+        frac = pos - lo
+        weight = (
+            F.when((F.col("__rn") == lo) & (lo == hi), F.lit(1.0))
+            .when(F.col("__rn") == lo, F.lit(1.0) - frac)
+            .when(F.col("__rn") == hi, frac)
+            .otherwise(F.lit(0.0))
+        )
+        aggs.append(F.round(F.sum(weight * F.col("__v")), 6).alias(name))
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def corpus_datacard(
+    documents: DataFrame,
+    group_cols: Sequence[str] = ("source", "lang"),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per corpus slice:
+
+    (group_cols..., n_docs, n_blank, total_tokens, total_chars, avg_tokens,
+    median_tokens, p95_tokens, vocab_size)
+
+    ``n_blank`` counts documents whose text is empty/whitespace;
+    ``vocab_size`` is the slice's distinct cleaned-token count (lowercased,
+    punctuation-stripped, stopwords kept). Three exchanges total — the
+    rollup, the quantile sort, the vocab distinct — all keyed on the group;
+    the final joins are group-cardinality broadcasts.
+    """
+    gc = list(group_cols)
+    counted = documents.select(
+        *gc, token_count(F.col(text_col)).alias("__nt"), F.length(text_col).alias("__nc")
+    )
+    base = counted.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__nt") == 0).cast("int")).cast("long").alias("n_blank"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.sum("__nc").cast("long").alias("total_chars"),
+        F.round(F.avg("__nt"), 6).alias("avg_tokens"),
+    )
+    quants = exact_quantiles(
+        counted, gc, "__nt", (0.5, 0.95), ("median_tokens", "p95_tokens")
+    )
+    vocab = (
+        documents.select(
+            *gc,
+            F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("__t"),
+        )
+        .groupBy(*gc)
+        .agg(F.countDistinct("__t").alias("vocab_size"))
+    )
+    return base.join(F.broadcast(quants), gc).join(F.broadcast(vocab), gc, "left").select(
+        *gc,
+        "n_docs",
+        "n_blank",
+        "total_tokens",
+        "total_chars",
+        "avg_tokens",
+        "median_tokens",
+        "p95_tokens",
+        F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+    )
