@@ -1,0 +1,117 @@
+"""Learned quality filter: the LR separates a text-derived slice (AUC),
+the JVM-side literal-coefficient scorer matches MLlib's own transform,
+and the Pareto keep rule is deterministic with the right tail behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+    pareto_filter,
+    quality_features,
+    quality_scores,
+    train_quality_classifier,
+)
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+NB = 512
+
+
+def _pos():
+    # text-derived positive slice (the fixture's `lang` column is independent
+    # of the text, so a label the features can actually express is needed)
+    return F.col("text").contains("spark")
+
+
+def _fit(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents", fan_out=False).select("doc_id", "text")
+    coefs, intercept = train_quality_classifier(docs, _pos(), n_buckets=NB, max_iter=30)
+    return docs, coefs, intercept
+
+
+def test_classifier_separates_text_derived_slice(spark, sf_dir):
+    docs, coefs, intercept = _fit(spark, sf_dir)
+    scored = (
+        quality_scores(docs, coefs, intercept)
+        .join(docs.select("doc_id", _pos().cast("int").alias("y")), "doc_id")
+        .collect()
+    )
+    pos = sorted(r["quality_prob"] for r in scored if r["y"] == 1)
+    neg = sorted(r["quality_prob"] for r in scored if r["y"] == 0)
+    assert pos and neg
+    # exact AUC via rank-sum
+    import bisect
+
+    wins = sum(bisect.bisect_left(neg, p) + 0.5 * (
+        bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p)
+    ) for p in pos)
+    auc = wins / (len(pos) * len(neg))
+    assert auc > 0.95, auc
+
+
+def test_jvm_scorer_matches_mllib_transform(spark, sf_dir):
+    """The corpus-path scorer (literal coefficient array, no Python, no
+    vector type) must reproduce MLlib's own probability to fp-sum noise."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import vector_to_array
+
+    docs, coefs, intercept = _fit(spark, sf_dir)
+    mine = {
+        r["doc_id"]: r["quality_prob"] for r in quality_scores(docs, coefs, intercept).collect()
+    }
+    # rebuild an MLlib model with the SAME parameters and transform
+    labeled = docs.withColumn("label", _pos().cast("double"))
+    feats = quality_features(labeled, NB).join(
+        labeled.select("doc_id", "label"), "doc_id"
+    )
+    model = LogisticRegression(
+        featuresCol="features", labelCol="label", regParam=1e-3, maxIter=30,
+        standardization=False,
+    ).fit(feats)
+    theirs = {
+        r["doc_id"]: r["p"]
+        for r in model.transform(feats)
+        .select("doc_id", vector_to_array("probability")[1].alias("p"))
+        .collect()
+    }
+    assert set(mine) == set(theirs)
+    worst = max(abs(mine[d] - theirs[d]) for d in mine)
+    assert worst < 1e-4, worst
+
+
+def test_pareto_filter_deterministic_and_tailed(spark):
+    ids = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, F.lit(1.0)).otherwise(F.lit(0.0)).alias("quality_prob"),
+    )
+    kept1 = pareto_filter(ids, alpha=9.0).collect()
+    kept2 = pareto_filter(ids, alpha=9.0).collect()
+    assert sorted(r["doc_id"] for r in kept1) == sorted(r["doc_id"] for r in kept2)
+    hi = [r for r in kept1 if r["quality_prob"] == 1.0]
+    lo = [r for r in kept1 if r["quality_prob"] == 0.0]
+    # score 1.0: draw > 0 always -> all survive
+    assert len(hi) == 1000
+    # score 0.0: survives iff draw > 1, P = 2^-alpha ~ 0.2% -> a few, not many
+    assert 0 < len(lo) < 30, len(lo)
+
+
+def test_pareto_draw_matches_pure_python(spark):
+    import hashlib
+
+    ids = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit(1.0).alias("quality_prob")
+    )
+    got = {r["doc_id"]: r["pareto_draw"] for r in pareto_filter(ids, alpha=9.0).collect()}
+    for i in range(50):
+        h = int(hashlib.md5(f"quality-v1:{i}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / (float(1 << 60) + 1.0)
+        want = round(u ** (-1.0 / 9.0) - 1.0, 6)
+        assert abs(got[i] - want) < 2e-6, (i, got[i], want)
+
+
+def test_quality_scores_plan_is_jvm_side(spark, sf_dir):
+    docs, coefs, intercept = _fit(spark, sf_dir)
+    plan = quality_scores(docs, coefs, intercept)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
