@@ -63,3 +63,53 @@ def write_date_partitioned(
         .partitionBy("dt")
         .parquet(path)
     )
+
+
+def compact_to_target_bytes(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 256,
+    sample_rows: int = 1000,
+    mode: str = "overwrite",
+) -> int:
+    """Write ``df`` as parquet in files near ``target_mb`` each — the
+    small-files fix for curated outputs.
+
+    A filtered/deduped corpus inherits its parent's partitioning: a 95 %
+    cut leaves thousands of near-empty tasks, and at 100 TB the resulting
+    file swarm dominates later scan planning (driver-side listing, footer
+    reads) and murders any object store's request budget. The fix is one
+    deliberate repartition sized from the data itself:
+
+    - estimate bytes/row from a ``sample_rows`` driver sample (serialized
+      UnsafeRow width x a 0.35 parquet-compression factor — a coarse but
+      stable estimate; the goal is right ORDER of file size, not
+      byte-exactness);
+    - count rows (cheap: count-star aggregate, no data movement);
+    - round-robin ``repartition(ceil(total / target))`` — an exchange, but
+      the LAST one before storage, and it replaces N tiny write tasks with
+      the right-sized few.
+
+    Returns the partition count written. For joins-after-read layouts use
+    ``write_bucketed`` instead — compaction optimizes scan/file economics,
+    bucketing optimizes join co-location; they compose (bucket count
+    chosen by the same arithmetic).
+    """
+    if target_mb <= 0:
+        raise ValueError(f"target_mb must be > 0, got {target_mb}")
+    n_rows = df.count()
+    if n_rows == 0:
+        df.limit(0).write.mode(mode).parquet(path)
+        return 1
+    sample = df.limit(sample_rows)
+    sampled = sample.collect()
+    import sys
+
+    est_row_bytes = max(
+        1.0,
+        0.35 * sum(sys.getsizeof(str(r)) for r in sampled) / max(1, len(sampled)),
+    )
+    total_mb = n_rows * est_row_bytes / (1024 * 1024)
+    n_files = max(1, int(total_mb / target_mb + 0.5))
+    df.repartition(n_files).write.mode(mode).parquet(path)
+    return n_files

@@ -94,3 +94,40 @@ def test_date_partitioned_scan_prunes(spark, sf_dir, tmp_path_factory):
     # pruned scan reads exactly that day's rows
     want = events.filter(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd") == one_day).count()
     assert filtered.count() == want
+
+
+def test_compact_to_target_bytes(spark, sf_dir, tmp_path_factory):
+    """A heavily-filtered frame compacts into the computed file count, the
+    data round-trips exactly, and a bigger target yields fewer files."""
+    import glob
+
+    from document_clustering_with_hadoop_mapreduce_spark.sources.bucketing import (
+        compact_to_target_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=False).repartition(32)
+    filtered = docs.filter(F.col("doc_id") % 10 == 0)  # 90% cut on 32 parts
+    out = str(tmp_path_factory.mktemp("compact") / "out")
+    n_files = compact_to_target_bytes(filtered, out, target_mb=1)
+    parts = glob.glob(f"{out}/part-*.parquet")
+    assert len(parts) == n_files
+    back = spark.read.parquet(out)
+    assert back.count() == filtered.count()
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == sorted(
+        r["doc_id"] for r in filtered.select("doc_id").collect()
+    )
+    # a 256 MB target on a tiny frame must collapse to one file
+    out2 = str(tmp_path_factory.mktemp("compact") / "out2")
+    assert compact_to_target_bytes(filtered, out2, target_mb=256) == 1
+    assert len(glob.glob(f"{out2}/part-*.parquet")) == 1
+
+
+def test_compact_empty_frame(spark, sf_dir, tmp_path_factory):
+    from document_clustering_with_hadoop_mapreduce_spark.sources.bucketing import (
+        compact_to_target_bytes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=False).filter(F.lit(False))
+    out = str(tmp_path_factory.mktemp("compact") / "empty")
+    assert compact_to_target_bytes(docs, out, target_mb=64) == 1
+    assert spark.read.parquet(out).count() == 0
