@@ -129,3 +129,50 @@ def test_cut_duplicate_spans_rebuild_is_map_side(spark, sf_dir):
     # map-side explode is deliberately cheaper than materializing an
     # exploded corpus-x-positions frame); nothing explodes in the rebuild
     assert plan.count("Generate") == 2
+
+
+def test_cut_duplicate_spans_matches_pure_python_property(spark):
+    """Property: the cut output equals a pure-Python reimplementation of
+    keep-first-occurrence span removal on small random corpora."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=4)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        docs=st.lists(
+            st.lists(word, min_size=0, max_size=12).map(" ".join),
+            min_size=1, max_size=6,
+        ),
+        window=st.integers(min_value=1, max_value=4),
+    )
+    def run(docs, window):
+        from collections import defaultdict
+
+        sites = defaultdict(list)  # span text -> [(doc, pos)]
+        toks_by_doc = [t.split() for t in docs]
+        for i, toks in enumerate(toks_by_doc):
+            for p in range(len(toks) - window + 1):
+                sites[" ".join(toks[p:p + window])].append((i, p + 1))
+        cut = defaultdict(set)  # doc -> removed 1-based token indices
+        for span, occ in sites.items():
+            if len({d for d, _ in occ}) < 2:
+                continue
+            keeper = min(occ)
+            for d, p in occ:
+                if (d, p) != keeper:
+                    cut[d].update(range(p, p + window))
+        want = {}
+        for i, toks in enumerate(toks_by_doc):
+            kept = [t for j, t in enumerate(toks, start=1) if j not in cut[i]]
+            want[i] = (" ".join(kept), len(toks), len(toks) - len(kept))
+        frame = spark.createDataFrame(list(enumerate(docs)), "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+            for r in cut_duplicate_spans(frame, window=window).collect()
+        }
+        assert got == want, (got, want)
+
+    run()

@@ -73,3 +73,13 @@ def test_corpus_diff_closed_form(spark):
     )
     got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert got == {2: "changed", 3: "removed", 4: "added"}  # doc 1 absent: unchanged
+
+
+def test_corpus_diff_plan_is_single_join(spark, sf_dir):
+    """One shuffle join on the id, nothing corpus-sized broadcast, no
+    cartesian — the diff must scale as a co-locatable sort-merge join."""
+    old, new = _snapshots(spark, sf_dir)
+    plan = corpus_diff(old, new)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Join") == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
