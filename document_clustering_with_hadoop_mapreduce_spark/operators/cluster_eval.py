@@ -1,0 +1,185 @@
+"""External clustering-evaluation metrics: ARI, NMI, purity — distributed.
+
+The reference repo clusters documents but never MEASURES its clusters (its
+report eyeballs top terms; SURVEY.md §5 — and recomputing its committed
+assignments shows near-random ARI, tests/test_cluster_quality.py). An
+engine that ships k-means must also ship the evaluation: Adjusted Rand
+Index (Hubert & Arabie 1985), Normalized Mutual Information, and purity,
+all derived from ONE contingency-table aggregate.
+
+Scale shape: the only corpus-sized work is a single (cluster, label)
+groupBy with map-side partial aggregation — one exchange over n rows.
+Everything after operates on the contingency table, which is k x L rows
+(clusters x distinct labels), bounded by model size, not data size; it is
+lazily materialized once so the expensive upstream assignment plan is not
+replayed per downstream scalar.
+
+Float discipline (cross-engine determinism, the repo-wide rule): all
+pair-counting sums (ARI, purity) are exact integer arithmetic until one
+final division; NMI's per-cell ln() terms are rounded to 12 decimals and
+summed as DECIMAL(38,12) so the result is independent of summation order
+on both engines, then everything rounds to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def contingency(
+    assign: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """(cluster, label, n_ij): one inner join + one counted exchange."""
+    return (
+        assign.select(id_col, cluster_col)
+        .join(labels.select(id_col, label_col), id_col)
+        .groupBy(cluster_col, label_col)
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+    )
+
+
+def _comb2(c: F.Column) -> F.Column:
+    """C(c, 2) as exact BIGINT arithmetic: c*(c-1)/2 (always even)."""
+    return (c * (c - F.lit(1)) / F.lit(2)).cast("long")
+
+
+def clustering_metrics(
+    assign: DataFrame,
+    labels: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster",
+    label_col: str = "label",
+) -> DataFrame:
+    """(metric, value) rows: n, purity, ari, nmi — 6dp-rounded doubles.
+
+    ARI  = (S_ij - S_a*S_b/S_n) / ((S_a+S_b)/2 - S_a*S_b/S_n)
+           with S_* the pair-count sums over contingency cells / row
+           margins / column margins / the grand total.
+    NMI  = I(U;V) / sqrt(H(U) * H(V)) (natural log), 0 when either
+           partition is a single block (H = 0, the sklearn convention).
+    purity = sum_i max_j n_ij / n.
+    """
+    cont = contingency(assign, labels, id_col, cluster_col, label_col).localCheckpoint(
+        eager=False
+    )
+    rowm = cont.groupBy(cluster_col).agg(F.sum("n_ij").alias("a_i"))
+    colm = cont.groupBy(label_col).agg(F.sum("n_ij").alias("b_j"))
+
+    # ---- exact integer pair-count scalars (one tiny agg each) ----------
+    s_ij = cont.agg(F.sum(_comb2(F.col("n_ij"))).alias("s_ij"))
+    s_a = rowm.agg(F.sum(_comb2(F.col("a_i"))).alias("s_a"))
+    s_b = colm.agg(F.sum(_comb2(F.col("b_j"))).alias("s_b"))
+    n_tot = cont.agg(F.sum("n_ij").alias("n"))
+    pur = (
+        cont.groupBy(cluster_col)
+        .agg(F.max("n_ij").alias("m"))
+        .agg(F.sum("m").alias("maj"))
+    )
+
+    # ---- NMI: order-independent decimal sums of 12dp-rounded ln terms --
+    with_margins = cont.join(F.broadcast(rowm), cluster_col).join(
+        F.broadcast(colm), label_col
+    ).crossJoin(F.broadcast(n_tot))
+    dec = "decimal(38,12)"
+    mi = with_margins.agg(
+        F.sum(
+            F.round(
+                (F.col("n_ij") / F.col("n"))
+                * F.log(F.col("n_ij").cast("double") * F.col("n") / (F.col("a_i") * F.col("b_j"))),
+                12,
+            ).cast(dec)
+        ).alias("mi")
+    )
+    h_u = rowm.crossJoin(F.broadcast(n_tot)).agg(
+        F.sum(
+            F.round(-(F.col("a_i") / F.col("n")) * F.log(F.col("a_i") / F.col("n")), 12).cast(dec)
+        ).alias("h_u")
+    )
+    h_v = colm.crossJoin(F.broadcast(n_tot)).agg(
+        F.sum(
+            F.round(-(F.col("b_j") / F.col("n")) * F.log(F.col("b_j") / F.col("n")), 12).cast(dec)
+        ).alias("h_v")
+    )
+
+    scalars = (
+        n_tot.crossJoin(s_ij).crossJoin(s_a).crossJoin(s_b).crossJoin(pur)
+        .crossJoin(mi).crossJoin(h_u).crossJoin(h_v)
+    )
+    s_n = _comb2(F.col("n").cast("long"))
+    expected = F.col("s_a") * F.col("s_b") / s_n
+    max_index = (F.col("s_a") + F.col("s_b")) / F.lit(2)
+    ari = F.when(max_index == expected, F.lit(1.0)).otherwise(
+        (F.col("s_ij") - expected) / (max_index - expected)
+    )
+    hprod = F.col("h_u").cast("double") * F.col("h_v").cast("double")
+    nmi = F.when(hprod <= 0, F.lit(0.0)).otherwise(
+        F.col("mi").cast("double") / F.sqrt(hprod)
+    )
+    return (
+        scalars.select(
+            F.col("n").cast("double").alias("n_d"),
+            (F.col("maj") / F.col("n")).alias("purity"),
+            ari.alias("ari"),
+            nmi.alias("nmi"),
+        )
+        .selectExpr("stack(4, 'n', n_d, 'purity', purity, 'ari', ari, 'nmi', nmi) AS (metric, value)")
+        .select("metric", F.round("value", 6).alias("value"))
+    )
+
+
+def metrics_oracle_ctes(
+    members_cte: str,
+    labels_sql: str,
+) -> str:
+    """DuckDB CTE block mirroring ``clustering_metrics`` exactly.
+
+    ``members_cte``: name of a CTE with (doc_id, cluster);
+    ``labels_sql``: a SELECT yielding (doc_id, label). Produces a CTE
+    ``clu_metrics`` with (metric, value) — same integer pair-count
+    algebra, same 12dp-round + DECIMAL(38,12) NMI sums, same 6dp output
+    rounding, so hashes match bit-for-bit.
+    """
+    return f"""
+    clu_labels AS ({labels_sql}),
+    clu_cont AS (
+      SELECT m.cluster, l.label, count(*)::BIGINT AS n_ij
+      FROM {members_cte} m JOIN clu_labels l USING (doc_id)
+      GROUP BY m.cluster, l.label
+    ),
+    clu_rowm AS (SELECT cluster, sum(n_ij)::BIGINT AS a_i FROM clu_cont GROUP BY cluster),
+    clu_colm AS (SELECT label, sum(n_ij)::BIGINT AS b_j FROM clu_cont GROUP BY label),
+    clu_n AS (SELECT sum(n_ij)::BIGINT AS n FROM clu_cont),
+    clu_s AS (
+      SELECT
+        (SELECT sum((n_ij * (n_ij - 1) / 2)::BIGINT)::BIGINT FROM clu_cont) AS s_ij,
+        (SELECT sum((a_i * (a_i - 1) / 2)::BIGINT)::BIGINT FROM clu_rowm) AS s_a,
+        (SELECT sum((b_j * (b_j - 1) / 2)::BIGINT)::BIGINT FROM clu_colm) AS s_b,
+        (SELECT (n * (n - 1) / 2)::BIGINT FROM clu_n) AS s_n,
+        (SELECT n FROM clu_n) AS n,
+        (SELECT sum(m)::BIGINT FROM (SELECT max(n_ij) AS m FROM clu_cont GROUP BY cluster)) AS maj,
+        (SELECT CAST(sum(CAST(round((n_ij::DOUBLE / c.n) * ln(n_ij::DOUBLE * c.n / (r.a_i::DOUBLE * m.b_j)), 12) AS DECIMAL(38,12))) AS DOUBLE)
+           FROM clu_cont t JOIN clu_rowm r USING (cluster) JOIN clu_colm m USING (label) CROSS JOIN clu_n c) AS mi,
+        (SELECT CAST(sum(CAST(round(-(a_i::DOUBLE / c.n) * ln(a_i::DOUBLE / c.n), 12) AS DECIMAL(38,12))) AS DOUBLE)
+           FROM clu_rowm CROSS JOIN clu_n c) AS h_u,
+        (SELECT CAST(sum(CAST(round(-(b_j::DOUBLE / c.n) * ln(b_j::DOUBLE / c.n), 12) AS DECIMAL(38,12))) AS DOUBLE)
+           FROM clu_colm CROSS JOIN clu_n c) AS h_v
+    ),
+    clu_metrics AS (
+      SELECT metric, round(value, 6) AS value FROM (
+        SELECT 'n' AS metric, n::DOUBLE AS value FROM clu_s
+        UNION ALL
+        SELECT 'purity', maj::DOUBLE / n FROM clu_s
+        UNION ALL
+        SELECT 'ari', CASE
+            WHEN (s_a + s_b) / 2.0 = s_a::DOUBLE * s_b / s_n THEN 1.0
+            ELSE (s_ij - s_a::DOUBLE * s_b / s_n) / ((s_a + s_b) / 2.0 - s_a::DOUBLE * s_b / s_n)
+          END FROM clu_s
+        UNION ALL
+        SELECT 'nmi', CASE WHEN h_u * h_v <= 0 THEN 0.0 ELSE mi / sqrt(h_u * h_v) END FROM clu_s
+      )
+    )"""

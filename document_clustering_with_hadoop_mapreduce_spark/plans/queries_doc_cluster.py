@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.cluster_eval import clustering_metrics, metrics_oracle_ctes
 from ..operators.doc_cluster import (
     cluster_top_terms,
     seeded_sparse_centroids,
@@ -106,17 +107,37 @@ def q_doc_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cluster::INT AS cluster, term, mean_w,
              row_number() OVER (PARTITION BY cluster ORDER BY mean_w DESC, term ASC)::INT AS rank
       FROM means
-    )
-    SELECT cluster, term, mean_w, rank FROM ranked WHERE rank <= 10""",
+    ),{metrics_oracle_ctes("members", "SELECT doc_id, lang AS label FROM documents")}
+    SELECT 'term' AS kind, cluster, term, mean_w, rank FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'metric', -1::INT, metric, value, 0::INT FROM clu_metrics""",
     "A14 re-expressed: top-10 terms per document cluster by mean tf-idf "
-    "(ref sources/2.2/source/KMeansReducer.java:138-150, tie-collapse fixed)",
-    tags=("cluster", "task2.2"),
+    "(ref sources/2.2/source/KMeansReducer.java:138-150, tie-collapse fixed); "
+    "FUSED since round 6 with kind='metric' rows — external clustering "
+    "evaluation (ARI / NMI / purity vs documents.lang) the reference never "
+    "computed, hash-gated against the same pair-counting algebra in DuckDB",
+    tags=("cluster", "task2.2", "eval"),
 )
 def q_doc_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _tfidf_matrix(spark, sf_dir)
     cents = seeded_sparse_centroids(m, K)
-    assigned = sparse_assign(m, cents)
-    return cluster_top_terms(m, assigned, k_terms=10)
+    # two consumers below (top-terms join + metrics contingency): pin the
+    # assignment once instead of replaying the distance algebra
+    assigned = sparse_assign(m, cents).localCheckpoint(eager=False)
+    terms = cluster_top_terms(m, assigned, k_terms=10).select(
+        F.lit("term").alias("kind"), "cluster", "term", "mean_w", "rank"
+    )
+    labels = load_table(spark, sf_dir, "documents", fan_out=False).select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    metrics = clustering_metrics(assigned, labels).select(
+        F.lit("metric").alias("kind"),
+        F.lit(-1).alias("cluster"),
+        F.col("metric").alias("term"),
+        F.col("value").alias("mean_w"),
+        F.lit(0).alias("rank"),
+    )
+    return terms.unionByName(metrics)
 
 
 @register(
