@@ -132,6 +132,60 @@ def clustering_metrics(
     )
 
 
+def simplified_silhouette(dists: DataFrame, dist_col: str = "dist_sq") -> DataFrame:
+    """1-row (metric='silhouette', value): mean simplified silhouette.
+
+    The centroid-based silhouette (Vendramin et al. 2010 — the form MLlib
+    also evaluates): per doc, a = distance to its own (nearest) centroid,
+    b = distance to the runner-up, s = (b - a) / b  (b >= a by
+    construction, so max(a,b) = b; s = 0 when b = 0 or k = 1). Input is
+    the full ``sparse_dists`` grid (n x k rows) — one groupBy(doc)
+    aggregate, no pairwise doc x doc work (the EXACT silhouette's O(n²)
+    is not a 100 TB operator). Per-doc terms are 12dp-rounded and
+    DECIMAL-summed — the repo's order-independent mean discipline.
+    """
+    per_doc = dists.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct(dist_col, "cluster"))).alias("ds")
+    )
+    a = F.sqrt(F.col("ds")[0][dist_col])
+    b = F.sqrt(F.col("ds")[1][dist_col])
+    s = (
+        F.when(F.size("ds") < 2, F.lit(0.0))
+        .when(b == F.lit(0.0), F.lit(0.0))
+        .otherwise((b - a) / b)
+    )
+    return (
+        per_doc.select(F.round(s, 12).cast("decimal(38,12)").alias("s"))
+        .agg(
+            F.round(
+                F.sum("s").cast("double") / F.count(F.lit(1)), 6
+            ).alias("value")
+        )
+        .select(F.lit("silhouette").alias("metric"), "value")
+    )
+
+
+def silhouette_oracle_cte(assign_cte: str = "assign") -> str:
+    """DuckDB CTE ``clu_sil`` mirroring ``simplified_silhouette`` over the
+    ranked distance CTE (doc_id, dist_sq, rn) — rn=1 is the assigned
+    centroid, rn=2 the runner-up (same tie-break ordering)."""
+    return f"""
+    clu_sil_pd AS (
+      SELECT doc_id,
+             min(CASE WHEN rn = 1 THEN dist_sq END) AS a_sq,
+             min(CASE WHEN rn = 2 THEN dist_sq END) AS b_sq
+      FROM {assign_cte} GROUP BY doc_id
+    ),
+    clu_sil AS (
+      SELECT 'silhouette' AS metric,
+             round(CAST(sum(CAST(round(
+               CASE WHEN b_sq IS NULL OR sqrt(b_sq) = 0 THEN 0.0
+                    ELSE (sqrt(b_sq) - sqrt(a_sq)) / sqrt(b_sq) END, 12)
+               AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS value
+      FROM clu_sil_pd
+    )"""
+
+
 def metrics_oracle_ctes(
     members_cte: str,
     labels_sql: str,

@@ -44,20 +44,19 @@ def seeded_sparse_centroids(matrix: DataFrame, k: int, weight_col: str = "tfidf"
     )
 
 
-def sparse_assign(
+def sparse_dists(
     matrix: DataFrame,
     centroids: DataFrame,
     weight_col: str = "tfidf",
     round_decimals: int = 6,
     doc_ss: DataFrame | None = None,
 ) -> DataFrame:
-    """Nearest-centroid assignment on sparse vectors (squared euclidean).
+    """(doc_id, cluster, dist_sq) for EVERY doc x centroid pair.
 
-    ``matrix``: (doc_id, term, <weight_col>); ``centroids``: (cluster,
-    term, w) — sparse, broadcast (k x avg-nnz rows, i.e. tiny vs corpus).
-    Docs sharing no term with a centroid still get a finite distance
-    (||d||² + ||c||²), exactly as the dense math would. Ties break to the
-    lowest cluster id on the ROUNDED distance (cross-engine determinism).
+    The full grid behind ``sparse_assign`` — n x k rows, the frame the
+    silhouette evaluation also needs. Docs sharing no term with a
+    centroid still get a finite distance (||d||² + ||c||²), exactly as
+    the dense math would.
 
     ``doc_ss`` optionally supplies the per-doc sum of squares — it is
     iteration-INVARIANT, so loop callers (``sparse_lloyd``) compute it
@@ -77,26 +76,46 @@ def sparse_assign(
     )
     # every doc x every centroid (docs with zero overlap included)
     grid = doc_ss.crossJoin(F.broadcast(cent_ss))
-    dists = (
-        grid.join(dots, ["doc_id", "cluster"], "left")
-        .withColumn(
-            "dist_sq",
-            F.round(
-                # clamp: algebraic distance is >= 0, fp cancellation can
-                # give -1e-15 (and a "-0.0" that breaks cross-engine compare)
-                F.greatest(
-                    F.col("doc_ss") + F.col("c_ss") - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
-                    F.lit(0.0),
-                ),
-                round_decimals,
+    return grid.join(dots, ["doc_id", "cluster"], "left").withColumn(
+        "dist_sq",
+        F.round(
+            # clamp: algebraic distance is >= 0, fp cancellation can
+            # give -1e-15 (and a "-0.0" that breaks cross-engine compare)
+            F.greatest(
+                F.col("doc_ss") + F.col("c_ss") - 2 * F.coalesce(F.col("dot"), F.lit(0.0)),
+                F.lit(0.0),
             ),
-        )
+            round_decimals,
+        ),
     )
+
+
+def assign_from_dists(dists: DataFrame) -> DataFrame:
+    """argmin per doc over a ``sparse_dists`` grid — ties break to the
+    lowest cluster id on the ROUNDED distance (cross-engine determinism)."""
     best = F.array_min(F.collect_list(F.struct("dist_sq", "cluster")))
     return (
         dists.groupBy("doc_id")
         .agg(best.alias("b"))
         .select("doc_id", F.col("b.cluster").alias("cluster"), F.col("b.dist_sq").alias("dist_sq"))
+    )
+
+
+def sparse_assign(
+    matrix: DataFrame,
+    centroids: DataFrame,
+    weight_col: str = "tfidf",
+    round_decimals: int = 6,
+    doc_ss: DataFrame | None = None,
+) -> DataFrame:
+    """Nearest-centroid assignment on sparse vectors (squared euclidean).
+
+    ``matrix``: (doc_id, term, <weight_col>); ``centroids``: (cluster,
+    term, w) — sparse, broadcast (k x avg-nnz rows, i.e. tiny vs corpus).
+    ``sparse_dists`` + ``assign_from_dists``.
+    """
+    return assign_from_dists(
+        sparse_dists(matrix, centroids, weight_col, round_decimals, doc_ss)
     )
 
 

@@ -12,11 +12,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cluster_eval import clustering_metrics, metrics_oracle_ctes
+from ..operators.cluster_eval import (
+    clustering_metrics,
+    metrics_oracle_ctes,
+    silhouette_oracle_cte,
+    simplified_silhouette,
+)
 from ..operators.doc_cluster import (
+    assign_from_dists,
     cluster_top_terms,
     seeded_sparse_centroids,
     sparse_assign,
+    sparse_dists,
 )
 from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
@@ -107,30 +114,37 @@ def q_doc_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cluster::INT AS cluster, term, mean_w,
              row_number() OVER (PARTITION BY cluster ORDER BY mean_w DESC, term ASC)::INT AS rank
       FROM means
-    ),{metrics_oracle_ctes("members", "SELECT doc_id, lang AS label FROM documents")}
+    ),{metrics_oracle_ctes("members", "SELECT doc_id, lang AS label FROM documents")},{silhouette_oracle_cte("assign")}
     SELECT 'term' AS kind, cluster, term, mean_w, rank FROM ranked WHERE rank <= 10
     UNION ALL
-    SELECT 'metric', -1::INT, metric, value, 0::INT FROM clu_metrics""",
+    SELECT 'metric', -1::INT, metric, value, 0::INT FROM clu_metrics
+    UNION ALL
+    SELECT 'metric', -1::INT, metric, value, 0::INT FROM clu_sil""",
     "A14 re-expressed: top-10 terms per document cluster by mean tf-idf "
     "(ref sources/2.2/source/KMeansReducer.java:138-150, tie-collapse fixed); "
     "FUSED since round 6 with kind='metric' rows — external clustering "
-    "evaluation (ARI / NMI / purity vs documents.lang) the reference never "
-    "computed, hash-gated against the same pair-counting algebra in DuckDB",
+    "evaluation (ARI / NMI / purity vs documents.lang) plus the internal "
+    "simplified silhouette, which the reference never computed; hash-gated "
+    "against the same pair-counting / distance algebra in DuckDB",
     tags=("cluster", "task2.2", "eval"),
 )
 def q_doc_cluster_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = _tfidf_matrix(spark, sf_dir)
     cents = seeded_sparse_centroids(m, K)
-    # two consumers below (top-terms join + metrics contingency): pin the
-    # assignment once instead of replaying the distance algebra
-    assigned = sparse_assign(m, cents).localCheckpoint(eager=False)
+    # the distance grid feeds assignment AND silhouette; the assignment
+    # feeds top-terms AND the label metrics — pin each once instead of
+    # replaying the distance algebra per consumer
+    dists = sparse_dists(m, cents).localCheckpoint(eager=False)
+    assigned = assign_from_dists(dists).localCheckpoint(eager=False)
     terms = cluster_top_terms(m, assigned, k_terms=10).select(
         F.lit("term").alias("kind"), "cluster", "term", "mean_w", "rank"
     )
     labels = load_table(spark, sf_dir, "documents", fan_out=False).select(
         "doc_id", F.col("lang").alias("label")
     )
-    metrics = clustering_metrics(assigned, labels).select(
+    metrics = clustering_metrics(assigned, labels).unionByName(
+        simplified_silhouette(dists)
+    ).select(
         F.lit("metric").alias("kind"),
         F.lit(-1).alias("cluster"),
         F.col("metric").alias("term"),

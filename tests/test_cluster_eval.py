@@ -123,6 +123,30 @@ def test_duckdb_cte_block_bit_parity(spark):
     assert duck == got
 
 
+def test_simplified_silhouette_closed_form(spark):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.cluster_eval import (
+        simplified_silhouette,
+    )
+
+    # doc 0: a²=1, b²=9 -> s = (3-1)/3 ; doc 1: a²=0, b²=4 -> s = 1
+    rows = [(0, 0, 1.0), (0, 1, 9.0), (1, 0, 4.0), (1, 1, 0.0)]
+    dists = spark.createDataFrame(rows, "doc_id long, cluster int, dist_sq double")
+    got = simplified_silhouette(dists).collect()[0]
+    exp = round((round((3 - 1) / 3, 12) + 1.0) / 2, 6)
+    assert got["metric"] == "silhouette" and got["value"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_simplified_silhouette_single_cluster_is_zero(spark):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.cluster_eval import (
+        simplified_silhouette,
+    )
+
+    dists = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 2.0)], "doc_id long, cluster int, dist_sq double"
+    )
+    assert simplified_silhouette(dists).collect()[0]["value"] == 0.0
+
+
 def test_contingency_one_exchange(spark):
     assign, labels = _frames(spark, MIXED)
     plan = contingency(assign, labels)._jdf.queryExecution().executedPlan().toString()
