@@ -44,8 +44,12 @@ def contingency(
 
 
 def _comb2(c: F.Column) -> F.Column:
-    """C(c, 2) as exact BIGINT arithmetic: c*(c-1)/2 (always even)."""
-    return (c * (c - F.lit(1)) / F.lit(2)).cast("long")
+    """C(c, 2) as exact BIGINT arithmetic: c*(c-1) is even, so a right
+    shift halves it without ever leaving integer space (a float division
+    would silently round once c exceeds ~94M and the product passes 2^53 —
+    a margin a 100 TB corpus actually reaches). Exact until the product
+    itself overflows BIGINT at c ~ 3e9 rows per margin."""
+    return F.shiftright((c * (c - F.lit(1))).cast("long"), 1)
 
 
 def clustering_metrics(
@@ -210,10 +214,12 @@ def metrics_oracle_ctes(
     clu_n AS (SELECT sum(n_ij)::BIGINT AS n FROM clu_cont),
     clu_s AS (
       SELECT
-        (SELECT sum((n_ij * (n_ij - 1) / 2)::BIGINT)::BIGINT FROM clu_cont) AS s_ij,
-        (SELECT sum((a_i * (a_i - 1) / 2)::BIGINT)::BIGINT FROM clu_rowm) AS s_a,
-        (SELECT sum((b_j * (b_j - 1) / 2)::BIGINT)::BIGINT FROM clu_colm) AS s_b,
-        (SELECT (n * (n - 1) / 2)::BIGINT FROM clu_n) AS s_n,
+        -- // is integer division: exact like the Spark side's shiftright
+        -- (the product is always even), never a rounded double
+        (SELECT sum((n_ij * (n_ij - 1)) // 2)::BIGINT FROM clu_cont) AS s_ij,
+        (SELECT sum((a_i * (a_i - 1)) // 2)::BIGINT FROM clu_rowm) AS s_a,
+        (SELECT sum((b_j * (b_j - 1)) // 2)::BIGINT FROM clu_colm) AS s_b,
+        (SELECT (n * (n - 1)) // 2 FROM clu_n) AS s_n,
         (SELECT n FROM clu_n) AS n,
         (SELECT sum(m)::BIGINT FROM (SELECT max(n_ij) AS m FROM clu_cont GROUP BY cluster)) AS maj,
         (SELECT CAST(sum(CAST(round((n_ij::DOUBLE / c.n) * ln(n_ij::DOUBLE * c.n / (r.a_i::DOUBLE * m.b_j)), 12) AS DECIMAL(38,12))) AS DOUBLE)

@@ -45,17 +45,30 @@ def corpus_diff(
     log); the hash compares the raw ``text_col`` bytes — normalize first if
     two snapshots may differ only in encoding artifacts.
     """
+    # presence comes from explicit side markers, NOT hash nullness: md5 of a
+    # NULL text is NULL, so a hash-based presence test would misread a
+    # null-text document that exists in both snapshots as added/removed and
+    # could never flag null <-> non-null transitions as changed
     o = old.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("old_hash")
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("old_hash"),
+        F.lit(True).alias("__in_old"),
     )
     n = new.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("new_hash")
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.col(text_col)).alias("new_hash"),
+        F.lit(True).alias("__in_new"),
     )
     joined = o.join(n, "doc_id", "full_outer")
     status = (
-        F.when(F.col("old_hash").isNull(), F.lit("added"))
-        .when(F.col("new_hash").isNull(), F.lit("removed"))
-        .when(F.col("old_hash") != F.col("new_hash"), F.lit("changed"))
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(
+            # null-safe inequality: a null-text side differs from a non-null
+            # one (and null == null is unchanged)
+            ~F.col("old_hash").eqNullSafe(F.col("new_hash")),
+            F.lit("changed"),
+        )
     )
     return (
         joined.withColumn("status", status)

@@ -75,6 +75,24 @@ def test_corpus_diff_closed_form(spark):
     assert got == {2: "changed", 3: "removed", 4: "added"}  # doc 1 absent: unchanged
 
 
+def test_corpus_diff_null_text_classified_by_presence(spark):
+    """Presence must come from side markers, not hash nullness: a null-text
+    document present in both snapshots is NOT 'added', and a null <-> text
+    transition IS 'changed' (md5(NULL) is NULL, so a hash-based presence
+    test gets both wrong)."""
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "text"), (4, None)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now has text"), (3, None), (5, None)],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    # doc 1 (null -> null) unchanged and ABSENT; 2/3 transitions are changed;
+    # 4 removed and 5 added even though their hashes are NULL on both sides
+    assert got == {2: "changed", 3: "changed", 4: "removed", 5: "added"}
+
+
 def test_corpus_diff_plan_is_single_join(spark, sf_dir):
     """One shuffle join on the id, nothing corpus-sized broadcast, no
     cartesian — the diff must scale as a co-locatable sort-merge join."""
