@@ -143,6 +143,28 @@ def bench_incremental_dedup(spark) -> dict[str, float]:
     }
 
 
+def bench_curation_extras(spark) -> dict[str, float]:
+    """Round-6 additions off the headline path: exact heavy-hitter mining
+    (two corpus scans, bounded shuffles) and the deterministic training
+    shuffle (one hash exchange + per-shard sort), both at the bench SF."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.heavyhitters import (
+        frequent_ngrams,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.sources.export import (
+        global_shuffle,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    return {
+        "frequent_ngrams_sec": min_of_runs(
+            lambda: frequent_ngrams(docs, n=3, min_count=5).count()
+        ),
+        "training_shuffle_sec": min_of_runs(
+            lambda: global_shuffle(docs, n_shards=64).count()
+        ),
+    }
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -184,6 +206,7 @@ def main() -> None:
         "lsh_skew_guard_sec": skew_sec,
         "corpus_curation_sec": cur_sec,
         **inc,
+        **bench_curation_extras(spark),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
