@@ -1,0 +1,110 @@
+"""BM25 retrieval: DuckDB-oracle parity + ranking-semantics sanity."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+    bm25_doc_stats,
+    bm25_oracle_sql,
+    bm25_topk,
+)
+from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+    term_doc_counts,
+)
+
+from conftest import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def matrix(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return term_doc_counts(docs).localCheckpoint()
+
+
+@pytest.fixture(scope="module")
+def query(matrix):
+    """Three corpus-derived terms (most frequent — deterministic), so the
+    test never depends on the synthetic vocabulary."""
+    rows = (
+        matrix.groupBy("term")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(3)
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def test_matches_duckdb_oracle(matrix, duck, query):
+    got = bm25_topk(matrix, query, k=25)
+    assert_matches_oracle(got, duck, bm25_oracle_sql(query, k=25))
+    assert got.count() == 25
+
+
+def test_precomputed_stats_and_known_n_match_derived(matrix, query):
+    stats = bm25_doc_stats(matrix).localCheckpoint()
+    n = stats.count()
+    a = bm25_topk(matrix, query, k=15)
+    b = bm25_topk(matrix, query, k=15, n_docs=n, doc_stats=stats)
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def _mini_matrix(spark, rows):
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "term", "cnt"]))
+
+
+def test_tf_saturation_and_ordering(spark):
+    """Equal-length docs: higher tf of the query term ranks first."""
+    m = _mini_matrix(
+        spark,
+        [(1, "zebra", 3), (1, "pad", 7), (2, "zebra", 1), (2, "pad", 9), (3, "pad", 10)],
+    )
+    got = bm25_topk(m, ["zebra"], k=5).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]  # doc 3 has no query term
+
+
+def test_rare_term_outweighs_common(spark):
+    """One doc matches a rare term, another a ubiquitous one — idf must
+    dominate at equal tf and length."""
+    rows = [(i, "common", 1) for i in range(1, 11)]
+    rows += [(1, "rare", 1)]
+    rows += [(i, "pad", 5) for i in range(1, 11)]
+    m = _mini_matrix(spark, rows)
+    got = bm25_topk(m, ["rare", "common"], k=1).collect()
+    assert got[0]["doc_id"] == 1
+
+
+def test_length_normalization(spark):
+    """Same tf: the shorter document ranks higher (b > 0)."""
+    m = _mini_matrix(
+        spark, [(1, "q", 2), (1, "pad", 2), (2, "q", 2), (2, "pad", 40)]
+    )
+    got = bm25_topk(m, ["q"], k=2).collect()
+    assert [r["doc_id"] for r in got] == [1, 2]
+    assert got[0]["score"] > got[1]["score"]
+
+
+def test_scores_positive_and_finite(matrix, query):
+    for r in bm25_topk(matrix, query, k=10).collect():
+        assert r["score"] > 0 and math.isfinite(r["score"])
+
+
+def test_validation(matrix):
+    with pytest.raises(ValueError, match="query_terms"):
+        bm25_topk(matrix, [])
+    with pytest.raises(ValueError, match="k must"):
+        bm25_topk(matrix, ["x"], k=0)
+
+
+def test_topk_plan_take_ordered(matrix, query):
+    plan = (
+        bm25_topk(matrix, query, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
