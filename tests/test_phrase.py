@@ -105,3 +105,37 @@ def test_plan_broadcast_no_cartesian(spark, sf_dir, corpus_phrases):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_normalize_phrase_matches_spark_tokenizer_property(spark):
+    """The python twin must agree with the Spark tokenizer on arbitrary
+    strings — one Spark job over the whole hypothesis batch (drift between
+    Java regex and `re` semantics is the failure mode this hunts)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from document_clustering_with_hadoop_mapreduce_spark.functions.text import tokens
+
+    cases: list[str] = []
+
+    @settings(
+        max_examples=200,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        s=st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FF),
+            max_size=60,
+        )
+    )
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)], "i long, s string")
+    got = {
+        r["i"]: " ".join(t for t in r["t"] if t)
+        for r in df.select("i", tokens(F.col("s")).alias("t")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == normalize_phrase(s), repr(s)
