@@ -81,3 +81,74 @@ def events_rollup(events: DataFrame) -> DataFrame:
         ).alias("sum_value"),
         F.grouping_id().cast("int").alias("lvl"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame, id_col: str = "user_id", ts_col: str = "ts"
+) -> DataFrame:
+    """Weekly cohort retention — the activation/stickiness table every
+    event warehouse publishes: users grouped by first-seen ISO week, and
+    for each later week the share of the cohort still active.
+
+    (cohort_week, weeks_since, n_users, retention) — ``retention`` is
+    n_users / cohort size, 6dp; ``weeks_since`` = 0 is the cohort row
+    itself (retention 1.0 by construction: a user is active in the week
+    they first appear).
+
+    Scale shape: one user-keyed aggregate for first-seen, one distinct on
+    (user, week) — both exchanges on the SAME user key, so with a
+    user-bucketed layout (sources/bucketing.py) they co-locate and the
+    join between them is exchange-free; the (cohort, week) count and the
+    cohort-size window then operate on a cohorts x weeks frame, bounded
+    by the calendar, not the corpus.
+    """
+    first = events.groupBy(F.col(id_col).alias("uid")).agg(
+        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
+    )
+    active = events.select(
+        F.col(id_col).alias("uid"),
+        F.date_trunc("week", F.col(ts_col)).alias("activity_week"),
+    ).distinct()
+    per = (
+        active.join(first, "uid")
+        .groupBy("cohort_week", "activity_week")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .withColumn(
+            "weeks_since",
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("int"),
+        )
+    )
+    w = Window.partitionBy("cohort_week")
+    size0 = F.max(F.when(F.col("weeks_since") == 0, F.col("n_users"))).over(w)
+    return per.select(
+        "cohort_week",
+        "weeks_since",
+        "n_users",
+        F.round(F.col("n_users") / size0, 6).alias("retention"),
+    )
+
+
+def retention_oracle_sql(source: str = "events") -> str:
+    """DuckDB mirror of ``retention_cohorts`` (same ISO-Monday week
+    truncation on both engines)."""
+    return f"""
+WITH rc_first AS (
+  SELECT user_id AS uid, date_trunc('week', min(ts)) AS cohort_week
+  FROM {source} GROUP BY user_id
+),
+rc_active AS (
+  SELECT DISTINCT user_id AS uid, date_trunc('week', ts) AS activity_week
+  FROM {source}
+),
+rc_per AS (
+  SELECT cohort_week, activity_week, count(*)::BIGINT AS n_users,
+         CAST(floor(date_diff('day', cohort_week, activity_week) / 7.0) AS INT) AS weeks_since
+  FROM rc_active JOIN rc_first USING (uid)
+  GROUP BY cohort_week, activity_week
+)
+SELECT cohort_week, weeks_since, n_users,
+       round(n_users::DOUBLE / max(CASE WHEN weeks_since = 0 THEN n_users END)
+                                 OVER (PARTITION BY cohort_week), 6) AS retention
+FROM rc_per"""
