@@ -100,6 +100,108 @@ def bm25_topk(
     )
 
 
+def bm25_batch_topk(
+    matrix: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_docs: int | None = None,
+    doc_stats: DataFrame | None = None,
+) -> DataFrame:
+    """(query_id, doc_id, score, rank): top-``k`` docs for EVERY query in
+    one plan — the production retrieval shape (an eval set, a dedup probe
+    batch, a router) instead of one job per query.
+
+    ``queries`` is (query_id, term), one row per query term — KB-MB sized,
+    so it broadcasts. One pass: the matrix joins the broadcast term list
+    (every queried term's postings in one scan), df/idf come from a
+    per-term aggregate of that slice, scores sum per (query_id, doc_id),
+    and per-query top-k is a window over the match-bounded score frame.
+    Duplicate (query_id, term) rows are collapsed (bag-of-words queries
+    weight by document tf, not query tf — the BM25 convention).
+
+    Same float discipline as ``bm25_topk``: 12dp DECIMAL component sums,
+    6dp scores, ties on doc_id. The two agree exactly on a single query
+    (pinned in tests).
+    """
+    from .topk import top_k_per_group
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = queries.select("query_id", "term").distinct()
+    dl = doc_stats if doc_stats is not None else bm25_doc_stats(matrix)
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+        with_n = lambda df: df  # noqa: E731
+    else:
+        n_df = dl.agg(F.count(F.lit(1)).cast("double").alias("__n_docs"))
+        n_col = F.col("__n_docs")
+        with_n = lambda df: df.crossJoin(F.broadcast(n_df))  # noqa: E731
+
+    terms = q.select("term").distinct()
+    posting = matrix.join(F.broadcast(terms), "term")
+    df_ = posting.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = with_n(
+        posting.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(F.lit(1.0) + (n_col - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    comp = idf * (
+        (F.col("cnt") * (k1 + 1))
+        / (F.col("cnt") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    per_query = (
+        scored.select("query_id", "doc_id", F.round(comp, 12).cast(_DEC).alias("__c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__c").cast("double"), 6).alias("score"))
+    )
+    return top_k_per_group(
+        per_query, ["query_id"], [F.col("score").desc(), F.col("doc_id").asc()], k
+    )
+
+
+def bm25_batch_oracle_sql(
+    query_rows: Sequence[tuple[object, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    matrix_cte: str | None = None,
+) -> str:
+    """DuckDB mirror of ``bm25_batch_topk`` for a literal query batch
+    (query_id, term) — same slice-derived df, DECIMAL sums, window rank."""
+    from ..plans.oracles import MATRIX_CTE
+
+    vals = ", ".join(
+        f"({qid!r}, '" + t.replace("'", "''") + "')" for qid, t in sorted(set(query_rows))
+    )
+    return f"""{matrix_cte or MATRIX_CTE},
+bq AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+bm_dl AS (SELECT doc_id, sum(cnt)::BIGINT AS dl FROM matrix GROUP BY doc_id),
+bm_avg AS (SELECT avg(dl) AS avgdl FROM bm_dl),
+bm_n AS (SELECT count(*)::DOUBLE AS n_docs FROM bm_dl),
+bm_post AS (SELECT doc_id, term, cnt FROM matrix WHERE term IN (SELECT DISTINCT term FROM bq)),
+bm_df AS (SELECT term, count(*)::DOUBLE AS df FROM bm_post GROUP BY term),
+bm_scores AS (
+  SELECT q.query_id, p.doc_id,
+         round(CAST(sum(CAST(round(
+           ln(1.0 + (n.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * (p.cnt * ({k1} + 1)) / (p.cnt + {k1} * (1 - {b} + {b} * d.dl / a.avgdl)),
+         12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS score
+  FROM bm_post p
+  JOIN bq q USING (term) JOIN bm_df f USING (term) JOIN bm_dl d USING (doc_id)
+  CROSS JOIN bm_avg a CROSS JOIN bm_n n
+  GROUP BY q.query_id, p.doc_id
+)
+SELECT query_id, doc_id, score,
+       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM bm_scores
+QUALIFY rank <= {int(k)}"""
+
+
 def bm25_oracle_sql(
     query_terms: Sequence[str],
     k: int = 10,

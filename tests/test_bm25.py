@@ -108,3 +108,31 @@ def test_topk_plan_take_ordered(matrix, query):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_batch_matches_oracle(spark, matrix, duck, query):
+    rows = [("q0", query[0]), ("q0", query[1]), ("q1", query[2]), ("q1", query[0]),
+            ("q1", query[0])]  # dup (query, term) must collapse
+    qdf = spark.createDataFrame(rows, "query_id string, term string")
+    from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+        bm25_batch_oracle_sql,
+        bm25_batch_topk,
+    )
+
+    got = bm25_batch_topk(matrix, qdf, k=12)
+    assert_matches_oracle(got, duck, bm25_batch_oracle_sql(rows, k=12))
+    assert got.filter(F.col("rank") > 12).count() == 0
+
+
+def test_batch_single_query_equals_topk(spark, matrix, query):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+        bm25_batch_topk,
+    )
+
+    qdf = spark.createDataFrame([("q", t) for t in query], "query_id string, term string")
+    batch = [
+        (r["doc_id"], r["score"])
+        for r in bm25_batch_topk(matrix, qdf, k=9).orderBy("rank").collect()
+    ]
+    single = [(r["doc_id"], r["score"]) for r in bm25_topk(matrix, query, k=9).collect()]
+    assert batch == single
