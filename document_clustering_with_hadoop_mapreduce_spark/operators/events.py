@@ -95,22 +95,21 @@ def retention_cohorts(
     itself (retention 1.0 by construction: a user is active in the week
     they first appear).
 
-    Scale shape: one user-keyed aggregate for first-seen, one distinct on
-    (user, week) — both exchanges on the SAME user key, so with a
-    user-bucketed layout (sources/bucketing.py) they co-locate and the
-    join between them is exchange-free; the (cohort, week) count and the
-    cohort-size window then operate on a cohorts x weeks frame, bounded
-    by the calendar, not the corpus.
+    Scale shape: ONE corpus-sized exchange — the distinct on
+    (user, week). First-seen needs no separate aggregate-and-join: the
+    cohort week is min(activity_week) over a user window on that already
+    calendar-bounded frame (weeks-per-user rows; date_trunc is monotonic,
+    so min-of-truncs equals trunc-of-min). The (cohort, week) count and
+    the cohort-size window then operate on a cohorts x weeks frame,
+    bounded by the calendar, not the corpus.
     """
-    first = events.groupBy(F.col(id_col).alias("uid")).agg(
-        F.date_trunc("week", F.min(ts_col)).alias("cohort_week")
-    )
     active = events.select(
         F.col(id_col).alias("uid"),
         F.date_trunc("week", F.col(ts_col)).alias("activity_week"),
     ).distinct()
+    w_u = Window.partitionBy("uid")
     per = (
-        active.join(first, "uid")
+        active.withColumn("cohort_week", F.min("activity_week").over(w_u))
         .groupBy("cohort_week", "activity_week")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .withColumn(
