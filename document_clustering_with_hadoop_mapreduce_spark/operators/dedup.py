@@ -508,6 +508,98 @@ def jaccard_pairs(doc_shingles: DataFrame, min_jaccard: float = 0.2) -> DataFram
     )
 
 
+def containment_pairs(
+    doc_shingles: DataFrame, min_containment: float = 0.8
+) -> DataFrame:
+    """Asymmetric near-dup: shingle-set CONTAINMENT, both directions.
+
+    c(A in B) = |A ∩ B| / |A| — the measure that catches a document
+    EMBEDDED in another (a quoted article inside a digest, a README
+    pasted into a repo dump). Symmetric Jaccard misses these by
+    construction: a 50-shingle doc fully contained in a 5,000-shingle doc
+    has J ≈ 0.01, below any dedup threshold (and below what MinHash-LSH
+    banding would ever surface — band collision probability tracks J, so
+    containment needs its own pass, not a post-filter on LSH output).
+
+    Output (doc_a, doc_b, c_a_in_b, c_b_in_a, jaccard), doc_a < doc_b,
+    kept when EITHER direction reaches ``min_containment``. Same plan
+    shape as ``jaccard_pairs``: sizes ride the shingle frame via one
+    window (never a per-doc broadcast), the shared-shingle equi-join IS
+    the candidate generation (only pairs sharing a shingle materialize),
+    sizes and intersection fall out of one pair aggregate. Same caveat
+    too: a hot shingle shared by k docs contributes k² join rows — run on
+    boilerplate-cut corpora (``cut_duplicate_spans``) or pre-drop
+    ubiquitous shingles; this is the exact small-scale baseline of the
+    family.
+    """
+    w = Window.partitionBy("doc_id")
+    sized = doc_shingles.withColumn("sz", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=False
+    )  # two consumers (the self-join's sides), same as jaccard_pairs
+    a = sized.alias("a")
+    b = sized.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("a.sz").alias("sz_a"),
+            F.min("b.sz").alias("sz_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("sz_a"), 6).alias("c_a_in_b"),
+            F.round(F.col("common") / F.col("sz_b"), 6).alias("c_b_in_a"),
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("c_a_in_b") >= min_containment)
+            | (F.col("c_b_in_a") >= min_containment)
+        )
+    )
+
+
+def containment_oracle_sql(
+    n: int = 3, min_containment: float = 0.8, source: str = "documents"
+) -> str:
+    """DuckDB mirror of ``containment_pairs`` over ``shingles(source, n)``
+    — same tokenization, same 6dp rounding, same either-direction filter."""
+    return f"""
+WITH ct_t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+'),
+                     t -> t <> '') AS toks
+  FROM {source}
+),
+ct_sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM ct_t, UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
+  WHERE len(toks) >= {n}
+),
+ct_sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM ct_sh GROUP BY doc_id),
+ct_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS common
+  FROM ct_sh a JOIN ct_sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / sa.sz, 6) AS c_a_in_b,
+       round(common::DOUBLE / sb.sz, 6) AS c_b_in_a,
+       round(common::DOUBLE / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM ct_pairs
+JOIN ct_sz sa ON sa.doc_id = doc_a
+JOIN ct_sz sb ON sb.doc_id = doc_b
+WHERE round(common::DOUBLE / sa.sz, 6) >= {min_containment}
+   OR round(common::DOUBLE / sb.sz, 6) >= {min_containment}"""
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame, doc_shingles: DataFrame, min_jaccard: float = 0.5
 ) -> DataFrame:
