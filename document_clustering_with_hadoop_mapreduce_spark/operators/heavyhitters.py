@@ -112,9 +112,20 @@ def frequent_ngrams(
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     grams = _gram_stream(docs, n, text_col)
     cand = heavy_buckets(grams, min_count, n_buckets).select("bucket")
+    return exact_recount(grams, cand, min_count, n_buckets)
+
+
+def exact_recount(
+    grams: DataFrame, cand_buckets: DataFrame, min_count: int, n_buckets: int
+) -> DataFrame:
+    """Pass 2 as its own operator, so candidate buckets can come from
+    elsewhere — e.g. the streaming bucket-count store
+    (``streaming.events_stream.stream_gram_bucket_counts``), whose
+    accumulated totals a closed stream finalizes through this same exact
+    pass."""
     return (
         grams.withColumn("bucket", F.pmod(md5_int60(F.col("ngram")), F.lit(n_buckets)))
-        .join(F.broadcast(cand), "bucket", "left_semi")
+        .join(F.broadcast(cand_buckets.select("bucket")), "bucket", "left_semi")
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
