@@ -600,6 +600,103 @@ WHERE round(common::DOUBLE / sa.sz, 6) >= {min_containment}
    OR round(common::DOUBLE / sb.sz, 6) >= {min_containment}"""
 
 
+def containment_candidate_pairs(
+    doc_shingles: DataFrame, min_containment: float = 0.8
+) -> DataFrame:
+    """The SCALE path to containment: prefix-filtered candidate
+    generation (the PPJoin/prefix-filter principle — Bayardo et al.
+    WWW'07, Xiao et al. WWW'08).
+
+    Guarantee: if c(A in B) = |A∩B|/|A| >= t, then ANY subset of A with
+    more than (1-t)·|A| shingles intersects B (fewer than t·|A| of A's
+    shingles lie outside B). So joining only each doc's PREFIX — its
+    ⌊(1-t)·sz⌋+1 globally RAREST shingles — against the other docs' full
+    shingle streams loses no true pair, in either direction (every doc
+    plays the prefix role once). Rarity ordering is what shrinks the
+    candidate set: common shingles stay out of prefixes, so the join's
+    build side is dominated by low-frequency postings.
+
+    Output (doc_a, doc_b) distinct, a < b — a SUPERSET of
+    ``containment_pairs(...)``'s pair set at the same threshold; verify
+    with ``containment_verify_pairs``. Cost: one vocab-sized df
+    aggregate, one shingle-keyed join of stream x df, one per-doc window
+    (rank by rarity), and a prefix x full join whose volume is the
+    prefix mass — at t = 0.8 one-fifth of the full self-join's left
+    side, concentrated on rare keys.
+    """
+    _check_threshold(min_containment)
+    df_tbl = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        doc_shingles.join(df_tbl, "shingle")
+        .withColumn("sz", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__rn", F.row_number().over(w.orderBy(F.asc("__df"), F.asc("shingle")))
+        )
+    )
+    prefix = ranked.filter(
+        F.col("__rn") <= F.floor((1.0 - min_containment) * F.col("sz")) + 1
+    ).select(F.col("doc_id").alias("doc_p"), "shingle")
+    full = doc_shingles.select(F.col("doc_id").alias("doc_f"), "shingle")
+    return (
+        prefix.join(full, "shingle")
+        .filter(F.col("doc_p") != F.col("doc_f"))
+        .select(
+            F.least("doc_p", "doc_f").alias("doc_a"),
+            F.greatest("doc_p", "doc_f").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def containment_verify_pairs(
+    pairs: DataFrame, doc_shingles: DataFrame, min_containment: float = 0.8
+) -> DataFrame:
+    """Exact containment restricted to a candidate pair set — the verify
+    half for ``containment_candidate_pairs``, same join shape as
+    ``jaccard_verify_pairs`` (work bounded by |candidates| x shingles per
+    doc, sizes window-carried, no per-doc broadcast). Output matches
+    ``containment_pairs`` exactly when fed a superset of its pairs."""
+    _check_threshold(min_containment)
+    w = Window.partitionBy("doc_id")
+    sized = doc_shingles.withColumn("sz", F.count(F.lit(1)).over(w)).localCheckpoint(
+        eager=False
+    )  # two consumers (each pair side)
+    sa = sized.select(F.col("doc_id").alias("doc_a"), "shingle", F.col("sz").alias("sz_a"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), "shingle", F.col("sz").alias("sz_b"))
+    return (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.min("sz_a").alias("sz_a"),
+            F.min("sz_b").alias("sz_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("sz_a"), 6).alias("c_a_in_b"),
+            F.round(F.col("common") / F.col("sz_b"), 6).alias("c_b_in_a"),
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(
+            (F.col("c_a_in_b") >= min_containment)
+            | (F.col("c_b_in_a") >= min_containment)
+        )
+    )
+
+
+def _check_threshold(min_containment: float) -> None:
+    if not 0.0 < min_containment <= 1.0:
+        raise ValueError(
+            f"min_containment must be in (0, 1], got {min_containment}"
+        )
+
+
 def jaccard_verify_pairs(
     pairs: DataFrame, doc_shingles: DataFrame, min_jaccard: float = 0.5
 ) -> DataFrame:

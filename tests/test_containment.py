@@ -67,3 +67,78 @@ def test_no_per_doc_broadcast(planted):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_candidates_cover_all_true_pairs(planted):
+    """No-false-negative guarantee of the prefix filter: candidates must be
+    a superset of the exhaustive miner's pairs, at several thresholds."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+
+    sh = shingles(planted, n=3)
+    for t in (0.5, 0.8, 1.0):
+        cand = {(r["doc_a"], r["doc_b"])
+                for r in containment_candidate_pairs(sh, t).collect()}
+        true = {(r["doc_a"], r["doc_b"])
+                for r in containment_pairs(sh, t).collect()}
+        assert true <= cand, f"t={t}: missing {true - cand}"
+
+
+def test_candidate_verify_equals_exhaustive(spark, sf_dir):
+    """generate -> verify == exhaustive containment on the real fixture."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        containment_candidate_pairs,
+        containment_verify_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs, n=3).localCheckpoint()
+    t = 0.5
+    cand = containment_candidate_pairs(sh, t)
+    via_prefix = {tuple(r) for r in containment_verify_pairs(cand, sh, t).collect()}
+    exhaustive = {tuple(r) for r in containment_pairs(sh, t).collect()}
+    assert via_prefix == exhaustive
+
+
+def test_prefix_prunes_join_volume(spark):
+    """2,000 docs sharing one ubiquitous boilerplate shingle: the full
+    self-join materializes every pair through that hot key (~2M rows);
+    rarity-ordered prefixes exclude the hot shingle at t=0.8 for all but
+    the shortest docs, so the candidate set must stay far below the
+    all-sharing-pairs count."""
+    import pandas as pd
+    from pyspark.sql import functions as F2
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(2000),
+            "text": [
+                f"shared boilerplate header line unique{i} token{i} word{i} tail{i} end{i}"
+                for i in range(2000)
+            ],
+        }
+    )
+    sh = shingles(spark.createDataFrame(pdf), n=3).localCheckpoint()
+    n_cand = containment_candidate_pairs(sh, 0.8).count()
+    all_sharing = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F2.col("a.doc_id") < F2.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id").distinct().count()
+    )
+    assert all_sharing > 1_000_000
+    assert n_cand < all_sharing / 100, (n_cand, all_sharing)
+
+
+def test_threshold_validation(planted):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+    import pytest as pt
+
+    with pt.raises(ValueError, match="min_containment"):
+        containment_candidate_pairs(shingles(planted, n=3), 0.0)
