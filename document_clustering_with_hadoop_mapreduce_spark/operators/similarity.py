@@ -436,6 +436,38 @@ def quantized_topk(
     return cosine_topk(corpus, probes, k, id_col="vec_id", vec_col=vec_col)
 
 
+def quantized_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    k: int = 3,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF over the int-quantized corpus — the configuration a 100 TB
+    vector store actually runs: the coarse index bounds WHICH vectors are
+    scored (sum of probed cell sizes, never O(n*q)) while quantization
+    bounds the BYTES each candidate costs to scan and shuffle (4x at
+    int8). Corpus and queries share one parameter set so the geometry is
+    consistent; cells are assigned over the reconstructed codes, exactly
+    what a code-only store can do. With nprobe == n_cells this equals
+    ``quantized_topk`` (exhaustive over reconstructions, pinned in
+    tests); recall vs the exact float top-k is measured, not assumed.
+    """
+    mins, scales = quantization_params(embeddings, bits, vec_col)
+
+    def recon(df: DataFrame) -> DataFrame:
+        return quantize_embeddings(df, mins, scales, bits, id_col, vec_col).select(
+            "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
+        )
+
+    return ivf_topk(
+        recon(embeddings), recon(queries), n_cells, nprobe, k, "vec_id", vec_col
+    )
+
+
 def semdedup(
     embeddings: DataFrame,
     centroids: list[list[float]],

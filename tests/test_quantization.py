@@ -112,3 +112,37 @@ def test_quantize_plan_is_map_side(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_quantized_ivf_composition(spark, sf_dir):
+    """IVF over int8 codes — the composed 100 TB configuration. Pins:
+    (a) full probe == quantized_topk exactly (IVF adds no loss at
+    nprobe=n_cells), (b) recall is monotone in nprobe, (c) the composed
+    path keeps the quantization-level recall floor at full probe."""
+    from pyspark.sql import functions as F
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        quantized_ivf_topk,
+        quantized_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.orderBy(F.desc("vec_id")).limit(5)
+    corpus = emb.join(q.select("vec_id"), "vec_id", "left_anti")
+
+    def pairs(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    exact = pairs(cosine_topk(corpus, q, 10))
+    recalls = []
+    for nprobe in (1, 4, 8):
+        got = pairs(quantized_ivf_topk(corpus, q, n_cells=8, nprobe=nprobe, k=10))
+        recalls.append(len(got & exact) / len(exact))
+    # monotone coverage: probing more cells never loses recall
+    assert recalls == sorted(recalls), recalls
+    # at full probe the only loss is quantization — the floor the
+    # quantized_topk recall test already pins
+    assert recalls[-1] >= 0.8, recalls
+    full = pairs(quantized_ivf_topk(corpus, q, n_cells=8, nprobe=8, k=10))
+    assert full == pairs(quantized_topk(corpus, q, 10))
