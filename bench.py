@@ -154,13 +154,37 @@ def bench_curation_extras(spark) -> dict[str, float]:
         global_shuffle,
     )
 
+    from pyspark.sql import functions as F
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+        bm25_batch_topk,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    matrix = term_doc_counts(docs).localCheckpoint()
+    top_terms = [
+        r["term"]
+        for r in matrix.groupBy("term").agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("term")).limit(12).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(f"q{i // 3}", t) for i, t in enumerate(top_terms)],
+        "query_id string, term string",
+    )
     return {
         "frequent_ngrams_sec": min_of_runs(
             lambda: frequent_ngrams(docs, n=3, min_count=5).count()
         ),
         "training_shuffle_sec": min_of_runs(
             lambda: global_shuffle(docs, n_shards=64).count()
+        ),
+        # 4 queries x 3 most-common terms each — the worst-case postings
+        # volume for the batch retrieval plan at this SF
+        "bm25_batch_sec": min_of_runs(
+            lambda: bm25_batch_topk(matrix, queries, k=10).count()
         ),
     }
 
