@@ -625,6 +625,11 @@ def containment_candidate_pairs(
     side, concentrated on rare keys.
     """
     _check_threshold(min_containment)
+    # three consumers (df aggregate, the ranked prefix stream, the full
+    # join side) and no Catalyst subtree reuse across the tokenize
+    # lambdas — materialize the shingle stream once (the repo-wide
+    # single-materialization pattern, see jaccard_pairs)
+    doc_shingles = doc_shingles.localCheckpoint(eager=False)
     df_tbl = doc_shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w = Window.partitionBy("doc_id")
     ranked = (
