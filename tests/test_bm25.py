@@ -136,3 +136,30 @@ def test_batch_single_query_equals_topk(spark, matrix, query):
     ]
     single = [(r["doc_id"], r["score"]) for r in bm25_topk(matrix, query, k=9).collect()]
     assert batch == single
+
+
+def test_batch_plan_shape(spark, matrix, query):
+    """Query list and per-term stats must broadcast; never a cartesian or
+    nested-loop join anywhere in the batch plan."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+        bm25_batch_topk,
+    )
+
+    qdf = spark.createDataFrame(
+        [("q0", query[0]), ("q1", query[1])], "query_id string, term string"
+    )
+    plan = (
+        bm25_batch_topk(matrix, qdf, k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins allowed are the 1-row scalar cross joins
+    # (avgdl / n_docs ride along as IdentityBroadcastMode builds)
+    import re
+
+    assert all(
+        "Cross" in line
+        for line in plan.splitlines()
+        if re.search(r"\bBroadcastNestedLoopJoin\b", line)
+    )

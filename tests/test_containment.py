@@ -142,3 +142,39 @@ def test_threshold_validation(planted):
 
     with pt.raises(ValueError, match="min_containment"):
         containment_candidate_pairs(shingles(planted, n=3), 0.0)
+
+
+def test_prefix_superset_property_random_corpora(spark):
+    """Hypothesis: on random small corpora and thresholds, prefix-filtered
+    candidates are ALWAYS a superset of the exhaustive miner's pairs (the
+    no-false-negative guarantee, adversarial word overlap included)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        containment_candidate_pairs,
+    )
+
+    words = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"])
+    docs_strat = st.lists(
+        st.lists(words, min_size=3, max_size=12).map(" ".join),
+        min_size=2,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=docs_strat, t=st.sampled_from([0.4, 0.7, 1.0]))
+    def check(texts, t):
+        pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        sh = shingles(spark.createDataFrame(pdf), n=2)
+        cand = {(r["doc_a"], r["doc_b"])
+                for r in containment_candidate_pairs(sh, t).collect()}
+        true = {(r["doc_a"], r["doc_b"])
+                for r in containment_pairs(sh, t).collect()}
+        assert true <= cand, (texts, t, true - cand)
+
+    check()
