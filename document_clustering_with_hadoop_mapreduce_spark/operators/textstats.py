@@ -363,6 +363,104 @@ def sample_to_budget(
     )
 
 
+def temperature_targets(
+    masses: dict[str, int], total_budget: int, alpha: float = 0.7
+) -> dict[str, float]:
+    """Capacity-respecting temperature allocation (pure python, shared by
+    the operator and its tests): split ``total_budget`` tokens across
+    strata proportional to mass_i^alpha (the Llama/XLM-R sampling
+    temperature — alpha = 1 is proportional, alpha -> 0 approaches
+    uniform, lifting low-resource strata), never exceeding a stratum's
+    available mass. Capacity caps are resolved by waterfilling: cap every
+    over-allocated stratum at its mass, redistribute the surplus over the
+    rest by the same alpha-weights, repeat — terminates in <= k rounds
+    (each round permanently caps >= 1 stratum) and delivers exactly
+    min(total_budget, sum of masses) tokens.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    targets = {s: 0.0 for s in masses}
+    active = {s for s, m in masses.items() if m > 0}
+    remaining = float(min(total_budget, sum(masses.values())))
+    while remaining > 1e-9 and active:
+        w = {s: float(masses[s]) ** alpha for s in sorted(active)}
+        tot_w = sum(w.values())
+        alloc = {s: remaining * w[s] / tot_w for s in w}
+        capped = {s for s in active if targets[s] + alloc[s] >= masses[s]}
+        if not capped:
+            for s in alloc:
+                targets[s] += alloc[s]
+            break
+        for s in capped:
+            remaining -= masses[s] - targets[s]
+            targets[s] = float(masses[s])
+        active -= capped
+    return targets
+
+
+def temperature_mixture(
+    documents: DataFrame,
+    total_budget: int,
+    alpha: float = 0.7,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The temperature-based mixing planner: (stratum, available_tokens,
+    target_tokens, rate) allocating one TOTAL token budget across strata
+    by mass^alpha instead of per-stratum budget dicts (``mixture_rates``'
+    explicit-recipe form). rate = target / available, 6dp, feeds
+    ``stratified_sample`` exactly like ``mixture_rates``.
+
+    One stratum-key aggregate; the allocation itself runs driver-side on
+    the k-row stats (the k-means-centroid size class) via
+    ``temperature_targets``.
+    """
+    stats = documents.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(token_count(F.col(text_col))).cast("long").alias("available_tokens")
+    )
+    rows = stats.collect()
+    masses = {r["stratum"]: int(r["available_tokens"]) for r in rows}
+    targets = temperature_targets(masses, total_budget, alpha)
+    spark = documents.sparkSession
+    out = [
+        (
+            s,
+            masses[s],
+            int(round(targets[s])),
+            round(min(1.0, targets[s] / masses[s]), 6) if masses[s] > 0 else 1.0,
+        )
+        for s in sorted(masses)
+    ]
+    return spark.createDataFrame(
+        out, "stratum string, available_tokens long, target_tokens long, rate double"
+    )
+
+
+def sample_to_temperature_budget(
+    documents: DataFrame,
+    total_budget: int,
+    alpha: float = 0.7,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``temperature_mixture`` composed with ``stratified_sample`` — the
+    one-knob mixing recipe ("B tokens at temperature alpha") as a pure
+    map-side hash filter, deterministic like ``sample_to_budget``."""
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in temperature_mixture(
+            documents, total_budget, alpha, stratum_col, text_col
+        ).collect()
+    }
+    return stratified_sample(
+        documents, rates, stratum_col=stratum_col, default_rate=1.0, salt=salt, id_col=id_col
+    )
+
+
 def sequence_pack(
     documents: DataFrame,
     max_tokens: int = 2048,
