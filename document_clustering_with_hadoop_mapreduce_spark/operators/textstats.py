@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, clean_text, token_count, tokens
+from ..functions.text import STOPWORDS, clean_text, explode_tokens, token_count, tokens
 
 # BPE-ish lexer: alpha runs | digit runs | single non-space symbol.
 # Explicit whitespace class (not \s): Java and RE2 disagree on \f/\x0B, and
@@ -734,5 +734,149 @@ def perplexity_buckets(
             .when(F.col("cross_entropy") <= F.col("__t_hi"), F.lit("middle"))
             .otherwise(F.lit("tail"))
             .alias("bucket"),
+        )
+    )
+
+
+def bigram_stream(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Consecutive token pairs per document: (doc_id, w1, w2), one row per
+    adjacent pair in the FILTERED token stream (clean -> split ->
+    stopword/empty drop, the shared P1-P3 substrate — "adjacent" means
+    adjacent after filtering, the convention the DuckDB oracle mirrors).
+
+    Map-side only: one tokenize projection, a size>=2 predicate, and an
+    index-lambda ``transform`` + ``explode`` — zero shuffles, so the
+    stream fuses into whatever aggregation consumes it. Documents with
+    fewer than two surviving tokens contribute no rows.
+    """
+    arr = F.filter(
+        tokens(F.col(text_col)), lambda t: (t != "") & ~t.isin(*STOPWORDS)
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), arr.alias("__a"))
+        .where(F.size("__a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(__a) - 2),"
+                    " i -> struct(__a[i] AS w1, __a[i + 1] AS w2))"
+                )
+            ).alias("__b"),
+        )
+        .select("doc_id", F.col("__b.w1").alias("w1"), F.col("__b.w2").alias("w2"))
+    )
+
+
+def bigram_lm(
+    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the corpus n-gram LM: returns ``(bi, uni)`` where
+
+    - ``bi``  = (w1, w2, p_bi): MLE conditional p(w2 | w1) =
+      c(w1,w2) / c_ctx(w1), with the context count c_ctx taken over the
+      bigram stream itself (so each row of ``bi`` is a proper conditional
+      distribution over w2 — rows for a fixed w1 sum to 1).
+    - ``uni`` = (w2, p_uni): MLE unigram p(w) = c(w) / M over the full
+      filtered token stream (every token, including document-final ones
+      the bigram stream's first position never sees).
+
+    Scale shape: ``bi`` is distinct-bigram-sized, ``uni`` vocab-sized —
+    model tables, not corpus tables. One agg exchange each; the context
+    normalizer is a second groupBy on w1 re-using the grouped bigram
+    counts (bigram-vocab-sized input). The 1-row token mass rides a
+    broadcast crossJoin like ``unigram_cross_entropy``'s.
+    """
+    bi_counts = bigram_stream(documents, text_col, id_col).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    ctx = bi_counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
+    bi = bi_counts.join(ctx, "w1").select(
+        "w1", "w2", (F.col("__c") / F.col("__ctx")).alias("p_bi")
+    )
+    uni_counts = documents.select(
+        explode_tokens(F.col(text_col)).alias("w2")
+    ).groupBy("w2").agg(F.count(F.lit(1)).alias("__c"))
+    mass = uni_counts.agg(F.sum("__c").cast("double").alias("__m"))
+    uni = uni_counts.crossJoin(F.broadcast(mass)).select(
+        "w2", (F.col("__c") / F.col("__m")).alias("p_uni")
+    )
+    return bi, uni
+
+
+def bigram_cross_entropy(
+    documents: DataFrame,
+    lam: float = 0.8,
+    lm: tuple[DataFrame, DataFrame] | None = None,
+    oov_p: float = 1e-9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
+) -> DataFrame:
+    """Interpolated bigram LM quality score (the order-sensitive upgrade of
+    ``unigram_cross_entropy`` — CCNet, Wenzek et al. 2020, scores with a
+    KenLM n-gram model for exactly this reason: bag-of-words perplexity
+    cannot see shuffled/garbled word ORDER). Per document, over its
+    bigram positions:
+
+        score = -mean(ln(lam * p_bi(w2|w1) + (1-lam) * p_uni(w2)))
+
+    (Jelinek-Mercer interpolation). Output: (doc_id, cross_entropy 6dp,
+    n_bigrams); documents with <2 surviving tokens have no bigram
+    positions and are absent — compose with ``unigram_cross_entropy`` if
+    those need a score.
+
+    ``lm`` defaults to self-training on ``documents`` (the CCNet "score
+    the corpus against its own LM" regime, where no bigram is OOV); pass
+    ``bigram_lm(reference_corpus)`` to score against a held-out/target LM,
+    in which case unseen bigrams fall back to the unigram term alone and
+    unseen unigrams to the ``oov_p`` floor — left joins, never inner, so
+    no document silently loses positions.
+
+    Scale shape: scoring is the bigram stream (token-stream-sized) joined
+    against the two MODEL tables (distinct-bigram / vocab-sized) on
+    (w1,w2) then w2 — ordinary equi-joins that AQE broadcast-converts when
+    the model is small and shuffles when it is not; then ONE per-doc agg
+    exchange. The stream is lazily checkpointed once by default (two
+    lineage consumers when self-trained: counting and scoring; tokenize
+    lambdas are not subtree-unified by Catalyst) — pass
+    ``materialize=False`` when scoring against a pre-trained ``lm``,
+    where the stream has a single consumer and the checkpoint would pin a
+    corpus-sized frame for nothing.
+    """
+    if not 0.0 < lam <= 1.0:
+        raise ValueError(f"lam must be in (0, 1], got {lam}")
+    stream = bigram_stream(documents, text_col, id_col)
+    if materialize:
+        stream = stream.localCheckpoint(eager=False)
+    if lm is None:
+        # self-trained: rebuild counts FROM THE MATERIALIZED STREAM so the
+        # tokenize pass runs once, mirroring bigram_lm's math exactly
+        bi_counts = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+        ctx = bi_counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
+        bi = bi_counts.join(ctx, "w1").select(
+            "w1", "w2", (F.col("__c") / F.col("__ctx")).alias("p_bi")
+        )
+        uni_counts = documents.select(
+            explode_tokens(F.col(text_col)).alias("w2")
+        ).groupBy("w2").agg(F.count(F.lit(1)).alias("__c"))
+        mass = uni_counts.agg(F.sum("__c").cast("double").alias("__m"))
+        uni = uni_counts.crossJoin(F.broadcast(mass)).select(
+            "w2", (F.col("__c") / F.col("__m")).alias("p_uni")
+        )
+    else:
+        bi, uni = lm
+    p = F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0)) + F.lit(1.0 - lam) * F.coalesce(
+        F.col("p_uni"), F.lit(oov_p)
+    )
+    return (
+        stream.join(bi, ["w1", "w2"], "left")
+        .join(uni, ["w2"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("cross_entropy"),
+            F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
