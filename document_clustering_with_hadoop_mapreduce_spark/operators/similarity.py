@@ -644,3 +644,72 @@ def ivf_probe_indexed(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    score_col: str = "score",
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+) -> list:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    1998): greedily pick ``k`` items maximizing
+
+        mmr = lam * relevance - (1 - lam) * max cosine to already-selected
+
+    — the diversity-aware re-rank (retrieval) / diverse-subset pick
+    (data selection) primitive: pure top-k returns near-duplicates; MMR
+    trades relevance against redundancy with one knob.
+
+    Input is a CANDIDATE POOL (e.g. the top-N of ``cosine_topk`` or a
+    quality-scored sample), not the corpus: greedy MMR is inherently
+    sequential in k, so each of the k steps is one distributed job over
+    the pool — max-by-struct aggregation, no sort, no shuffle of the pool
+    (it is cached once); the selected set (<= k vectors) rides into step
+    expressions as literals, the same small-side pattern as Lloyd's
+    centroids. Returns the selected [(id, score, mmr)] in pick order —
+    k driver-sized rows, the natural shape for a re-ranked result page.
+
+    Ties break on (mmr DESC, id ASC) deterministically.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    pool = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__score"),
+        _as_double(F.col(vec_col)).alias("__vec"),
+    ).localCheckpoint(eager=False)
+    picked: list = []
+    picked_ids: set = set()
+    picked_vecs: list[list[float]] = []
+    for _ in range(k):
+        remaining = pool.where(~F.col("__id").isin(*picked_ids)) if picked_ids else pool
+        if picked_vecs:
+            sims = [
+                cosine_similarity(F.col("__vec"), F.lit(v).cast("array<double>"))
+                for v in picked_vecs
+            ]
+            penalty = F.greatest(*sims) if len(sims) > 1 else sims[0]
+        else:
+            penalty = F.lit(0.0)
+        mmr = F.round(F.lit(lam) * F.col("__score") - F.lit(1.0 - lam) * penalty, 9)
+        # two-phase deterministic argmax (generic over id type): the max
+        # mmr value, then the smallest id attaining it
+        top = remaining.agg(F.max(mmr).alias("m")).collect()[0]["m"]
+        if top is None:
+            break
+        row = (
+            remaining.where(mmr == top)
+            .orderBy(F.asc("__id"))
+            .select("__id", "__score", mmr.alias("__mmr"), "__vec")
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((row["__id"], row["__score"], float(row["__mmr"])))
+        picked_ids.add(row["__id"])
+        picked_vecs.append([float(x) for x in row["__vec"]])
+    return picked

@@ -880,3 +880,53 @@ def bigram_cross_entropy(
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    n: int,
+    weight: Column,
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT-size weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws a deterministic
+    uniform u in (0,1] from its salted id hash and scores
+
+        key = ln(u) / weight
+
+    the top ``n`` keys ARE a weight-proportional sample without
+    replacement. Complements ``stratified_sample``/``sample_to_budget``
+    (Bernoulli, size-in-expectation): this one returns exactly
+    min(n, rows-with-positive-weight) rows, at the cost of a top-n
+    instead of a pure filter.
+
+    ``weight`` is any numeric Column expression (e.g.
+    ``token_count(F.col("text"))`` to sample proportional to token mass);
+    rows with weight <= 0 or null are excluded (selection probability 0).
+    Deterministic and replacement-free by construction: re-running with
+    the same salt returns the identical row set; changing the salt redraws.
+
+    Scale shape: one map-side projection + a global top-n
+    (TakeOrderedAndProject — per-partition heaps of n rows merged on the
+    driver, NO global sort, no shuffle of the corpus). Keep ``n`` in the
+    "fits on the driver" class (samples, not partitions of the corpus);
+    for corpus-sized weighted draws use per-stratum Bernoulli instead.
+    ``ln(u)/w`` (not ``u^(1/w)``) keeps keys well-separated for tiny
+    weights instead of underflowing toward 1.
+    """
+    from ..functions.hashing import md5_int60
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    return (
+        documents.withColumn("__w", weight.cast("double"))
+        .where(F.col("__w") > 0)
+        .withColumn("__key", F.log(u) / F.col("__w"))
+        .orderBy(F.desc("__key"), F.asc(id_col))
+        .limit(n)
+        .drop("__w", "__key")
+    )

@@ -1,0 +1,162 @@
+"""weighted_sample (A-ES) and mmr_select: DuckDB/pure-python oracle parity,
+statistical proportionality, greedy-MMR exactness, determinism."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.functions.text import token_count
+from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+    mmr_select,
+)
+from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+    weighted_sample,
+)
+
+
+class TestWeightedSample:
+    def test_matches_duckdb_oracle(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            r.doc_id
+            for r in weighted_sample(
+                docs, 50, token_count(F.col("text")), salt="t1"
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+        # token_count == whitespace token count of trimmed text (0 for blank)
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                """
+WITH w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id,
+         ln((CAST(('0x' || substr(md5('t1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976.0) / w AS key
+  FROM w WHERE w > 0
+)
+SELECT doc_id FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
+"""
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_exact_size_and_deterministic(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        s1 = weighted_sample(docs, 40, token_count(F.col("text")), salt="s")
+        s2 = weighted_sample(docs, 40, token_count(F.col("text")), salt="s")
+        assert s1.count() == 40
+        assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+
+    def test_weight_proportionality(self, spark):
+        # one heavy row (w=200) among 200 light rows (w=1): its inclusion
+        # frequency across salts must approach 1 (p ~= 1-(1/201)*... ~ .99+),
+        # far above a light row's
+        rows = [(i, 200 if i == 0 else 1) for i in range(201)]
+        df = spark.createDataFrame(rows, "doc_id int, w int")
+        heavy_hits = light_hits = 0
+        for t in range(30):
+            ids = {
+                r.doc_id
+                for r in weighted_sample(df, 1, F.col("w"), salt=f"p{t}").collect()
+            }
+            heavy_hits += 0 in ids
+            light_hits += 1 in ids
+        assert heavy_hits >= 12  # E ~= 30 * 200/400 = 15
+        assert light_hits <= 3  # E ~= 30 * 1/400 = 0.075
+
+    def test_nonpositive_weights_excluded(self, spark):
+        df = spark.createDataFrame(
+            [(1, 0), (2, -5), (3, 10)], "doc_id int, w int"
+        )
+        ids = {r.doc_id for r in weighted_sample(df, 3, F.col("w")).collect()}
+        assert ids == {3}
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 1)], "doc_id int, w int")
+        with pytest.raises(ValueError, match="n must"):
+            weighted_sample(df, 0, F.col("w"))
+
+
+def _mmr_py(pool, k, lam):
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na * nb > 0 else 0.0
+
+    remaining = dict(pool)  # id -> (score, vec)
+    picked = []
+    sel_vecs = []
+    while remaining and len(picked) < k:
+        best = None
+        for i in sorted(remaining):
+            s, v = remaining[i]
+            pen = max((cos(v, u) for u in sel_vecs), default=0.0)
+            m = round(lam * s - (1 - lam) * pen, 9)
+            if best is None or m > best[1]:
+                best = (i, m)
+        picked.append(best[0])
+        sel_vecs.append(remaining.pop(best[0])[1])
+    return picked
+
+
+class TestMMR:
+    def test_matches_pure_python_greedy(self, spark, sf_dir):
+        emb = (
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            .limit(60)
+            .select("vec_id", F.col("embedding").alias("vec"))
+            .withColumn("score", (F.col("vec_id") % 17).cast("double") / 17.0)
+        )
+        pool = {
+            r.vec_id: (float(r.score), [float(x) for x in r.vec])
+            for r in emb.collect()
+        }
+        got = [i for i, _, _ in mmr_select(emb, k=8, lam=0.6, score_col="score")]
+        assert got == _mmr_py(pool, 8, 0.6)
+
+    def test_lam_one_is_pure_relevance(self, spark):
+        rows = [(i, float(i), [1.0, 0.0]) for i in range(10)]
+        df = spark.createDataFrame(rows, "vec_id int, score double, vec array<double>")
+        got = [i for i, _, _ in mmr_select(df, k=3, lam=1.0)]
+        assert got == [9, 8, 7]
+
+    def test_diversity_beats_redundancy(self, spark):
+        # two tight clusters; relevance slightly favors cluster A, but after
+        # picking one A item, lam=0.5 must jump to cluster B before a
+        # second near-identical A item
+        rows = [
+            (1, 1.00, [1.0, 0.0]),
+            (2, 0.99, [0.999, 0.001]),
+            (3, 0.80, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id int, score double, vec array<double>")
+        got = [i for i, _, _ in mmr_select(df, k=2, lam=0.5)]
+        assert got == [1, 3]
+
+    def test_pool_smaller_than_k(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, [1.0]), (2, 0.5, [0.5])],
+            "vec_id int, score double, vec array<double>",
+        )
+        assert len(mmr_select(df, k=10)) == 2
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1.0, [1.0])], "vec_id int, score double, vec array<double>"
+        )
+        with pytest.raises(ValueError, match="k"):
+            mmr_select(df, k=0)
+        with pytest.raises(ValueError, match="lam"):
+            mmr_select(df, lam=1.5)
