@@ -1,0 +1,122 @@
+"""Iterative graph centrality: PageRank (Brin & Page 1998, with the
+dangling-mass redistribution of Page et al. 1999).
+
+The dedup stack already walks graphs for CONNECTIVITY (`dedup.py`
+flood / large-small-star). This module ranks nodes by IMPORTANCE — over a
+document similarity graph (e.g. `winnow_overlap_pairs` or
+`embedding_top_pairs` edges) PageRank surfaces the canonical/central
+documents of a near-dup neighborhood, a keep-representative signal richer
+than min-id; over a citation/link table it is the classic web-quality
+prior a crawl-corpus curation pipeline weighs into its keep score.
+
+Scale shape per iteration: ONE shuffle join (ranks ⋈ edges on src — both
+sides hash-partitioned on src, and the edge frame is repartitioned+cached
+once so every iteration reuses the same layout) + ONE aggregation exchange
+on dst; the dangling mass and the L1 convergence delta ride 1-row
+aggregates. Ranks are localCheckpoint-ed per round — iterative lineage
+would otherwise deepen the plan each pass (same discipline as
+`dedup.star_components`). State is one double per node: corpus-count rows,
+never corpus-content rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = False,
+) -> DataFrame:
+    """(node, rank): PageRank over the edge list; ranks sum to 1.
+
+    rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + dangling/N)
+
+    where ``dangling`` is the rank mass sitting on nodes with no
+    out-edges, redistributed uniformly (without it rank mass leaks and
+    the result is not a distribution). Stops early when the L1 delta
+    between consecutive rank vectors drops below ``tol``; raises if
+    ``max_iter`` passes without convergence on a ``tol > 0`` run — loud,
+    like the dedup flood, never a silently-unconverged result.
+    ``undirected=True`` symmetrizes the edge list first (similarity
+    graphs are undirected; rank then reduces to a smoothed degree
+    centrality, still useful as a canonical-doc score).
+
+    Result ranks are rounded to 9 decimals for cross-run determinism of
+    downstream top-k cuts (per-partition double summation is
+    order-sensitive in the 1e-15 tail).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    # per-src contribution weight, partitioned once on src and reused by
+    # every iteration's join
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    links = (
+        e.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("__deg")).alias("__w"))
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("__has_out"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        # mass on dangling nodes (no out-edges) redistributes uniformly
+        dangling = (
+            ranks.join(has_out, "node", "left")
+            .where(F.col("__has_out").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+            .collect()[0]["m"]
+        )
+        contrib = (
+            ranks.join(links, ranks["node"] == links["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__w")).alias("__in"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("__in"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("rank", "__old"), "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if tol > 0 and delta < tol:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(
+                f"pagerank did not converge to L1 delta < {tol} in {max_iter} "
+                f"iterations (last delta {delta:.3e}); raise max_iter or tol"
+            )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))

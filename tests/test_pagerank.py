@@ -1,0 +1,100 @@
+"""PageRank: pure-python power-iteration oracle parity on a random digraph,
+planted structure (hub dominance), dangling-mass conservation, convergence
+contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.graph import pagerank
+
+
+def _pagerank_py(edges, d=0.85, iters=100, tol=1e-12):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out: dict = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r[v] for v in nodes if v not in out)
+        nr = {}
+        for v in nodes:
+            nr[v] = (1 - d) / n + d * dangling / n
+        for u, vs in out.items():
+            w = r[u] / len(vs)
+            for v in vs:
+                nr[v] += d * w
+        delta = sum(abs(nr[v] - r[v]) for v in nodes)
+        r = nr
+        if delta < tol:
+            break
+    return r
+
+
+class TestOracleParity:
+    def test_random_digraph_matches_power_iteration(self, spark):
+        rng = random.Random(13)
+        edges = list({(rng.randrange(60), rng.randrange(60)) for _ in range(400)})
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: r.rank for r in pagerank(df, max_iter=100, tol=1e-7).collect()}
+        want = _pagerank_py(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-6), v
+
+    def test_ranks_sum_to_one(self, spark):
+        rng = random.Random(5)
+        edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(150)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        # rank mass is conserved at EVERY iteration, so a short fixed run suffices
+        total = sum(r.rank for r in pagerank(df, max_iter=8, tol=0.0).collect())
+        assert total == pytest.approx(1.0, abs=1e-6)
+
+
+class TestStructure:
+    def test_star_hub_dominates(self, spark):
+        # spokes all point at the hub: hub rank far above any spoke
+        df = spark.createDataFrame(
+            [(i, 0) for i in range(1, 21)], "src int, dst int"
+        )
+        # fixed 25 iterations: residual ~0.85^25 is far below the 10x dominance margin
+        ranks = {r.node: r.rank for r in pagerank(df, max_iter=25, tol=0.0).collect()}
+        hub, spokes = ranks[0], [ranks[i] for i in range(1, 21)]
+        assert hub > 10 * max(spokes)
+
+    def test_undirected_symmetrizes(self, spark):
+        # path a-b-c undirected: middle node most central
+        df = spark.createDataFrame([(1, 2), (2, 3)], "src int, dst int")
+        ranks = {
+            r.node: r.rank
+            for r in pagerank(df, undirected=True, max_iter=25, tol=0.0).collect()
+        }
+        assert ranks[2] > ranks[1] == pytest.approx(ranks[3], abs=1e-9)
+
+
+class TestContract:
+    def test_nonconvergent_budget_raises(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], "src int, dst int")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            pagerank(df, max_iter=1, tol=1e-15)
+
+    def test_fixed_iterations_when_tol_zero(self, spark):
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src int, dst int")
+        ranks = pagerank(df, max_iter=3, tol=0.0)
+        assert ranks.count() == 2
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "src int, dst int")
+        assert pagerank(df).count() == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame([(1, 2)], "src int, dst int")
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(df, damping=1.0)
+        with pytest.raises(ValueError, match="max_iter"):
+            pagerank(df, max_iter=0)
