@@ -90,6 +90,7 @@ def corpus_datacard(
     group_cols: Sequence[str] = ("source", "lang"),
     text_col: str = "text",
     id_col: str = "doc_id",
+    approx: bool = False,
 ) -> DataFrame:
     """One row per corpus slice:
 
@@ -101,6 +102,14 @@ def corpus_datacard(
     punctuation-stripped, stopwords kept). Three exchanges total — the
     rollup, the quantile sort, the vocab distinct — all keyed on the group;
     the final joins are group-cardinality broadcasts.
+
+    ``approx=True`` is the 100 TB reporting path: vocab_size switches to
+    HyperLogLog++ (``approx_count_distinct``, default 5% rsd — the exact
+    distinct shuffles every (group, token) pair; HLL ships one fixed-size
+    sketch per group per partition) and the quantiles to t-digest
+    ``approx_percentile`` (no per-group sort). Same schema and column
+    semantics; measured relative error is pinned by
+    ``tests/test_datacard.py::test_approx_mode_error_bounds``.
     """
     gc = list(group_cols)
     counted = documents.select(
@@ -113,16 +122,27 @@ def corpus_datacard(
         F.sum("__nc").cast("long").alias("total_chars"),
         F.round(F.avg("__nt"), 6).alias("avg_tokens"),
     )
-    quants = exact_quantiles(
-        counted, gc, "__nt", (0.5, 0.95), ("median_tokens", "p95_tokens")
-    )
-    vocab = (
-        documents.select(
-            *gc,
-            F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("__t"),
+    if approx:
+        quants = counted.groupBy(*gc).agg(
+            F.round(F.expr("approx_percentile(__nt, 0.5)").cast("double"), 6).alias(
+                "median_tokens"
+            ),
+            F.round(F.expr("approx_percentile(__nt, 0.95)").cast("double"), 6).alias(
+                "p95_tokens"
+            ),
         )
-        .groupBy(*gc)
-        .agg(F.countDistinct("__t").alias("vocab_size"))
+    else:
+        quants = exact_quantiles(
+            counted, gc, "__nt", (0.5, 0.95), ("median_tokens", "p95_tokens")
+        )
+    token_stream = documents.select(
+        *gc,
+        F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("__t"),
+    )
+    vocab = token_stream.groupBy(*gc).agg(
+        (
+            F.approx_count_distinct("__t") if approx else F.countDistinct("__t")
+        ).alias("vocab_size")
     )
     return base.join(F.broadcast(quants), gc).join(F.broadcast(vocab), gc, "left").select(
         *gc,

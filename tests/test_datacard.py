@@ -93,3 +93,45 @@ def test_datacard_plan_sorts_instead_of_buffering(spark, sf_dir):
     assert "percentile" not in plan.lower()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_mode_error_bounds(spark, sf_dir):
+    """The 100 TB reporting path: HLL vocab and t-digest quantiles must
+    land within tight relative error of the exact card on real data."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.source, r.lang): r for r in corpus_datacard(docs).collect()
+    }
+    approx = {
+        (r.source, r.lang): r for r in corpus_datacard(docs, approx=True).collect()
+    }
+    assert set(exact) == set(approx)
+    for key, e in exact.items():
+        a = approx[key]
+        # counts/sums are still exact in approx mode
+        assert (a.n_docs, a.n_blank, a.total_tokens, a.total_chars) == (
+            e.n_docs, e.n_blank, e.total_tokens, e.total_chars,
+        )
+        if e.vocab_size > 0:
+            assert abs(a.vocab_size - e.vocab_size) / e.vocab_size < 0.1
+    # quantile error is only meaningful over a real population: the tiny
+    # per-(source,lang) fixture groups (~5 docs) make element-returning
+    # t-digest vs interpolating quantile_cont diverge by definition, so
+    # pin the bound on the single-slice card over the whole corpus
+    whole = docs.withColumn("corpus", F.lit("all"))
+    ge = corpus_datacard(whole, group_cols=("corpus",)).collect()[0]
+    ga = corpus_datacard(whole, group_cols=("corpus",), approx=True).collect()[0]
+    assert abs(ga.median_tokens - ge.median_tokens) / ge.median_tokens < 0.05
+    assert abs(ga.p95_tokens - ge.p95_tokens) / ge.p95_tokens < 0.05
+    assert abs(ga.vocab_size - ge.vocab_size) / ge.vocab_size < 0.05
+
+
+def test_approx_mode_plan_has_no_per_group_sort(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        corpus_datacard(docs, approx=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan  # no row_number ranking pass in approx mode
