@@ -107,34 +107,40 @@ def corpus_datacard(
     HyperLogLog++ (``approx_count_distinct``, default 5% rsd — the exact
     distinct shuffles every (group, token) pair; HLL ships one fixed-size
     sketch per group per partition) and the quantiles to t-digest
-    ``approx_percentile`` (no per-group sort). Same schema and column
-    semantics; measured relative error is pinned by
-    ``tests/test_datacard.py::test_approx_mode_error_bounds``.
+    ``approx_percentile``, which rides INSIDE the base rollup (no second
+    scan, no per-group sort, no quantile join — one exchange fewer than
+    the exact path). Same schema; one semantic difference beyond sketch
+    error: ``approx_percentile`` returns an actual data ELEMENT where the
+    exact path interpolates between straddling ranks, so on tiny groups
+    the two modes legitimately differ (corpus-level relative error is
+    pinned by ``tests/test_datacard.py::test_approx_mode_error_bounds``).
     """
     gc = list(group_cols)
     counted = documents.select(
         *gc, token_count(F.col(text_col)).alias("__nt"), F.length(text_col).alias("__nc")
     )
-    base = counted.groupBy(*gc).agg(
+    base_aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("__nt") == 0).cast("int")).cast("long").alias("n_blank"),
         F.sum("__nt").cast("long").alias("total_tokens"),
         F.sum("__nc").cast("long").alias("total_chars"),
         F.round(F.avg("__nt"), 6).alias("avg_tokens"),
-    )
+    ]
     if approx:
-        quants = counted.groupBy(*gc).agg(
+        base_aggs += [
             F.round(F.expr("approx_percentile(__nt, 0.5)").cast("double"), 6).alias(
                 "median_tokens"
             ),
             F.round(F.expr("approx_percentile(__nt, 0.95)").cast("double"), 6).alias(
                 "p95_tokens"
             ),
-        )
-    else:
+        ]
+    base = counted.groupBy(*gc).agg(*base_aggs)
+    if not approx:
         quants = exact_quantiles(
             counted, gc, "__nt", (0.5, 0.95), ("median_tokens", "p95_tokens")
         )
+        base = base.join(F.broadcast(quants), gc)
     token_stream = documents.select(
         *gc,
         F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("__t"),
@@ -144,7 +150,7 @@ def corpus_datacard(
             F.approx_count_distinct("__t") if approx else F.countDistinct("__t")
         ).alias("vocab_size")
     )
-    return base.join(F.broadcast(quants), gc).join(F.broadcast(vocab), gc, "left").select(
+    return base.join(F.broadcast(vocab), gc, "left").select(
         *gc,
         "n_docs",
         "n_blank",

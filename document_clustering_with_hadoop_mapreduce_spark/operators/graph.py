@@ -78,17 +78,26 @@ def pagerank(
         .repartition("src")
         .localCheckpoint(eager=False)
     )
-    has_out = outdeg.select(F.col("src").alias("node"), F.lit(1).alias("__has_out"))
+    # the dangling node set is STATIC — compute it once (node-count rows,
+    # checkpointed) and skip the per-iteration mass probe entirely when
+    # it is empty (always true for undirected graphs, where every node
+    # has out-edges by symmetrization)
+    dangling_nodes = (
+        nodes.join(outdeg.select(F.col("src").alias("node")), "node", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+    n_dangling = dangling_nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for _ in range(max_iter):
-        # mass on dangling nodes (no out-edges) redistributes uniformly
-        dangling = (
-            ranks.join(has_out, "node", "left")
-            .where(F.col("__has_out").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
-        )
+        if n_dangling:
+            dangling = (
+                ranks.join(dangling_nodes, "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
+                .collect()[0]["m"]
+            )
+        else:
+            dangling = 0.0
         contrib = (
             ranks.join(links, ranks["node"] == links["src"])
             .groupBy(F.col("dst").alias("node"))
@@ -110,6 +119,7 @@ def pagerank(
             .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
             .collect()[0]["d"]
         )
+        ranks.unpersist()  # superseded generation — same discipline as the dedup flood
         ranks = new_ranks
         if tol > 0 and delta < tol:
             break
@@ -119,4 +129,7 @@ def pagerank(
                 f"pagerank did not converge to L1 delta < {tol} in {max_iter} "
                 f"iterations (last delta {delta:.3e}); raise max_iter or tol"
             )
-    return ranks.select("node", F.round("rank", 9).alias("rank"))
+    out = ranks.select("node", F.round("rank", 9).alias("rank"))
+    for frame in (links, dangling_nodes):
+        frame.unpersist()
+    return out

@@ -77,7 +77,10 @@ def blocked_matches(
     than ``max_block_size`` on either side are excluded before the join
     (see module docstring; audit with ``blocking_stats``). The verifier
     runs on normalized names — case/punctuation differences alone are
-    distance 0.
+    distance 0. Records whose name normalizes to the empty string (pure
+    punctuation; scripts outside the ASCII normalizer) are EXCLUDED —
+    they carry no comparable signal and would otherwise all pair with
+    each other at distance 0.
     """
     if max_dist < 0 or max_block_size < 1:
         raise ValueError(
@@ -91,13 +94,28 @@ def blocked_matches(
             _norm_name(F.col(name_col)).alias(f"__norm_{suffix}"),
             block_fn(F.col(name_col)).alias("block"),
         )
+        # names that normalize to nothing (pure punctuation, non-Latin
+        # scripts this normalizer cannot see) would otherwise all share
+        # one block and "match" each other at distance 0 — unmatchable
+        # records are excluded, not fabricated into links
+        out = out.where(F.col(f"__norm_{suffix}") != "")
         w = Window.partitionBy("block")
         return out.withColumn("__bs", F.count(F.lit(1)).over(w)).where(
             F.col("__bs") <= max_block_size
         ).drop("__bs")
 
     a = prep(left, "a")
-    b = prep(right if right is not None else left, "b")
+    if right is None:
+        # self-linkage: rename a's columns instead of re-running the
+        # normalize + window-cap pass over the same rows
+        b = a.select(
+            F.col("id_a").alias("id_b"),
+            F.col("name_a").alias("name_b"),
+            F.col("__norm_a").alias("__norm_b"),
+            "block",
+        )
+    else:
+        b = prep(right, "b")
     pairs = a.join(b, "block")
     if right is None:
         pairs = pairs.where(F.col("id_a") < F.col("id_b"))

@@ -771,7 +771,10 @@ def bigram_stream(
 
 
 def bigram_lm(
-    documents: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stream: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the corpus n-gram LM: returns ``(bi, uni)`` where
 
@@ -783,15 +786,20 @@ def bigram_lm(
       filtered token stream (every token, including document-final ones
       the bigram stream's first position never sees).
 
+    ``stream`` lets a caller that already materialized
+    ``bigram_stream(documents)`` (the self-scoring path in
+    ``bigram_cross_entropy``) train from it instead of re-tokenizing —
+    there is exactly ONE copy of the estimation math either way.
+
     Scale shape: ``bi`` is distinct-bigram-sized, ``uni`` vocab-sized —
     model tables, not corpus tables. One agg exchange each; the context
     normalizer is a second groupBy on w1 re-using the grouped bigram
     counts (bigram-vocab-sized input). The 1-row token mass rides a
     broadcast crossJoin like ``unigram_cross_entropy``'s.
     """
-    bi_counts = bigram_stream(documents, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
+    if stream is None:
+        stream = bigram_stream(documents, text_col, id_col)
+    bi_counts = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
     ctx = bi_counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
     bi = bi_counts.join(ctx, "w1").select(
         "w1", "w2", (F.col("__c") / F.col("__ctx")).alias("p_bi")
@@ -848,24 +856,23 @@ def bigram_cross_entropy(
     """
     if not 0.0 < lam <= 1.0:
         raise ValueError(f"lam must be in (0, 1], got {lam}")
+    if lm is not None and lam == 1.0:
+        # lam=1 leaves no unigram fallback mass: every OOV bigram would
+        # hit ln(0) -> NULL, which sum() silently DROPS while count()
+        # still counts — understating cross-entropy for exactly the
+        # garbage docs the score exists to flag. Self-trained scoring has
+        # no OOV bigrams, so lam=1 stays legal there.
+        raise ValueError(
+            "lam=1.0 with an external lm gives OOV bigrams probability 0 "
+            "(no unigram fallback); use lam < 1.0 when passing lm"
+        )
     stream = bigram_stream(documents, text_col, id_col)
     if materialize:
         stream = stream.localCheckpoint(eager=False)
     if lm is None:
-        # self-trained: rebuild counts FROM THE MATERIALIZED STREAM so the
-        # tokenize pass runs once, mirroring bigram_lm's math exactly
-        bi_counts = stream.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
-        ctx = bi_counts.groupBy("w1").agg(F.sum("__c").alias("__ctx"))
-        bi = bi_counts.join(ctx, "w1").select(
-            "w1", "w2", (F.col("__c") / F.col("__ctx")).alias("p_bi")
-        )
-        uni_counts = documents.select(
-            explode_tokens(F.col(text_col)).alias("w2")
-        ).groupBy("w2").agg(F.count(F.lit(1)).alias("__c"))
-        mass = uni_counts.agg(F.sum("__c").cast("double").alias("__m"))
-        uni = uni_counts.crossJoin(F.broadcast(mass)).select(
-            "w2", (F.col("__c") / F.col("__m")).alias("p_uni")
-        )
+        # self-trained FROM THE MATERIALIZED STREAM so the tokenize pass
+        # runs once; the estimation math itself lives only in bigram_lm
+        bi, uni = bigram_lm(documents, text_col, id_col, stream=stream)
     else:
         bi, uni = lm
     p = F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0)) + F.lit(1.0 - lam) * F.coalesce(

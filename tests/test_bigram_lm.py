@@ -175,3 +175,18 @@ class TestExternalLM:
             bigram_cross_entropy(df, lam=0.0)
         with pytest.raises(ValueError, match="lam"):
             bigram_cross_entropy(df, lam=1.5)
+
+
+class TestExternalLamGuard:
+    def test_lam_one_with_external_lm_rejected(self, spark):
+        # lam=1 + external LM would send OOV bigrams through ln(0) -> NULL,
+        # which sum() drops while count() keeps — silently understating
+        # cross-entropy for the worst docs. Must refuse loudly.
+        train = spark.createDataFrame([(1, "alpha beta")], "doc_id int, text string")
+        probe = spark.createDataFrame([(2, "zzz qqq")], "doc_id int, text string")
+        with pytest.raises(ValueError, match="lam=1.0 with an external lm"):
+            bigram_cross_entropy(probe, lam=1.0, lm=bigram_lm(train))
+
+    def test_lam_one_self_trained_still_legal(self, spark):
+        df = spark.createDataFrame([(1, "alpha beta alpha beta")], "doc_id int, text string")
+        assert bigram_cross_entropy(df, lam=1.0).count() == 1

@@ -123,3 +123,15 @@ class TestCrossTable:
         )
         got = {(r.id_a, r.id_b, r.dist) for r in blocked_matches(master, feed).collect()}
         assert got == {(1, 900, 0)}
+
+
+class TestEmptyNorm:
+    def test_unmatchable_names_never_fabricate_links(self, spark):
+        # pure punctuation / non-Latin names normalize to '' — they must
+        # be EXCLUDED, not paired with each other at distance 0
+        df = spark.createDataFrame(
+            [(1, "???"), (2, "#!!"), (3, "---"), (4, "Real Name Co"), (5, "Real Name Co")],
+            "id int, name string",
+        )
+        got = {(r.id_a, r.id_b) for r in blocked_matches(df, max_dist=2).collect()}
+        assert got == {(4, 5)}
