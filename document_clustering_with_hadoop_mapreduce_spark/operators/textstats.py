@@ -937,3 +937,68 @@ def weighted_sample(
         .limit(n)
         .drop("__w", "__key")
     )
+
+
+def length_bucket_batches(
+    documents: DataFrame,
+    batch_size: int = 32,
+    num_streams: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "batch-v1",
+) -> DataFrame:
+    """Padding-efficient batch assignment for inference/eval: group
+    documents into fixed-count batches of length-similar members, so each
+    batch pads to ITS max length instead of the corpus max (the dynamic
+    batching / "bucketing by length" trick every serving and eval harness
+    uses; padding waste is what it minimizes).
+
+    Output per doc: ``stream``, ``batch`` (index within the stream),
+    ``batch_id`` (globally unique ``stream * 2^32 + batch``),
+    ``pos_in_batch`` (0-based), ``n_tokens`` and ``batch_max_tokens`` (the
+    batch's padded length — ``sum(batch_max_tokens * batch_size)`` vs
+    ``sum(n_tokens)`` IS the padding-waste accounting).
+
+    Scale shape: a global length sort would serialize the corpus, so the
+    same salted-stream discipline as ``sequence_pack``: docs hash into
+    ``num_streams`` independent streams, each stream sorts its members by
+    (n_tokens, doc_id) in one window pass and chunks consecutive runs of
+    ``batch_size`` — ONE hash exchange, per-stream task sorts, and within
+    a stream the batching is optimal for consecutive-chunk batching. The
+    final short batch of each stream (< batch_size docs) is retained with
+    its true member count. Deterministic: pure function of (salt, member
+    ids, token counts).
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    if num_streams < 1:
+        raise ValueError(f"num_streams must be >= 1, got {num_streams}")
+    from ..functions.hashing import md5_int60
+
+    staged = documents.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        F.pmod(
+            md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            F.lit(num_streams),
+        ).cast("int").alias("stream"),
+    )
+    w = Window.partitionBy("stream").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = staged.withColumn("__rn", F.row_number().over(w) - 1)
+    batched = ranked.select(
+        "doc_id",
+        "n_tokens",
+        "stream",
+        (F.col("__rn") / batch_size).cast("int").alias("batch"),
+        (F.col("__rn") % batch_size).alias("pos_in_batch"),
+    )
+    wb = Window.partitionBy("stream", "batch")
+    return batched.select(
+        "doc_id",
+        "n_tokens",
+        "stream",
+        "batch",
+        (F.col("stream").cast("long") * F.lit(1 << 32) + F.col("batch")).alias("batch_id"),
+        "pos_in_batch",
+        F.max("n_tokens").over(wb).alias("batch_max_tokens"),
+    )
