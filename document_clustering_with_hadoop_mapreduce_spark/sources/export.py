@@ -108,3 +108,61 @@ WITH keyed AS (
 SELECT doc_id, CAST(shard AS INT) AS shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos
 FROM keyed"""
+
+
+def curriculum_order(
+    df: DataFrame,
+    score_col: str,
+    n_shards: int = 1024,
+    ascending: bool = True,
+    salt: str = "curriculum-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Input columns + (shard, pos): the curriculum variant of
+    ``global_shuffle`` — training order follows a difficulty/quality score
+    (Bengio et al., ICML 2009 curriculum learning: easy-first ==
+    ``ascending=True`` on a difficulty score) instead of a pure random
+    permutation, while KEEPING the shard-level randomization that batch
+    diversity needs: shard assignment stays the salted-hash permutation
+    (every shard sees the full score distribution), and only the order
+    WITHIN each shard follows (score, salted hash, id).
+
+    A consumer reading shards round-robin at equal ``pos`` advances
+    through the curriculum in lock-step across shards; the salted-hash
+    tie-break keeps equal-score runs shuffled rather than id-ordered.
+    Same scale shape as ``global_shuffle``: one hash exchange + per-shard
+    task sorts, never a global sort, no RNG state.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = _shuffle_key(id_col, salt)
+    order = F.asc(score_col) if ascending else F.desc(score_col)
+    w = Window.partitionBy("shard").orderBy(order, F.asc("__key"), F.asc(id_col))
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard", F.pmod(F.col("__key"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w) - F.lit(1))
+        .drop("__key")
+    )
+
+
+def curriculum_order_oracle_sql(
+    score_expr: str,
+    n_shards: int,
+    salt: str,
+    ascending: bool = True,
+    source: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB mirror of ``curriculum_order`` (doc_id, shard, pos);
+    ``score_expr`` is the SQL twin of the Spark score column."""
+    key = f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH keyed AS (
+  SELECT {id_col} AS doc_id, {score_expr} AS score, {key} AS k, {key} % {n_shards} AS shard
+  FROM {source}
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY score {direction}, k, doc_id) - 1 AS BIGINT) AS pos
+FROM keyed"""

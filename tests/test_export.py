@@ -113,3 +113,69 @@ def test_n_shards_validation(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="n_shards"):
         global_shuffle(docs, 0)
+
+
+class TestCurriculumOrder:
+    def test_matches_duckdb_oracle(self, spark, sf_dir, duck):
+        from document_clustering_with_hadoop_mapreduce_spark.functions.text import (
+            token_count,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.sources.export import (
+            curriculum_order,
+            curriculum_order_oracle_sql,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        # difficulty proxy: token length, easy(short)-first
+        scored = docs.withColumn("score", token_count(F.col("text")))
+        got = curriculum_order(scored, "score", N_SHARDS, salt=SALT).select(
+            "doc_id", "shard", "pos"
+        )
+        sql = curriculum_order_oracle_sql(
+            "CASE WHEN trim(text) = '' OR text IS NULL THEN 0 "
+            "ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END",
+            N_SHARDS,
+            SALT,
+        )
+        assert_matches_oracle(got, duck, sql)
+
+    def test_score_monotone_within_shard_and_shards_unbiased(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.functions.text import (
+            token_count,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.sources.export import (
+            curriculum_order,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        scored = docs.withColumn("score", token_count(F.col("text")))
+        out = curriculum_order(scored, "score", N_SHARDS, salt=SALT)
+        pdf = out.select("shard", "pos", "score").toPandas()
+        for s, grp in pdf.groupby("shard"):
+            seq = grp.sort_values("pos")["score"].tolist()
+            assert seq == sorted(seq), f"shard {s} not score-ordered"
+        # shard assignment ignores the score: per-shard mean score stays
+        # near the global mean (randomized assignment, not score-blocked)
+        global_mean = pdf["score"].mean()
+        per_shard = pdf.groupby("shard")["score"].mean()
+        assert (abs(per_shard - global_mean) < 0.5 * global_mean).all()
+
+    def test_descending_reverses(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.sources.export import (
+            curriculum_order,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(40)], "doc_id int, score double"
+        )
+        up = curriculum_order(df, "score", 2, ascending=True, salt=SALT)
+        down = curriculum_order(df, "score", 2, ascending=False, salt=SALT)
+        first_up = {
+            r.doc_id for r in up.where(F.col("pos") == 0).collect()
+        }
+        first_down = {
+            r.doc_id for r in down.where(F.col("pos") == 0).collect()
+        }
+        assert min(first_up) < min(first_down)
+        for s in (up, down):
+            assert s.count() == 40
