@@ -392,3 +392,80 @@ def test_quantize_matches_python_formula(spark, vecs, bits):
             else:
                 expect = min(levels, max(0, int(math.floor((float(x) - mins[d]) / scales[d] + 0.5))))
             assert got[i][d] == expect, (i, d, got[i][d], expect)
+
+
+@given(
+    masses=st.dictionaries(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+        st.integers(min_value=0, max_value=10**9),
+        min_size=1,
+        max_size=10,
+    ),
+    budget=st.integers(min_value=0, max_value=2 * 10**9),
+    alpha=st.floats(min_value=0.0, max_value=2.0, allow_nan=False),
+)
+def test_temperature_targets_waterfilling_invariants(masses, budget, alpha):
+    """For ANY masses/budget/alpha: exact delivery of min(budget, total),
+    no stratum over its capacity, nothing negative — the closed-form
+    waterfilling contract, independent of capping order."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        temperature_targets,
+    )
+
+    t = temperature_targets(masses, budget, alpha)
+    assert set(t) == set(masses)
+    total = sum(masses.values())
+    assert abs(sum(t.values()) - min(budget, total)) < 1e-4
+    for s, m in masses.items():
+        assert -1e-9 <= t[s] <= m + 1e-6
+
+
+@given(
+    masses=st.dictionaries(
+        st.text(alphabet="xyz", min_size=1, max_size=2),
+        st.integers(min_value=1, max_value=10**6),
+        min_size=2,
+        max_size=6,
+    ),
+    budget=st.integers(min_value=1, max_value=10**5),
+)
+def test_temperature_alpha_one_proportional_when_uncapped(masses, budget):
+    """alpha=1 with budget under every stratum's fair share scaled by the
+    smallest mass is exactly proportional allocation."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        temperature_targets,
+    )
+
+    total = sum(masses.values())
+    if budget >= min(masses.values()) * len(masses):
+        return  # a cap may trigger; proportionality only claimed uncapped
+    t = temperature_targets(masses, budget, alpha=1.0)
+    for s, m in masses.items():
+        assert abs(t[s] - budget * m / total) < 1e-6
+
+
+@given(
+    text=st.text(
+        alphabet="abc defg",  # tiny alphabet: dense hash ties exercise the
+        min_size=0,           # rightmost-min rule hard
+        max_size=200,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+    w=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnow_spark_matches_python_on_random_text(spark, text, k, w):
+    """Random-text fuzz of the full winnow selection (normalize -> k-gram
+    md5 -> rightmost-min window -> distinct) against the pure-python
+    oracle — beyond the fixture docs the unit suite covers."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints,
+    )
+    from test_winnow import _winnow_py
+
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = {
+        (r.pos, r.fingerprint)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == _winnow_py(text, k=k, w=w)
