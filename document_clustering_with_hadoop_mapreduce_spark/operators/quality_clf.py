@@ -170,3 +170,54 @@ def pareto_filter(
     return scores.withColumn("pareto_draw", F.round(draw, 6)).filter(
         F.col("pareto_draw") > (F.lit(1.0) - F.col(score_col))
     )
+
+
+def calibration_report(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    n_bins: int = 10,
+) -> tuple[DataFrame, float]:
+    """Reliability table + Expected Calibration Error (Guo et al., ICML
+    2017 §2) for a probabilistic filter: before a keep-threshold or
+    Pareto rule consumes ``quality_prob`` as a PROBABILITY, this is the
+    evidence it behaves like one.
+
+    Returns ``(bins, ece)``: one row per non-empty equal-width bin —
+    (bin, n, mean_prob 6dp, frac_pos 6dp, abs gap 6dp) — and the scalar
+    ECE = sum over bins of (n_b / N) * |mean_prob_b - frac_pos_b|.
+    Probabilities are clamped into [0, 1); prob 1.0 lands in the top bin.
+
+    Scale shape: ONE aggregation exchange on the n_bins-key column
+    (map-side partial sums; the bin frame is k rows) and a 1-row total
+    for the ECE weights — report-sized output, corpus-sized input never
+    collected.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    p = F.col(prob_col).cast("double")
+    binned = scored.select(
+        F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(p * n_bins).cast("int"))
+        ).alias("bin"),
+        p.alias("__p"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    bins = (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__p"), 6).alias("mean_prob"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+        .withColumn("gap", F.round(F.abs(F.col("mean_prob") - F.col("frac_pos")), 6))
+        .orderBy("bin")
+    )
+    rows = bins.collect()
+    total = sum(r["n"] for r in rows)
+    ece = (
+        sum(r["n"] * abs(r["mean_prob"] - r["frac_pos"]) for r in rows) / total
+        if total
+        else 0.0
+    )
+    return bins, round(ece, 6)

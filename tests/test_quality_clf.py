@@ -115,3 +115,76 @@ def test_quality_scores_plan_is_jvm_side(spark, sf_dir):
     plan = quality_scores(docs, coefs, intercept)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+class TestCalibration:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        rows = [(i, ((i * 37) % 100) / 100.0, 1 if (i * 53) % 100 < (i * 37) % 100 else 0) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id int, quality_prob double, label int")
+        bins, ece = calibration_report(df, n_bins=10)
+        got = [(r.bin, r.n, r.mean_prob, r.frac_pos, r.gap) for r in bins.collect()]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE s (doc_id INT, p DOUBLE, y INT)")
+        con.executemany("INSERT INTO s VALUES (?, ?, ?)", rows)
+        want = con.execute(
+            """
+WITH b AS (
+  SELECT least(9, greatest(0, CAST(floor(p * 10) AS INT))) AS bin, p, y FROM s
+)
+SELECT bin, count(*)::BIGINT, round(avg(p), 6), round(avg(y), 6),
+       round(abs(round(avg(p), 6) - round(avg(y), 6)), 6)
+FROM b GROUP BY bin ORDER BY bin
+"""
+        ).fetchall()
+        assert got == [tuple(r) for r in want]
+        want_ece = sum(n * abs(mp - fp) for _, n, mp, fp, _ in want) / 500
+        assert ece == round(want_ece, 6)
+
+    def test_perfectly_calibrated_scores_near_zero_ece(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        # labels drawn deterministically to match each bin's probability:
+        # in the p=0.3 bin, 30% positives, etc.
+        rows = []
+        i = 0
+        for pb in (0.1, 0.3, 0.5, 0.7, 0.9):
+            for j in range(100):
+                rows.append((i, pb, 1 if j < pb * 100 else 0))
+                i += 1
+        df = spark.createDataFrame(rows, "doc_id int, quality_prob double, label int")
+        _, ece = calibration_report(df, n_bins=10)
+        assert ece < 1e-9
+
+    def test_anti_calibrated_scores_high_ece(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        rows = [(i, 0.95, 0) for i in range(100)] + [(i + 100, 0.05, 1) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id int, quality_prob double, label int")
+        _, ece = calibration_report(df)
+        assert ece > 0.85
+
+    def test_edge_probs_and_validation(self, spark):
+        import pytest as pt
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1.0, 1), (2, 0.0, 0)], "doc_id int, quality_prob double, label int"
+        )
+        bins, _ = calibration_report(df, n_bins=10)
+        got = {r.bin for r in bins.collect()}
+        assert got == {0, 9}  # prob 1.0 clamps into the top bin
+        with pt.raises(ValueError):
+            calibration_report(df, n_bins=0)
