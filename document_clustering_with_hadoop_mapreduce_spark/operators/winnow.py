@@ -132,3 +132,50 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
+
+
+def winnow_overlap_spans(
+    fingerprints: DataFrame,
+    min_shared: int = 2,
+    max_df: int = 256,
+) -> DataFrame:
+    """(doc_a, doc_b, shared, a_start, a_end, b_start, b_end): matched
+    pairs WITH the aligned overlap region — the span-level output MOSS
+    renders, and the reason ``winnow_fingerprints`` keeps ``pos``.
+
+    For each pair passing the same df-cap + ``min_shared`` gate as
+    ``winnow_overlap_pairs``, the bounds are the min/max k-gram offsets
+    of the SHARED fingerprints on each side: the tightest window in each
+    document that covers every matched gram (one contiguous overlap
+    yields its exact extent to within w; disjoint repeats yield the
+    covering hull — a consumer that needs per-region granularity clusters
+    the matched positions itself). Same plan shape as the pair join plus
+    four min/max aggregates riding the existing pair groupBy — no extra
+    exchange.
+    """
+    if min_shared < 1 or max_df < 2:
+        raise ValueError(f"need min_shared >= 1 and max_df >= 2, got {min_shared}, {max_df}")
+    postings = fingerprints.select("doc_id", "fingerprint", "pos").distinct()
+    capped = postings.withColumn(
+        "__df",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("fingerprint"))),
+    ).where(F.col("__df") <= max_df)
+    a = capped.select(
+        F.col("doc_id").alias("doc_a"), "fingerprint", F.col("pos").alias("__pa")
+    )
+    b = capped.select(
+        F.col("doc_id").alias("doc_b"), "fingerprint", F.col("pos").alias("__pb")
+    )
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count_distinct(F.col("fingerprint")).alias("shared"),
+            F.min("__pa").alias("a_start"),
+            F.max("__pa").alias("a_end"),
+            F.min("__pb").alias("b_start"),
+            F.max("__pb").alias("b_end"),
+        )
+        .where(F.col("shared") >= min_shared)
+    )

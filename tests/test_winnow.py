@@ -132,3 +132,59 @@ class TestPlanShape:
             winnow_fingerprints(df, k=0)
         with pytest.raises(ValueError):
             winnow_overlap_pairs(winnow_fingerprints(df), min_shared=0)
+
+
+class TestOverlapSpans:
+    def test_span_bounds_localize_the_planted_passage(self, spark):
+        # doc 1: [filler ~100 chars][SHARED ~60 chars][filler ~80 chars]
+        # doc 2: [SHARED][filler] — the span must sit inside the shared
+        # region on both sides (within w of its true edges)
+        import hashlib
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+            winnow_overlap_spans,
+        )
+
+        f1 = "left filler " * 8            # 96 chars
+        f2 = "tail padding " * 6           # 78 chars
+        sh = hashlib.md5(b"passage").hexdigest() + " " + hashlib.md5(b"two").hexdigest()
+        d1 = f1 + sh + " " + f2
+        d2 = sh + " completely different trailing content here"
+        df = spark.createDataFrame([(1, d1), (2, d2)], "doc_id int, text string")
+        fps = winnow_fingerprints(df, k=K, w=W)
+        spans = winnow_overlap_spans(fps, min_shared=1, max_df=8).collect()
+        assert len(spans) == 1
+        r = spans[0]
+        assert (r.doc_a, r.doc_b) == (1, 2)
+        sh_norm = _normalize(sh)
+        d1_norm = _normalize(d1)
+        sh_at = d1_norm.index(sh_norm) + 1  # 1-based
+        assert sh_at - W <= r.a_start and r.a_end <= sh_at + len(sh_norm)
+        assert r.b_start <= 1 + W and r.b_end <= len(sh_norm) + W
+        assert r.shared > 5
+
+    def test_consistent_with_overlap_pairs(self, spark):
+        import random
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+            winnow_overlap_spans,
+        )
+
+        rng = random.Random(3)
+        alpha = "abcdefghij "
+        shared = "".join(rng.choice(alpha) for _ in range(40))
+        rows = [
+            (d, "".join(rng.choice(alpha) for _ in range(60)) + shared)
+            for d in range(8)
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        fps = winnow_fingerprints(df, k=K, w=W)
+        pairs = {
+            (r.doc_a, r.doc_b): r.shared
+            for r in winnow_overlap_pairs(fps, min_shared=2, max_df=16).collect()
+        }
+        spans = {
+            (r.doc_a, r.doc_b): r.shared
+            for r in winnow_overlap_spans(fps, min_shared=2, max_df=16).collect()
+        }
+        assert pairs == spans
