@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,12)"
@@ -235,3 +235,57 @@ bm_comp AS (
 SELECT doc_id, round(CAST(sum(c) AS DOUBLE), 6) AS score
 FROM bm_comp GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {int(k)}"""
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_n: int | None = None,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    combine any number of per-query ranked lists — e.g. ``bm25_batch_topk``
+    lexical results with ``cosine_topk`` embedding results (rename its
+    vec_id/query columns to match) — into one hybrid ranking:
+
+        rrf(q, d) = sum over systems ranking d of 1 / (k + rank_i(q, d))
+
+    Rank positions, not scores, are fused — no score normalization across
+    incomparable scales (BM25 vs cosine) is needed, which is exactly why
+    RRF is the production hybrid-search default. ``k`` damps the top-rank
+    dominance (the paper's 60 is the standard).
+
+    Output: (query_id, doc_id, rrf_score 6dp, rank), densely re-ranked per
+    query with (score DESC, doc ASC) tie-break; ``top_n`` truncates each
+    query's fused list.
+
+    Scale shape: the inputs are already top-k-per-query frames (bounded
+    rows per query), so the union + one (query, doc) aggregate + one
+    per-query window are all keyed on the query — a single hash exchange
+    lineage, never touching the corpora the rankings came from.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias("__r"),
+        )
+        for df in rankings
+    ]
+    unioned = parts[0]
+    for p in parts[1:]:
+        unioned = unioned.unionByName(p)
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__r"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    out = fused.withColumn("rank", F.row_number().over(w))
+    if top_n is not None:
+        out = out.where(F.col("rank") <= top_n)
+    return out

@@ -163,3 +163,110 @@ def test_batch_plan_shape(spark, matrix, query):
         for line in plan.splitlines()
         if re.search(r"\bBroadcastNestedLoopJoin\b", line)
     )
+
+
+class TestRRF:
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            rrf_fuse,
+        )
+
+        lex = [("q1", d, r + 1) for r, d in enumerate([10, 11, 12, 13])] + [
+            ("q2", d, r + 1) for r, d in enumerate([20, 10, 21])
+        ]
+        sem = [("q1", d, r + 1) for r, d in enumerate([12, 10, 14])] + [
+            ("q2", d, r + 1) for r, d in enumerate([10, 22])
+        ]
+        a = spark.createDataFrame(lex, "query_id string, doc_id int, rank int")
+        b = spark.createDataFrame(sem, "query_id string, doc_id int, rank int")
+        got = sorted(
+            (r.query_id, r.doc_id, r.rrf_score, r.rank)
+            for r in rrf_fuse([a, b], k=60).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE ranks (query_id VARCHAR, doc_id INT, rank INT)")
+        con.executemany("INSERT INTO ranks VALUES (?, ?, ?)", lex + sem)
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                """
+WITH fused AS (
+  SELECT query_id, doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM ranks GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS INT)
+FROM fused
+"""
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_doc_in_both_systems_outranks_single_system_tops(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            rrf_fuse,
+        )
+
+        # doc 5 is rank 2 in BOTH systems; docs 1/2 are rank 1 in only one
+        a = spark.createDataFrame(
+            [("q", 1, 1), ("q", 5, 2)], "query_id string, doc_id int, rank int"
+        )
+        b = spark.createDataFrame(
+            [("q", 2, 1), ("q", 5, 2)], "query_id string, doc_id int, rank int"
+        )
+        top = rrf_fuse([a, b], k=60).where(F.col("rank") == 1).collect()[0]
+        assert top.doc_id == 5
+
+    def test_top_n_truncates_per_query(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            rrf_fuse,
+        )
+
+        a = spark.createDataFrame(
+            [("q1", d, d) for d in range(1, 6)] + [("q2", d, d) for d in range(1, 4)],
+            "query_id string, doc_id int, rank int",
+        )
+        out = rrf_fuse([a], top_n=2)
+        counts = {r.query_id: r.n for r in out.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert counts == {"q1": 2, "q2": 2}
+
+    def test_end_to_end_bm25_plus_cosine(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            bm25_batch_topk,
+            rrf_fuse,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            cosine_topk,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+            term_doc_counts,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        matrix = term_doc_counts(docs)
+        top_term = (
+            matrix.groupBy("term").count().orderBy(F.desc("count"), F.asc("term")).first()["term"]
+        )
+        queries = spark.createDataFrame([("q0", top_term)], "query_id string, term string")
+        lex = bm25_batch_topk(matrix, queries, k=10)
+        sem = cosine_topk(emb, emb.limit(1), k=10).select(
+            F.lit("q0").alias("query_id"), F.col("vec_id").alias("doc_id"), "rank"
+        )
+        fused = rrf_fuse([lex.select("query_id", "doc_id", "rank"), sem], top_n=10)
+        rows = fused.collect()
+        assert 0 < len(rows) <= 10
+        assert len({r.doc_id for r in rows}) == len(rows)
+
+    def test_validation(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            rrf_fuse,
+        )
+
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+        df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id int, rank int")
+        with pytest.raises(ValueError):
+            rrf_fuse([df], k=0)
