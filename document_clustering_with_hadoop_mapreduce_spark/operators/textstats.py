@@ -1002,3 +1002,69 @@ def length_bucket_batches(
         "pos_in_batch",
         F.max("n_tokens").over(wb).alias("batch_max_tokens"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping sliding-window chunker — the retrieval/RAG preprocessing
+    twin of ``sequence_pack`` (packing concatenates ACROSS docs for
+    training density; chunking splits WITHIN docs so each piece embeds and
+    retrieves on its own, with ``overlap`` tokens of context carried
+    across the cut).
+
+    Windows slide over the document's raw whitespace tokens with stride
+    ``chunk_tokens - overlap``: chunk i spans tokens
+    ``[1 + i*stride, ...]`` for ``min(chunk_tokens, remaining)`` tokens,
+    and the chunk count is ``max(1, ceil((n - overlap) / stride))`` — full
+    coverage, every adjacent pair sharing exactly ``overlap`` tokens, and
+    never a final chunk that is a pure suffix of its predecessor.
+    Documents with no tokens produce no rows. ``chunk_text`` re-joins the
+    token slice with single spaces (whitespace runs are normalized — the
+    tokens, not the original byte offsets, are the unit here).
+
+    Output: (doc_id, chunk_idx 0-based, chunk_id ``doc-pos`` unique,
+    start_token 1-based, n_tokens, chunk_text).
+
+    Scale shape: one map-side projection — tokenize, a small ``sequence``
+    of starts, slice + join inside ``transform``, explode. Zero shuffles;
+    fuses into the downstream embed/index stage like every projection
+    here.
+    """
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1, got {chunk_tokens}")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got overlap={overlap}")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+")
+    staged = (
+        documents.where(F.trim(F.col(text_col)) != "")
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    )
+    n = F.size("__toks")
+    n_chunks = F.greatest(F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))).cast("int")
+    chunks = F.expr(
+        f"transform(sequence(0, __nc - 1), i -> struct("
+        f"  i AS chunk_idx,"
+        f"  1 + i * {stride} AS start_token,"
+        f"  slice(__toks, 1 + i * {stride}, {chunk_tokens}) AS toks))"
+    )
+    return (
+        staged.withColumn("__nc", n_chunks)
+        .select("doc_id", F.explode(chunks).alias("__c"))
+        .select(
+            "doc_id",
+            F.col("__c.chunk_idx").alias("chunk_idx"),
+            F.concat_ws("-", F.col("doc_id").cast("string"), F.col("__c.chunk_idx")).alias(
+                "chunk_id"
+            ),
+            F.col("__c.start_token").alias("start_token"),
+            F.size("__c.toks").alias("n_tokens"),
+            F.array_join("__c.toks", " ").alias("chunk_text"),
+        )
+    )
