@@ -1068,3 +1068,43 @@ def chunk_documents(
             F.array_join("__c.toks", " ").alias("chunk_text"),
         )
     )
+
+
+def weighted_sample_per_stratum(
+    documents: DataFrame,
+    n_per_stratum: int,
+    weight: Column,
+    stratum_col: str = "lang",
+    salt: str = "sample-v1",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``weighted_sample`` per group: exactly min(n, positive-weight rows)
+    A-ES draws FROM EACH stratum — the "N exemplars per language/source"
+    shape (few-shot pools, per-slice eval sets, stratified gold data)
+    that a global top-n cannot express and Bernoulli sampling only hits
+    in expectation.
+
+    Same deterministic ln(u)/w keys; selection is a per-stratum window
+    top-n (ONE hash exchange on the stratum key + per-group task sorts —
+    never a global sort; the weighted_sample TakeOrdered trick does not
+    apply because every group keeps its own n). Group sizes bound the
+    sort, not the corpus.
+    """
+    from ..functions.hashing import md5_int60
+
+    if n_per_stratum < 1:
+        raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
+    u = (
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.desc("__key"), F.asc(id_col)
+    )
+    return (
+        documents.withColumn("__w", weight.cast("double"))
+        .where(F.col("__w") > 0)
+        .withColumn("__key", F.log(u) / F.col("__w"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_stratum)
+        .drop("__w", "__key", "__rn")
+    )

@@ -160,3 +160,73 @@ class TestMMR:
             mmr_select(df, k=0)
         with pytest.raises(ValueError, match="lam"):
             mmr_select(df, lam=1.5)
+
+
+class TestWeightedSamplePerStratum:
+    def test_matches_duckdb_oracle(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+            weighted_sample_per_stratum,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        got = sorted(
+            r.doc_id
+            for r in weighted_sample_per_stratum(
+                docs, 5, token_count(F.col("text")), stratum_col="lang", salt="ps"
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                """
+WITH w AS (
+  SELECT doc_id, lang,
+         CASE WHEN trim(text) = '' OR text IS NULL THEN 0
+              ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, lang,
+         ln((CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+            / 1152921504606846976.0) / w AS key
+  FROM w WHERE w > 0
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY key DESC, doc_id) AS rn
+  FROM keyed
+)
+SELECT doc_id FROM ranked WHERE rn <= 5
+"""
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_exact_count_per_stratum(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+            weighted_sample_per_stratum,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = weighted_sample_per_stratum(docs, 3, F.lit(1.0), stratum_col="lang")
+        counts = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        avail = {
+            r.lang: r.n
+            for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert set(counts) == set(avail)
+        for lang, n in counts.items():
+            assert n == min(3, avail[lang])
+
+    def test_validation(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+            weighted_sample_per_stratum,
+        )
+
+        df = spark.createDataFrame([(1, "x", "en")], "doc_id int, text string, lang string")
+        with pytest.raises(ValueError):
+            weighted_sample_per_stratum(df, 0, F.lit(1.0))
