@@ -713,3 +713,59 @@ def mmr_select(
         picked_ids.add(row["__id"])
         picked_vecs.append([float(x) for x in row["__vec"]])
     return picked
+
+
+def mine_hard_negatives(
+    positives: DataFrame,
+    embeddings: DataFrame,
+    n_neg: int = 5,
+    search_k: int = 20,
+    anchor_col: str = "anchor_id",
+    pos_col: str = "positive_id",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(anchor_id, negative_id, cos, neg_rank): the ``n_neg`` most-similar
+    corpus items to each anchor that are NOT among its positives — hard
+    negative mining for contrastive/embedding training (the in-batch-
+    random-negatives upgrade every dual-encoder recipe reaches for;
+    e.g. Karpukhin et al. 2020, DPR §3.2).
+
+    Composition, not new machinery: anchors' vectors probe the corpus via
+    ``cosine_topk`` (broadcast probes, self excluded), the positive pairs
+    are removed with a LEFT ANTI join, and the survivors re-rank densely
+    so every anchor keeps its ``n_neg`` hardest. ``search_k`` is the
+    over-fetch: an anchor with p positives inside its top-``search_k``
+    still yields ``search_k - p`` candidates, so size it >= n_neg + the
+    typical positives-per-anchor (anchors with more positives than that
+    in the neighborhood yield fewer than n_neg rows — count, don't pad).
+
+    Scale shape: inherits ``cosine_topk``'s broadcast-probe scan (swap in
+    ``ivf_topk`` upstream for the indexed regime); the anti join keys on
+    (anchor, candidate) against the positives frame — pair-sized, not
+    corpus-sized.
+    """
+    if n_neg < 1 or search_k < n_neg:
+        raise ValueError(
+            f"need 1 <= n_neg <= search_k, got n_neg={n_neg}, search_k={search_k}"
+        )
+    anchors = positives.select(F.col(anchor_col).alias("__aid")).distinct()
+    probes = anchors.join(
+        embeddings, anchors["__aid"] == embeddings[id_col]
+    ).select(F.col(id_col), F.col(vec_col))
+    topk = cosine_topk(embeddings, probes, k=search_k, id_col=id_col, vec_col=vec_col)
+    pos_pairs = positives.select(
+        F.col(anchor_col).alias("query_id"), F.col(pos_col).alias("vec_id")
+    )
+    negs = topk.join(pos_pairs, ["query_id", "vec_id"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .where(F.col("neg_rank") <= n_neg)
+        .select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("vec_id").alias("negative_id"),
+            "cos",
+            "neg_rank",
+        )
+    )

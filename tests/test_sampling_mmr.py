@@ -230,3 +230,79 @@ SELECT doc_id FROM ranked WHERE rn <= 5
         df = spark.createDataFrame([(1, "x", "en")], "doc_id int, text string, lang string")
         with pytest.raises(ValueError):
             weighted_sample_per_stratum(df, 0, F.lit(1.0))
+
+
+class TestHardNegatives:
+    def _toy(self, spark):
+        # 1D-ish geometry on the unit circle: anchor 0 at angle 0; items
+        # at increasing angles are decreasingly similar
+        import math
+
+        rows = []
+        for i in range(10):
+            a = i * 0.15
+            rows.append((i, [math.cos(a), math.sin(a)]))
+        return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    def test_excludes_positives_keeps_next_hardest(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = self._toy(spark)
+        # anchor 0's positives are its two nearest (1, 2) -> hardest
+        # negatives must start at 3
+        pos = spark.createDataFrame(
+            [(0, 1), (0, 2)], "anchor_id int, positive_id int"
+        )
+        out = mine_hard_negatives(pos, emb, n_neg=3, search_k=8).collect()
+        got = [(r.negative_id, r.neg_rank) for r in sorted(out, key=lambda r: r.neg_rank)]
+        assert got == [(3, 1), (4, 2), (5, 3)]
+
+    def test_self_never_a_negative_and_rank_dense(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = self._toy(spark)
+        pos = spark.createDataFrame(
+            [(0, 1), (5, 4)], "anchor_id int, positive_id int"
+        )
+        out = mine_hard_negatives(pos, emb, n_neg=4, search_k=9)
+        rows = out.collect()
+        assert all(r.negative_id != r.anchor_id for r in rows)
+        for aid in (0, 5):
+            ranks = sorted(r.neg_rank for r in rows if r.anchor_id == aid)
+            assert ranks == [1, 2, 3, 4]
+
+    def test_real_embeddings_shape(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ids = [r.vec_id for r in emb.select("vec_id").limit(4).collect()]
+        pos = spark.createDataFrame(
+            [(ids[0], ids[1]), (ids[2], ids[3])], "anchor_id long, positive_id long"
+        )
+        out = mine_hard_negatives(pos, emb, n_neg=5, search_k=12).collect()
+        by_anchor: dict = {}
+        for r in out:
+            by_anchor.setdefault(r.anchor_id, []).append(r)
+        assert set(by_anchor) == {ids[0], ids[2]}
+        pos_set = {(ids[0], ids[1]), (ids[2], ids[3])}
+        for aid, rows in by_anchor.items():
+            assert len(rows) == 5
+            assert all((aid, r.negative_id) not in pos_set for r in rows)
+
+    def test_validation(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = self._toy(spark)
+        pos = spark.createDataFrame([(0, 1)], "anchor_id int, positive_id int")
+        with pytest.raises(ValueError):
+            mine_hard_negatives(pos, emb, n_neg=0)
+        with pytest.raises(ValueError):
+            mine_hard_negatives(pos, emb, n_neg=5, search_k=3)
