@@ -186,24 +186,26 @@ def calibration_report(
     Returns ``(bins, ece)``: one row per non-empty equal-width bin —
     (bin, n, mean_prob 6dp, frac_pos 6dp, abs gap 6dp) — and the scalar
     ECE = sum over bins of (n_b / N) * |mean_prob_b - frac_pos_b|.
-    Probabilities are clamped into [0, 1); prob 1.0 lands in the top bin.
+    Probabilities are clamped into [0, 1] BEFORE both binning and the
+    bin means (prob 1.0 lands in the top bin; an out-of-range score
+    cannot fabricate mean_prob > 1); rows with a NULL probability
+    (e.g. unscored docs surviving a left join) are EXCLUDED — Spark's
+    greatest() skips nulls, so without the filter they would silently
+    inflate bin 0 as phantom counts.
 
     Scale shape: ONE aggregation exchange on the n_bins-key column
-    (map-side partial sums; the bin frame is k rows) and a 1-row total
-    for the ECE weights — report-sized output, corpus-sized input never
-    collected.
+    (map-side partial sums); the returned bin frame is REBUILT from the
+    k collected rows, so consuming it never re-runs the corpus scan.
     """
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
-    p = F.col(prob_col).cast("double")
-    binned = scored.select(
-        F.least(
-            F.lit(n_bins - 1), F.greatest(F.lit(0), F.floor(p * n_bins).cast("int"))
-        ).alias("bin"),
+    p = F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.col(prob_col).cast("double")))
+    binned = scored.where(F.col(prob_col).isNotNull()).select(
+        F.least(F.lit(n_bins - 1), F.floor(p * n_bins).cast("int")).alias("bin"),
         p.alias("__p"),
         F.col(label_col).cast("double").alias("__y"),
     )
-    bins = (
+    rows = (
         binned.groupBy("bin")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
@@ -212,12 +214,17 @@ def calibration_report(
         )
         .withColumn("gap", F.round(F.abs(F.col("mean_prob") - F.col("frac_pos")), 6))
         .orderBy("bin")
+        .collect()
     )
-    rows = bins.collect()
     total = sum(r["n"] for r in rows)
     ece = (
         sum(r["n"] * abs(r["mean_prob"] - r["frac_pos"]) for r in rows) / total
         if total
         else 0.0
+    )
+    spark = scored.sparkSession
+    bins = spark.createDataFrame(
+        [(r["bin"], r["n"], r["mean_prob"], r["frac_pos"], r["gap"]) for r in rows],
+        "bin int, n long, mean_prob double, frac_pos double, gap double",
     )
     return bins, round(ece, 6)

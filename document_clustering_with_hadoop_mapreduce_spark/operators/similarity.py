@@ -753,6 +753,16 @@ def mine_hard_negatives(
     probes = anchors.join(
         embeddings, anchors["__aid"] == embeddings[id_col]
     ).select(F.col(id_col), F.col(vec_col))
+    # an anchor with no embedding row would otherwise VANISH from the
+    # output, indistinguishable from "no negatives survived" — refuse
+    # loudly (stale pair files / id-type drift are exactly the bugs a
+    # silent drop hides); both frames here are pair-sized
+    n_anchors, n_probes = anchors.count(), probes.count()
+    if n_probes != n_anchors:
+        raise ValueError(
+            f"{n_anchors - n_probes} of {n_anchors} anchors have no row in "
+            f"embeddings.{id_col}; re-embed or fix the positives frame"
+        )
     topk = cosine_topk(embeddings, probes, k=search_k, id_col=id_col, vec_col=vec_col)
     pos_pairs = positives.select(
         F.col(anchor_col).alias("query_id"), F.col(pos_col).alias("vec_id")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS, clean_text, explode_tokens, token_count, tokens
+from ..functions.text import SPLIT_RE, STOPWORDS, clean_text, explode_tokens, token_count, tokens
 
 # BPE-ish lexer: alpha runs | digit runs | single non-space symbol.
 # Explicit whitespace class (not \s): Java and RE2 disagree on \f/\x0B, and
@@ -889,6 +889,19 @@ def bigram_cross_entropy(
     )
 
 
+def _aes_key(weight: Column, salt: str, id_col: str) -> Column:
+    """The Efraimidis-Spirakis selection key ln(u)/w with u in (0,1] drawn
+    deterministically from the salted id hash — ONE definition shared by
+    the global and per-stratum samplers (their determinism contract is
+    that keys are identical)."""
+    from ..functions.hashing import md5_int60
+
+    u = (
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + F.lit(1)
+    ) / F.lit(float(1 << 60))
+    return F.log(u) / weight
+
+
 def weighted_sample(
     documents: DataFrame,
     n: int,
@@ -922,17 +935,12 @@ def weighted_sample(
     ``ln(u)/w`` (not ``u^(1/w)``) keeps keys well-separated for tiny
     weights instead of underflowing toward 1.
     """
-    from ..functions.hashing import md5_int60
-
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    u = (
-        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + F.lit(1)
-    ) / F.lit(float(1 << 60))
     return (
         documents.withColumn("__w", weight.cast("double"))
         .where(F.col("__w") > 0)
-        .withColumn("__key", F.log(u) / F.col("__w"))
+        .withColumn("__key", _aes_key(F.col("__w"), salt, id_col))
         .orderBy(F.desc("__key"), F.asc(id_col))
         .limit(n)
         .drop("__w", "__key")
@@ -977,7 +985,9 @@ def length_bucket_batches(
 
     staged = documents.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).alias("n_tokens"),
+        # null text counts 0 tokens (token_count(NULL) is NULL, which would
+        # sort nulls-first AND silently drop out of the padding-waste sums)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).alias("n_tokens"),
         F.pmod(
             md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
             F.lit(num_streams),
@@ -989,7 +999,7 @@ def length_bucket_batches(
         "doc_id",
         "n_tokens",
         "stream",
-        (F.col("__rn") / batch_size).cast("int").alias("batch"),
+        F.expr(f"__rn div {batch_size}").cast("int").alias("batch"),
         (F.col("__rn") % batch_size).alias("pos_in_batch"),
     )
     wb = Window.partitionBy("stream", "batch")
@@ -1040,7 +1050,7 @@ def chunk_documents(
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"need 0 <= overlap < chunk_tokens, got overlap={overlap}")
     stride = chunk_tokens - overlap
-    toks = F.split(F.trim(F.col(text_col)), "[ \\t\\n\\r]+")
+    toks = F.split(F.trim(F.col(text_col)), SPLIT_RE)
     staged = (
         documents.where(F.trim(F.col(text_col)) != "")
         .where(F.col(text_col).isNotNull())
@@ -1090,20 +1100,15 @@ def weighted_sample_per_stratum(
     apply because every group keeps its own n). Group sizes bound the
     sort, not the corpus.
     """
-    from ..functions.hashing import md5_int60
-
     if n_per_stratum < 1:
         raise ValueError(f"n_per_stratum must be >= 1, got {n_per_stratum}")
-    u = (
-        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) + F.lit(1)
-    ) / F.lit(float(1 << 60))
     w = Window.partitionBy(stratum_col).orderBy(
         F.desc("__key"), F.asc(id_col)
     )
     return (
         documents.withColumn("__w", weight.cast("double"))
         .where(F.col("__w") > 0)
-        .withColumn("__key", F.log(u) / F.col("__w"))
+        .withColumn("__key", _aes_key(F.col("__w"), salt, id_col))
         .withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__w", "__key", "__rn")

@@ -100,6 +100,34 @@ def winnow_fingerprints(
     )
 
 
+def _capped_pair_join(
+    fingerprints: DataFrame, min_shared: int, max_df: int, with_pos: bool
+) -> DataFrame:
+    """Shared scaffolding for the pair generators: df-capped postings
+    self-joined on the fingerprint key, doc_a < doc_b. ONE definition so
+    the cap semantics (documents per fingerprint, regardless of how many
+    positions carry it) cannot drift between the count and span variants.
+    ``with_pos`` carries the 1-based k-gram offsets through as
+    ``__pa``/``__pb`` for span aggregation."""
+    if min_shared < 1 or max_df < 2:
+        raise ValueError(f"need min_shared >= 1 and max_df >= 2, got {min_shared}, {max_df}")
+    cols = ["doc_id", "fingerprint"] + (["pos"] if with_pos else [])
+    postings = fingerprints.select(*cols).distinct()
+    df_count = (
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("fingerprint")))
+        if with_pos  # position-level rows: count DOCS, not rows
+        else F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+    )
+    capped = postings.withColumn("__df", df_count).where(F.col("__df") <= max_df)
+    a_cols = [F.col("doc_id").alias("doc_a"), F.col("fingerprint")]
+    b_cols = [F.col("doc_id").alias("doc_b"), F.col("fingerprint")]
+    if with_pos:
+        a_cols.append(F.col("pos").alias("__pa"))
+        b_cols.append(F.col("pos").alias("__pb"))
+    a = capped.select(*a_cols)
+    b = capped.select(*b_cols)
+    return a.join(b, "fingerprint").where(F.col("doc_a") < F.col("doc_b"))
+
 def winnow_overlap_pairs(
     fingerprints: DataFrame,
     min_shared: int = 2,
@@ -117,18 +145,9 @@ def winnow_overlap_pairs(
     big side). Raising ``min_shared`` trades recall on short overlaps for
     precision exactly as in MOSS.
     """
-    if min_shared < 1 or max_df < 2:
-        raise ValueError(f"need min_shared >= 1 and max_df >= 2, got {min_shared}, {max_df}")
-    postings = fingerprints.select("doc_id", "fingerprint").distinct()
-    capped = postings.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
-    ).where(F.col("__df") <= max_df)
-    a = capped.select(F.col("doc_id").alias("doc_a"), "fingerprint")
-    b = capped.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    pairs = _capped_pair_join(fingerprints, min_shared, max_df, with_pos=False)
     return (
-        a.join(b, "fingerprint")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
         .where(F.col("shared") >= min_shared)
     )
@@ -153,23 +172,9 @@ def winnow_overlap_spans(
     four min/max aggregates riding the existing pair groupBy — no extra
     exchange.
     """
-    if min_shared < 1 or max_df < 2:
-        raise ValueError(f"need min_shared >= 1 and max_df >= 2, got {min_shared}, {max_df}")
-    postings = fingerprints.select("doc_id", "fingerprint", "pos").distinct()
-    capped = postings.withColumn(
-        "__df",
-        F.size(F.collect_set("doc_id").over(Window.partitionBy("fingerprint"))),
-    ).where(F.col("__df") <= max_df)
-    a = capped.select(
-        F.col("doc_id").alias("doc_a"), "fingerprint", F.col("pos").alias("__pa")
-    )
-    b = capped.select(
-        F.col("doc_id").alias("doc_b"), "fingerprint", F.col("pos").alias("__pb")
-    )
+    pairs = _capped_pair_join(fingerprints, min_shared, max_df, with_pos=True)
     return (
-        a.join(b, "fingerprint")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(
             F.count_distinct(F.col("fingerprint")).alias("shared"),
             F.min("__pa").alias("a_start"),

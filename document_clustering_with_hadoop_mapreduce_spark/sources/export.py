@@ -95,11 +95,18 @@ def write_training_shards(
     )
 
 
+def _oracle_key_sql(salt: str, id_col: str) -> str:
+    """DuckDB twin of ``_shuffle_key`` — ONE definition shared by every
+    oracle generator in this module (drift here is a false test failure)."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
+
 def global_shuffle_oracle_sql(
     n_shards: int, salt: str, source: str = "documents", id_col: str = "doc_id"
 ) -> str:
     """DuckDB mirror of ``global_shuffle`` (doc_id, shard, pos)."""
-    key = f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    key = _oracle_key_sql(salt, id_col)
     return f"""
 WITH keyed AS (
   SELECT {id_col} AS doc_id, {key} AS k, {key} % {n_shards} AS shard
@@ -156,7 +163,7 @@ def curriculum_order_oracle_sql(
 ) -> str:
     """DuckDB mirror of ``curriculum_order`` (doc_id, shard, pos);
     ``score_expr`` is the SQL twin of the Spark score column."""
-    key = f"CAST(('0x' || substr(md5('{salt}:' || CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    key = _oracle_key_sql(salt, id_col)
     direction = "ASC" if ascending else "DESC"
     return f"""
 WITH keyed AS (

@@ -107,12 +107,13 @@ class TestOracleParity:
             ).fetchall()
         }
         assert set(got) == set(want)
-        # EXACT 6dp equality — the same hash-equivalent rigor as the driver
-        # gate (per-element ln agrees across engines; 6dp rounding absorbs
-        # the sum-order tail, as the driver-gated unigram CE demonstrates)
+        # tolerance = one 6dp rounding step: per-element ln can differ by
+        # 1 ulp between libm implementations, which near a x.xxxxxx5
+        # boundary legitimately flips the last rounded digit — exact
+        # equality would be fixture-dependent flakiness, not rigor
         for d in want:
             assert got[d][1] == want[d][1], d
-            assert got[d][0] == want[d][0], d
+            assert got[d][0] == pytest.approx(want[d][0], abs=1.5e-6), d
 
     def test_conditional_rows_sum_to_one(self, spark, docs):
         bi, uni = bigram_lm(docs)

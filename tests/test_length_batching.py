@@ -118,3 +118,14 @@ def test_validation(spark):
         length_bucket_batches(df, batch_size=0)
     with pytest.raises(ValueError):
         length_bucket_batches(df, num_streams=0)
+
+
+def test_null_text_counts_zero_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "three token doc")], "doc_id int, text string"
+    )
+    out = {r.doc_id: (r.n_tokens, r.batch_max_tokens) for r in
+           length_bucket_batches(df, batch_size=2, num_streams=1).collect()}
+    assert out[1][0] == 0 and out[2][0] == 0 and out[3][0] == 3
+    # the padding accounting stays consistent: no NULLs anywhere
+    assert all(v is not None for pair in out.values() for v in pair)

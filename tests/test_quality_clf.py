@@ -188,3 +188,37 @@ FROM b GROUP BY bin ORDER BY bin
         assert got == {0, 9}  # prob 1.0 clamps into the top bin
         with pt.raises(ValueError):
             calibration_report(df, n_bins=0)
+
+
+class TestCalibrationNulls:
+    def test_null_probs_excluded_and_range_clamped(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 0.95, 1), (2, None, 0), (3, 1.7, 1), (4, -0.3, 0)],
+            "doc_id int, quality_prob double, label int",
+        )
+        bins, ece = calibration_report(df, n_bins=10)
+        rows = {r.bin: r for r in bins.collect()}
+        # null row excluded: total n == 3
+        assert sum(r.n for r in rows.values()) == 3
+        # 1.7 clamps to 1.0 (top bin, mean_prob <= 1); -0.3 clamps to 0.0
+        assert rows[9].mean_prob <= 1.0
+        assert rows[0].mean_prob >= 0.0
+        assert 0.0 <= ece <= 1.0
+
+    def test_returned_frame_is_report_sized(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+            calibration_report,
+        )
+
+        df = spark.createDataFrame(
+            [(i, i / 100.0, i % 2) for i in range(100)],
+            "doc_id int, quality_prob double, label int",
+        )
+        bins, _ = calibration_report(df)
+        # rebuilt from collected rows: a local relation, no corpus rescan
+        plan = bins._jdf.queryExecution().executedPlan().toString()
+        assert "Scan" not in plan or "ExistingRDD" in plan or "LocalTableScan" in plan

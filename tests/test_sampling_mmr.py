@@ -306,3 +306,22 @@ class TestHardNegatives:
             mine_hard_negatives(pos, emb, n_neg=0)
         with pytest.raises(ValueError):
             mine_hard_negatives(pos, emb, n_neg=5, search_k=3)
+
+
+class TestHardNegativeAnchorsGuard:
+    def test_missing_anchor_raises(self, spark):
+        import math
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [math.cos(i * 0.2), math.sin(i * 0.2)]) for i in range(5)],
+            "vec_id int, embedding array<double>",
+        )
+        pos = spark.createDataFrame(
+            [(0, 1), (999, 2)], "anchor_id int, positive_id int"
+        )
+        with pytest.raises(ValueError, match="have no row in embeddings"):
+            mine_hard_negatives(pos, emb, n_neg=1, search_k=3)
