@@ -1113,3 +1113,61 @@ def weighted_sample_per_stratum(
         .where(F.col("__rn") <= n_per_stratum)
         .drop("__w", "__key", "__rn")
     )
+
+
+def fim_split(
+    documents: DataFrame,
+    middle_frac: float = 0.25,
+    salt: str = "fim-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle example generation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"; same
+    shape as T5 span corruption with one span): deterministically cut
+    each document's token stream into (prefix, middle, suffix) so the
+    trainer can emit ``prefix + suffix -> middle`` infilling examples.
+
+    The middle spans ``max(1, round(middle_frac * n))`` tokens; its start
+    is drawn uniformly from the valid range by the salted id hash (the
+    ``hash_split`` discipline — RNG-free, reproducible, and re-salting
+    yields a fresh independent cut for another epoch). Documents with
+    fewer than 3 tokens have no non-degenerate cut and are excluded.
+    Output: (doc_id, n_tokens, mid_start 1-based, mid_len, prefix,
+    middle, suffix) with texts re-joined single-spaced.
+
+    Scale shape: one map-side projection (tokenize, two hash draws,
+    three slices) — zero shuffle, the augmentation fuses into the export
+    scan.
+    """
+    from ..functions.hashing import md5_int60
+
+    if not 0.0 < middle_frac < 1.0:
+        raise ValueError(f"middle_frac must be in (0, 1), got {middle_frac}")
+    toks = F.split(F.trim(F.col(text_col)), SPLIT_RE)
+    staged = (
+        documents.where(F.col(text_col).isNotNull())
+        .where(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .where(F.size("__toks") >= 3)
+    )
+    n = F.size("__toks")
+    # middle length capped so prefix and suffix are both non-empty
+    m = F.least(
+        n - F.lit(2), F.greatest(F.lit(1), F.round(n * F.lit(middle_frac)).cast("int"))
+    )
+    # start uniform in [2, n - m] (1-based; leaves >= 1 prefix + suffix tok)
+    span = n - m - F.lit(1)  # number of valid starts
+    h = md5_int60(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+    start = F.lit(2) + F.pmod(h, span.cast("long")).cast("int")
+    return staged.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        start.alias("mid_start"),
+        m.alias("mid_len"),
+        F.array_join(F.slice("__toks", F.lit(1), start - 1), " ").alias("prefix"),
+        F.array_join(F.slice("__toks", start, m), " ").alias("middle"),
+        F.array_join(
+            F.slice("__toks", start + m, n - (start + m) + F.lit(1)), " "
+        ).alias("suffix"),
+    )
