@@ -779,3 +779,47 @@ def mine_hard_negatives(
             "neg_rank",
         )
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster, dist, z): per-cluster z-scored distance to the
+    nearest centroid — the embedding-space OUTLIER signal a curation pass
+    thresholds to drop mislabeled/noise/off-distribution items (the
+    inverse of SemDeDup's keep-the-outlier rule: there the outlier is the
+    most informative duplicate, here a far-tail z flags vectors that fit
+    NO cluster). z = (dist - mean_c) / std_c within the assigned cluster;
+    clusters with fewer than 2 members (std undefined or 0) emit z = 0 —
+    a singleton is its own distribution, not an outlier.
+
+    Scale shape: assignment is the literal-centroid map pass shared with
+    Lloyd (``kmeans.assign_nearest``); the per-cluster moments are ONE
+    k-row aggregate that broadcast-joins back; the z-score is a
+    projection. One exchange total beyond the scan.
+    """
+    from .kmeans import assign_nearest
+
+    assigned = assign_nearest(embeddings, centroids, features_col=vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        "cluster",
+        F.round(F.sqrt(F.col("dist_sq")), 6).alias("dist"),
+    )
+    moments = assigned.groupBy("cluster").agg(
+        F.avg("dist").alias("__mu"),
+        F.stddev_samp("dist").alias("__sd"),
+    )
+    return assigned.join(F.broadcast(moments), "cluster").select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.round(
+            F.when(
+                F.col("__sd").isNull() | (F.col("__sd") == 0.0), F.lit(0.0)
+            ).otherwise((F.col("dist") - F.col("__mu")) / F.col("__sd")),
+            6,
+        ).alias("z"),
+    )

@@ -57,3 +57,72 @@ def test_block_topk_pairs_plan_has_no_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+class TestEmbeddingOutliers:
+    def test_planted_outlier_scores_extreme_z(self, spark):
+        import random
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        rng = random.Random(5)
+        rows = []
+        # two tight planted clusters around (0,0) and (10,10)
+        for i in range(40):
+            cx, cy = (0.0, 0.0) if i % 2 == 0 else (10.0, 10.0)
+            rows.append((i, [cx + rng.gauss(0, 0.1), cy + rng.gauss(0, 0.1)]))
+        rows.append((999, [5.0, 5.0]))  # fits neither cluster
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = {
+            r.vec_id: r
+            for r in embedding_outliers(
+                df, [[0.0, 0.0], [10.0, 10.0]]
+            ).collect()
+        }
+        zs_normal = [abs(out[i].z) for i in range(40)]
+        assert out[999].z > 3.0
+        assert out[999].z > 2 * max(zs_normal)
+
+    def test_matches_pure_python(self, spark):
+        import math
+        import statistics
+
+        import pytest
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        rows = [(i, [float(i % 7), float((i * 3) % 5)]) for i in range(30)]
+        cents = [[1.0, 1.0], [5.0, 3.0]]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        got = {r.vec_id: (r.cluster, r.dist, r.z) for r in embedding_outliers(df, cents).collect()}
+        # python mirror with the same round-before-argmin discipline
+        assign = {}
+        for i, v in rows:
+            ds = [round(sum((a - b) ** 2 for a, b in zip(v, c)), 6) for c in cents]
+            cl = ds.index(min(ds))
+            assign[i] = (cl, round(math.sqrt(ds[cl]), 6))
+        by_cl: dict = {}
+        for i, (cl, d) in assign.items():
+            by_cl.setdefault(cl, []).append(d)
+        for i, (cl, d) in assign.items():
+            dists = by_cl[cl]
+            sd = statistics.stdev(dists) if len(dists) > 1 else 0.0
+            z = 0.0 if sd == 0 else round((d - statistics.mean(dists)) / sd, 6)
+            assert got[i][0] == cl and got[i][1] == d
+            assert got[i][2] == pytest.approx(z, abs=2e-6)
+
+    def test_singleton_cluster_z_zero(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            embedding_outliers,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.1, 0.0]), (3, [9.9, 9.9])],
+            "vec_id int, embedding array<double>",
+        )
+        out = {r.vec_id: r.z for r in embedding_outliers(df, [[0.0, 0.0], [10.0, 10.0]]).collect()}
+        assert out[3] == 0.0  # alone in its cluster -> not an outlier

@@ -251,3 +251,30 @@ def test_stream_bucket_counts_equal_batch_and_finalize_exactly(spark, sf_dir):
         for r in frequent_ngrams(docs, n=2, min_count=3, n_buckets=n_buckets).collect()
     }
     assert finalized == oneshot and len(oneshot) > 0
+
+
+def test_stream_chunking_equals_batch(spark, sf_dir):
+    """chunk_documents is a pure map-side projection, so it applies to a
+    document STREAM unchanged (the structured-streaming contract for
+    stateless ops) and a one-pass run emits exactly the batch chunks."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    stream = chunk_documents(
+        read_documents_stream(spark, f"{sf_dir}/documents.parquet"),
+        chunk_tokens=16,
+        overlap=4,
+    )
+    got_df = run_stream_to_memory(stream, "chunks_t1", mode="append")
+    got = {(r.chunk_id, r.chunk_text) for r in got_df.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    want = {
+        (r.chunk_id, r.chunk_text)
+        for r in chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    }
+    assert got == want
