@@ -133,3 +133,44 @@ def pagerank(
     for frame in (links, dangling_nodes):
         frame.unpersist()
     return out
+
+
+def textrank_keywords(
+    documents: DataFrame,
+    top_n: int = 20,
+    damping: float = 0.85,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(term, rank): corpus-level TextRank keywords (Mihalcea & Tarau,
+    EMNLP 2004) — PageRank over the word co-occurrence graph, where an
+    undirected edge links terms adjacent in the filtered token stream
+    (the ``bigram_stream`` adjacency). High-rank terms are the corpus's
+    structural keywords: connected to many DISTINCT well-connected
+    neighbors, which raw frequency ranking cannot distinguish from
+    boilerplate repetition against one partner.
+
+    A pure composition: the bigram stream (map-side) distincts into a
+    vocab-sized edge list, ``pagerank(undirected=True)`` ranks it, top-n
+    by (rank DESC, term ASC). Graph size is DISTINCT co-occurring pairs —
+    vocabulary-bounded, not corpus-bounded — so the per-iteration joins
+    run on a model-sized frame no matter the corpus.
+    """
+    from .textstats import bigram_stream
+
+    edges = (
+        bigram_stream(documents, text_col, id_col)
+        .select(F.col("w1").alias("src"), F.col("w2").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ranks = pagerank(
+        edges, damping=damping, max_iter=max_iter, tol=tol, undirected=True
+    )
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("node"))
+        .limit(top_n)
+        .select(F.col("node").alias("term"), "rank")
+    )

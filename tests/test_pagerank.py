@@ -98,3 +98,32 @@ class TestContract:
             pagerank(df, damping=1.0)
         with pytest.raises(ValueError, match="max_iter"):
             pagerank(df, max_iter=0)
+
+
+class TestTextRank:
+    def test_hub_word_outranks_frequency(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import (
+            textrank_keywords,
+        )
+
+        # 'core' co-occurs with 12 DISTINCT partners (one doc each);
+        # 'noise' repeats 40 times against a single partner. Frequency
+        # ranks noise first; TextRank must rank core first.
+        rows = [(i, f"core partner{i}") for i in range(12)]
+        rows += [(100 + i, "noise buddy " * 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        top = [
+            r.term
+            for r in textrank_keywords(df, top_n=3, max_iter=90, tol=1e-4).collect()
+        ]
+        assert top[0] == "core"
+
+    def test_real_corpus_returns_topn(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import (
+            textrank_keywords,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        out = textrank_keywords(docs, top_n=10, max_iter=90, tol=1e-3).collect()
+        assert len(out) == 10
+        assert all(r.rank > 0 for r in out)
