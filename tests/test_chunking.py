@@ -110,3 +110,45 @@ def test_validation(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_chunks_flow_through_minhash_dedup(spark, docs):
+    """Composability: the chunk table IS a documents table (doc_id, text),
+    so chunk-level near-dup runs through the existing MinHash/LSH stack
+    unchanged — planted: two docs sharing a long identical passage yield
+    chunk-level LSH candidates even though the DOCS differ elsewhere."""
+    from pyspark.sql import functions as F
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_hashes,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    shared = " ".join(f"passage{i}" for i in range(40))
+    planted = spark.createDataFrame(
+        [
+            (9000001, "unique alpha beta gamma " * 10 + shared),
+            (9000002, shared + " totally different tail content " * 10),
+        ],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(planted, chunk_tokens=32, overlap=8).select(
+        # chunk_id is a string; the dedup stack needs a long id — hash it
+        F.abs(F.hash("chunk_id")).cast("long").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+        F.col("doc_id").alias("parent_doc"),
+    )
+    sigs = minhash_signatures(shingle_hashes(chunks, n=3))
+    pairs = lsh_candidate_pairs(sigs)
+    parent = chunks.select("doc_id", "parent_doc")
+    cross_doc = (
+        pairs.join(parent.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("parent_doc", "pa"), "doc_a")
+        .join(parent.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("parent_doc", "pb"), "doc_b")
+        .where(F.col("pa") != F.col("pb"))
+        .count()
+    )
+    assert cross_doc > 0
