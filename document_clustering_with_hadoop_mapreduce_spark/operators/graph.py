@@ -139,8 +139,8 @@ def textrank_keywords(
     documents: DataFrame,
     top_n: int = 20,
     damping: float = 0.85,
-    max_iter: int = 30,
-    tol: float = 1e-6,
+    max_iter: int = 100,
+    tol: float = 1e-4,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -157,6 +157,12 @@ def textrank_keywords(
     by (rank DESC, term ASC). Graph size is DISTINCT co-occurring pairs —
     vocabulary-bounded, not corpus-bounded — so the per-iteration joins
     run on a model-sized frame no matter the corpus.
+
+    Budget note: the L1 delta contracts ~damping per iteration, so
+    reaching tol takes about ln(tol)/ln(damping) rounds (~57 at the
+    1e-4/0.85 defaults; 1e-6 would need ~85) — the defaults are paired
+    so a plain ``textrank_keywords(docs)`` converges instead of hitting
+    pagerank's loud non-convergence error.
     """
     from .textstats import bigram_stream
 

@@ -803,11 +803,14 @@ def embedding_outliers(
     """
     from .kmeans import assign_nearest
 
+    # two lineage consumers (moments agg + the z-score join) would re-run
+    # the k x d distance fold and the source scan twice — checkpoint once,
+    # same discipline as the other two-consumer frames in this module
     assigned = assign_nearest(embeddings, centroids, features_col=vec_col).select(
         F.col(id_col).alias("vec_id"),
         "cluster",
         F.round(F.sqrt(F.col("dist_sq")), 6).alias("dist"),
-    )
+    ).localCheckpoint(eager=False)
     moments = assigned.groupBy("cluster").agg(
         F.avg("dist").alias("__mu"),
         F.stddev_samp("dist").alias("__sd"),

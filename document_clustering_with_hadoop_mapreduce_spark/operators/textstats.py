@@ -1136,9 +1136,10 @@ def fim_split(
     Output: (doc_id, n_tokens, mid_start 1-based, mid_len, prefix,
     middle, suffix) with texts re-joined single-spaced.
 
-    Scale shape: one map-side projection (tokenize, two hash draws,
-    three slices) — zero shuffle, the augmentation fuses into the export
-    scan.
+    Scale shape: one map-side projection (tokenize, ONE hash draw for
+    the start — the length is deterministic from n and middle_frac —
+    and three slices); zero shuffle, the augmentation fuses into the
+    export scan.
     """
     from ..functions.hashing import md5_int60
 
