@@ -289,3 +289,85 @@ def rrf_fuse(
     if top_n is not None:
         out = out.where(F.col("rank") <= top_n)
     return out
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """(query_id, n_rel, recall_at_k 6dp, mrr 6dp, ndcg_at_k 6dp): standard
+    ranked-retrieval evaluation per query — the measurement half of the
+    retrieval family (BM25 / ANN / RRF produce rankings; this grades them
+    against a judgments table).
+
+    - recall@k: |relevant ∩ top-k| / |relevant| (graded rels count as
+      relevant when rel > 0)
+    - MRR: 1 / rank of the first relevant result (0 if none retrieved,
+      at any depth the results frame contains)
+    - nDCG@k: sum of (2^rel - 1)/log2(rank+1) over the top-k, normalized
+      by the ideal DCG of the query's judgments (Jarvelin & Kekalainen,
+      TOIS 2002)
+
+    Queries present in ``qrels`` but missing from ``results`` score 0 on
+    all three (an engine that returns nothing for a judged query is
+    wrong, not unmeasured); queries with judgments but no rel > 0 row
+    are excluded — no positive exists, so no metric is defined.
+
+    Scale shape: judgments and results are both bounded per query; one
+    equi-join on (query, doc) and two query-keyed aggregates (observed
+    DCG and ideal DCG), then a final join — every frame is
+    query-cardinality-sized or top-k-sized, nothing corpus-sized.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = F.col(query_col).alias("query_id")
+    res = results.select(q, F.col(doc_col).alias("doc_id"), F.col(rank_col).alias("rank"))
+    judg = qrels.select(q, F.col(doc_col).alias("doc_id"), F.col(rel_col).alias("rel"))
+    # ideal DCG per query: judgments sorted by rel desc, positions 1..k
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ideal = (
+        judg.where(F.col("rel") > 0)
+        .withColumn("__pos", F.row_number().over(wq))
+        .where(F.col("__pos") <= k)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("__pos") + 1)
+            ).alias("__idcg"),
+            F.count(F.lit(1)).alias("__n_top"),
+        )
+    )
+    n_rel = judg.where(F.col("rel") > 0).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    hits = res.join(judg.where(F.col("rel") > 0), ["query_id", "doc_id"])
+    observed = hits.groupBy("query_id").agg(
+        F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias("__hits_k"),
+        F.round(1.0 / F.min("rank"), 6).alias("mrr"),
+        F.sum(
+            F.when(
+                F.col("rank") <= k,
+                (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1),
+            ).otherwise(0.0)
+        ).alias("__dcg"),
+    )
+    return (
+        n_rel.join(ideal, "query_id")
+        .join(observed, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("__hits_k"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.coalesce(F.col("mrr"), F.lit(0.0)).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )

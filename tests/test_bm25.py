@@ -270,3 +270,115 @@ FROM fused
         df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id int, rank int")
         with pytest.raises(ValueError):
             rrf_fuse([df], k=0)
+
+
+class TestRetrievalMetrics:
+    def _frames(self, spark):
+        # q1: rels {1:3, 2:1, 5:2}; retrieved ranks 1->doc9, 2->doc1, 3->doc5
+        # q2: rels {7:1}; retrieved misses entirely
+        # q3: judged but absent from results
+        results = spark.createDataFrame(
+            [("q1", 9, 1), ("q1", 1, 2), ("q1", 5, 3), ("q2", 8, 1), ("q2", 6, 2)],
+            "query_id string, doc_id int, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q1", 1, 3), ("q1", 2, 1), ("q1", 5, 2), ("q2", 7, 1), ("q3", 4, 2)],
+            "query_id string, doc_id int, rel int",
+        )
+        return results, qrels
+
+    def test_matches_hand_computed(self, spark):
+        import math
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        results, qrels = self._frames(spark)
+        got = {r.query_id: r for r in retrieval_metrics(results, qrels, k=3).collect()}
+        # q1: hits in top-3 = docs 1 (rank2, rel3), 5 (rank3, rel2); n_rel=3
+        assert got["q1"].n_rel == 3
+        assert got["q1"].recall_at_k == pytest.approx(2 / 3, abs=1e-6)
+        assert got["q1"].mrr == pytest.approx(1 / 2, abs=1e-6)
+        dcg = (2**3 - 1) / math.log2(3) + (2**2 - 1) / math.log2(4)
+        idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3) + (2**1 - 1) / math.log2(4)
+        assert got["q1"].ndcg_at_k == pytest.approx(dcg / idcg, abs=2e-6)
+        # q2: judged, retrieved nothing relevant -> all zeros
+        assert got["q2"].recall_at_k == 0.0 and got["q2"].mrr == 0.0 and got["q2"].ndcg_at_k == 0.0
+        # q3: judged but absent from results -> present, all zeros
+        assert got["q3"].recall_at_k == 0.0 and got["q3"].mrr == 0.0 and got["q3"].ndcg_at_k == 0.0
+
+    def test_matches_duckdb_oracle(self, spark):
+        import duckdb
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        results, qrels = self._frames(spark)
+        got = sorted(
+            (r.query_id, r.n_rel, r.recall_at_k, r.mrr, r.ndcg_at_k)
+            for r in retrieval_metrics(results, qrels, k=2).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE res (query_id VARCHAR, doc_id INT, rank INT)")
+        con.execute("CREATE TABLE qr (query_id VARCHAR, doc_id INT, rel INT)")
+        con.executemany("INSERT INTO res VALUES (?, ?, ?)",
+                        [tuple(r) for r in results.collect()])
+        con.executemany("INSERT INTO qr VALUES (?, ?, ?)",
+                        [tuple(r) for r in qrels.collect()])
+        want = sorted(
+            tuple(r)
+            for r in con.execute(
+                """
+WITH pos AS (SELECT * FROM qr WHERE rel > 0),
+n_rel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM pos GROUP BY query_id),
+ideal AS (
+  SELECT query_id, sum((pow(2, rel) - 1) / log2(p + 1)) AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS p
+        FROM pos)
+  WHERE p <= 2 GROUP BY query_id
+),
+hits AS (SELECT res.query_id, res.rank, pos.rel
+         FROM res JOIN pos USING (query_id, doc_id)),
+obs AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= 2 THEN 1 ELSE 0 END) AS hits_k,
+         round(1.0 / min(rank), 6) AS mrr,
+         sum(CASE WHEN rank <= 2 THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END) AS dcg
+  FROM hits GROUP BY query_id
+)
+SELECT n_rel.query_id, n_rel.n_rel,
+       round(coalesce(hits_k, 0)::DOUBLE / n_rel.n_rel, 6),
+       coalesce(mrr, 0.0),
+       round(coalesce(dcg, 0.0) / idcg, 6)
+FROM n_rel JOIN ideal USING (query_id) LEFT JOIN obs USING (query_id)
+"""
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_perfect_ranking_scores_one(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        results = spark.createDataFrame(
+            [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id int, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [("q", 1, 3), ("q", 2, 1)], "query_id string, doc_id int, rel int"
+        )
+        r = retrieval_metrics(results, qrels, k=2).collect()[0]
+        assert (r.recall_at_k, r.mrr, r.ndcg_at_k) == (1.0, 1.0, 1.0)
+
+    def test_validation(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        df = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id int, rank int")
+        qr = spark.createDataFrame([("q", 1, 1)], "query_id string, doc_id int, rel int")
+        with pytest.raises(ValueError):
+            retrieval_metrics(df, qr, k=0)
