@@ -469,3 +469,38 @@ def test_winnow_spark_matches_python_on_random_text(spark, text, k, w):
         for r in winnow_fingerprints(df, k=k, w=w).collect()
     }
     assert got == _winnow_py(text, k=k, w=w)
+
+
+@given(
+    text=st.text(alphabet="ab c", min_size=0, max_size=120),
+    chunk_tokens=st.integers(min_value=2, max_value=12),
+    overlap=st.integers(min_value=0, max_value=10),
+)
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_matches_python_on_random_text(spark, text, chunk_tokens, overlap):
+    """Random-text fuzz of the sliding-window chunker against a direct
+    python mirror of its formula (count, starts, slice bounds)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        chunk_documents,
+    )
+
+    if overlap >= chunk_tokens:
+        return
+    stride = chunk_tokens - overlap
+    df = spark.createDataFrame([(1, text)], "doc_id int, text string")
+    got = sorted(
+        (r.chunk_idx, r.start_token, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, chunk_tokens=chunk_tokens, overlap=overlap).collect()
+    )
+    toks = text.split()
+    if not toks:
+        assert got == []
+        return
+    n = len(toks)
+    nc = max(1, -(-(n - overlap) // stride))  # ceil
+    want = []
+    for i in range(nc):
+        start = 1 + i * stride
+        sl = toks[start - 1 : start - 1 + chunk_tokens]
+        want.append((i, start, len(sl), " ".join(sl)))
+    assert got == sorted(want)
