@@ -180,3 +180,113 @@ def textrank_keywords(
         .limit(top_n)
         .select(F.col("node").alias("term"), "rank")
     )
+
+
+def hits(
+    edges: DataFrame,
+    max_iter: int = 30,
+    tol: float = 1e-6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hub, authority): HITS (Kleinberg, JACM 1999) over a DIRECTED
+    edge list — the complement to PageRank for link corpora where the two
+    roles differ: an AUTHORITY is pointed at by good hubs (the canonical
+    reference pages a crawl should keep), a HUB points at good
+    authorities (the index/directory pages that help discovery but add
+    little content themselves). PageRank collapses both into one score.
+
+    Mutual power iteration: a = A^T h, h = A a, each L2-normalized per
+    round; stops when the combined L1 delta < ``tol``, loud after
+    ``max_iter`` otherwise (pagerank's convergence contract). Scores are
+    L2-normalized (sum of squares = 1 per vector), 9dp-rounded.
+
+    Scale shape per iteration: two shuffle joins (scores against the
+    edge list on src then dst — the same cached repartitioned frame both
+    times) + two key aggregates + two 1-row norm aggregates. State is
+    two doubles per node.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    links = e.repartition("src").localCheckpoint(eager=False)
+    scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
+    delta = None
+    for _ in range(max_iter):
+        # ONE plan + ONE action per iteration: the two L2 norms ride
+        # broadcast 1-row crossJoins instead of driver round-trips (each
+        # extra collect here would re-execute the whole un-checkpointed
+        # half-iteration lineage)
+        auth_in = (
+            scores.join(links, scores["node"] == links["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("__a"))
+        )
+        auth_raw = nodes.join(auth_in, "node", "left").select(
+            "node", F.coalesce(F.col("__a"), F.lit(0.0)).alias("__a")
+        )
+        a_norm = auth_raw.agg(
+            F.greatest(F.sqrt(F.sum(F.col("__a") * F.col("__a"))), F.lit(1e-300)).alias("__az")
+        )
+        auth = auth_raw.crossJoin(F.broadcast(a_norm)).select(
+            "node", (F.col("__a") / F.col("__az")).alias("authority")
+        )
+        hub_in = (
+            auth.join(links, auth["node"] == links["dst"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("authority").alias("__h"))
+        )
+        hub_raw = nodes.join(hub_in, "node", "left").select(
+            "node", F.coalesce(F.col("__h"), F.lit(0.0)).alias("__h")
+        )
+        h_norm = hub_raw.agg(
+            F.greatest(F.sqrt(F.sum(F.col("__h") * F.col("__h"))), F.lit(1e-300)).alias("__hz")
+        )
+        hub = hub_raw.crossJoin(F.broadcast(h_norm)).select(
+            "node", (F.col("__h") / F.col("__hz")).alias("hub")
+        )
+        new_scores = (
+            hub.join(auth, "node").select("node", "hub", "authority")
+            .localCheckpoint(eager=False)
+        )
+        delta = (
+            new_scores.join(
+                scores.select(
+                    "node",
+                    F.col("hub").alias("__oh"),
+                    F.col("authority").alias("__oa"),
+                ),
+                "node",
+            )
+            .agg(
+                F.sum(
+                    F.abs(F.col("hub") - F.col("__oh"))
+                    + F.abs(F.col("authority") - F.col("__oa"))
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        scores.unpersist()
+        scores = new_scores
+        if tol > 0 and delta < tol:
+            break
+    else:
+        if tol > 0:
+            raise RuntimeError(
+                f"hits did not converge to L1 delta < {tol} in {max_iter} "
+                f"iterations (last delta {delta:.3e}); raise max_iter or tol"
+            )
+    out = scores.select(
+        "node", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority")
+    )
+    links.unpersist()
+    return out

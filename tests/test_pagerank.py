@@ -127,3 +127,67 @@ class TestTextRank:
         out = textrank_keywords(docs, top_n=10, max_iter=90, tol=1e-3).collect()
         assert len(out) == 10
         assert all(r.rank > 0 for r in out)
+
+
+def _hits_py(edges, iters=100, tol=1e-12):
+    import math
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    out: dict = {}
+    inc: dict = {}
+    for u, v in set(edges):
+        out.setdefault(u, set()).add(v)
+        inc.setdefault(v, set()).add(u)
+    h = {v: 1.0 for v in nodes}
+    a = {v: 1.0 for v in nodes}
+    for _ in range(iters):
+        na = {v: sum(h[u] for u in inc.get(v, ())) for v in nodes}
+        z = math.sqrt(sum(x * x for x in na.values())) or 1.0
+        na = {v: x / z for v, x in na.items()}
+        nh = {u: sum(na[v] for v in out.get(u, ())) for u in nodes}
+        z = math.sqrt(sum(x * x for x in nh.values())) or 1.0
+        nh = {u: x / z for u, x in nh.items()}
+        d = sum(abs(nh[v] - h[v]) + abs(na[v] - a[v]) for v in nodes)
+        h, a = nh, na
+        if d < tol:
+            break
+    return h, a
+
+
+class TestHITS:
+    def test_matches_pure_python_power_iteration(self, spark):
+        import random
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import hits
+
+        rng = random.Random(17)
+        edges = list({(rng.randrange(30), rng.randrange(30)) for _ in range(150)})
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: (r.hub, r.authority) for r in hits(df, max_iter=40, tol=1e-6).collect()}
+        h, a = _hits_py(edges)
+        assert set(got) == set(h)
+        for v in h:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-5), v
+            assert got[v][1] == pytest.approx(a[v], abs=1e-5), v
+
+    def test_directory_page_is_hub_reference_page_is_authority(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import hits
+
+        # node 0 links to everything (directory); node 99 is linked by
+        # everything (reference). Roles must separate.
+        edges = [(0, i) for i in range(1, 10)] + [(i, 99) for i in range(1, 10)]
+        df = spark.createDataFrame(edges, "src int, dst int")
+        got = {r.node: r for r in hits(df, max_iter=60, tol=1e-8).collect()}
+        assert got[0].hub == max(r.hub for r in got.values())
+        assert got[99].authority == max(r.authority for r in got.values())
+        assert got[0].authority < 1e-9 and got[99].hub < 1e-9
+
+    def test_validation_and_empty(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import hits
+
+        empty = spark.createDataFrame([], "src int, dst int")
+        assert hits(empty).count() == 0
+        df = spark.createDataFrame([(1, 2)], "src int, dst int")
+        with pytest.raises(ValueError):
+            hits(df, max_iter=0)
