@@ -161,3 +161,124 @@ def corpus_datacard(
         "p95_tokens",
         F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
     )
+
+
+def vocab_growth(
+    documents: DataFrame,
+    n_points: int = 20,
+    salt: str = "growth-v1",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(point, n_docs, n_tokens, vocab_size): the vocabulary-growth
+    (Heaps' law) curve — how many DISTINCT terms the corpus has after its
+    first k docs, sampled at ``n_points`` evenly-spaced prefixes of a
+    deterministic salted-hash document order (so "first k docs" is a
+    stable random sample, not ingestion order). Sub-linear growth is the
+    healthy-corpus signature; a curve bending back toward linear flags
+    unbounded junk vocabulary (OCR noise, serial numbers) that a vocab
+    cap or quality gate should see.
+
+    Computed WITHOUT any sequential pass: each doc gets a position bucket
+    (its rank quantile in hash order), each term's FIRST bucket is one
+    min-aggregate, and the curve is the running sum over the n_points-row
+    histogram — one token-stream aggregate + window over k rows. Exact
+    for the sampled prefixes.
+    """
+    if n_points < 1:
+        raise ValueError(f"n_points must be >= 1, got {n_points}")
+    from ..functions.hashing import md5_int60
+
+    pos_w = Window.orderBy(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    # ntile gives n_points equal document buckets in hash order; the
+    # global window sorts one (hash, id) pair per doc — doc-count rows,
+    # the same class as the datacard quantile sort
+    positioned = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__text"),
+        F.ntile(n_points).over(pos_w).alias("bucket"),
+    )
+    doc_stats = positioned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__docs"),
+        F.sum(F.coalesce(token_count(F.col("__text")), F.lit(0))).alias("__toks"),
+    )
+    first_seen = (
+        positioned.select(
+            "bucket",
+            F.explode(F.filter(tokens(F.col("__text")), lambda t: t != "")).alias("__t"),
+        )
+        .groupBy("__t")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__new_terms"))
+    )
+    run = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        doc_stats.join(first_seen, "bucket", "left")
+        .select(
+            F.col("bucket").alias("point"),
+            F.sum("__docs").over(run).cast("long").alias("n_docs"),
+            F.sum("__toks").over(run).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("__new_terms"), F.lit(0)))
+            .over(run)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+        .orderBy("point")
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> tuple[float, float]:
+    """(alpha, r2): least-squares slope of the log-log rank-frequency
+    curve — the Zipf exponent (natural corpora sit near alpha ~ 1;
+    Zipf 1949, Piantadosi 2014 review). A corpus whose alpha drifts far
+    below 1 is dominated by a flat junk vocabulary; far above, by
+    boilerplate repetition of a tiny vocabulary — both are datacard red
+    flags this scalar makes monitorable.
+
+    Frequencies aggregate from the token stream (one exchange); ranks
+    come from a vocab-sized window sort; the regression is a single
+    closed-form aggregate over (ln rank, ln freq) pairs — nothing leaves
+    the executors but the 1-row moment vector. ``min_count`` drops the
+    hapax tail where discretization flattens the curve.
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    freqs = (
+        documents.select(
+            F.explode(F.filter(tokens(F.col(text_col)), lambda t: t != "")).alias("__t")
+        )
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__f"))
+        .where(F.col("__f") >= min_count)
+    )
+    ranked = freqs.select(
+        F.log(F.row_number().over(Window.orderBy(F.desc("__f"), F.asc("__t"))).cast("double")).alias("x"),
+        F.log(F.col("__f").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    ).collect()[0]
+    n, sx, sy, sxy, sxx, syy = (float(m[c]) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    if n < 2:
+        return 0.0, 0.0
+    cov = sxy - sx * sy / n
+    var_x = sxx - sx * sx / n
+    var_y = syy - sy * sy / n
+    if var_x <= 0 or var_y <= 0:
+        return 0.0, 0.0
+    slope = cov / var_x
+    r2 = (cov * cov) / (var_x * var_y)
+    return round(-slope, 6), round(r2, 6)
