@@ -179,27 +179,29 @@ def vocab_growth(
     unbounded junk vocabulary (OCR noise, serial numbers) that a vocab
     cap or quality gate should see.
 
-    Computed WITHOUT any sequential pass: each doc gets a position bucket
-    (its rank quantile in hash order), each term's FIRST bucket is one
-    min-aggregate, and the curve is the running sum over the n_points-row
-    histogram — one token-stream aggregate + window over k rows. Exact
-    for the sampled prefixes.
+    Computed WITHOUT any sequential pass OR global sort: the bucket is
+    the doc's salted hash mod n_points — a pure map-side assignment, so
+    each bucket is an independent ~1/n_points random sample and the
+    cumulative buckets are exactly the random prefixes the curve needs
+    (bucket sizes are multinomial rather than exactly equal; the n_docs
+    column reports the actual counts). Each term's FIRST bucket is one
+    min-aggregate and the curve is a running sum over the n_points-row
+    histogram. Two scans of the cheap projection (doc stats + the token
+    stream) — nothing corpus-sized is sorted, pinned, or single-tasked.
     """
     if n_points < 1:
         raise ValueError(f"n_points must be >= 1, got {n_points}")
     from ..functions.hashing import md5_int60
 
-    pos_w = Window.orderBy(
-        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
-        F.col(id_col),
-    )
-    # ntile gives n_points equal document buckets in hash order; the
-    # global window sorts one (hash, id) pair per doc — doc-count rows,
-    # the same class as the datacard quantile sort
     positioned = documents.select(
-        F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("__text"),
-        F.ntile(n_points).over(pos_w).alias("bucket"),
+        (
+            F.pmod(
+                md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+                F.lit(n_points),
+            )
+            + 1
+        ).cast("int").alias("bucket"),
     )
     doc_stats = positioned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("__docs"),
@@ -271,9 +273,10 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     ).collect()[0]
-    n, sx, sy, sxy, sxx, syy = (float(m[c]) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
-    if n < 2:
+    if m["n"] is None or m["n"] < 2:
+        # an empty filtered vocabulary yields NULL sums — no curve to fit
         return 0.0, 0.0
+    n, sx, sy, sxy, sxx, syy = (float(m[c]) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
     cov = sxy - sx * sy / n
     var_x = sxx - sx * sx / n
     var_y = syy - sy * sy / n

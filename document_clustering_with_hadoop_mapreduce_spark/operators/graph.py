@@ -202,9 +202,10 @@ def hits(
     L2-normalized (sum of squares = 1 per vector), 9dp-rounded.
 
     Scale shape per iteration: two shuffle joins (scores against the
-    edge list on src then dst — the same cached repartitioned frame both
-    times) + two key aggregates + two 1-row norm aggregates. State is
-    two doubles per node.
+    edge list on src for the authority half, on dst for the hub half —
+    each against its OWN pre-partitioned cached copy, so neither join
+    reshuffles the edges) + two key aggregates + two 1-row norm
+    aggregates. State is two doubles per node.
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
@@ -218,7 +219,8 @@ def hits(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
-    links = e.repartition("src").localCheckpoint(eager=False)
+    links_src = e.repartition("src").localCheckpoint(eager=False)
+    links_dst = e.repartition("dst").localCheckpoint(eager=False)
     scores = nodes.select("node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority"))
     delta = None
     for _ in range(max_iter):
@@ -227,7 +229,7 @@ def hits(
         # extra collect here would re-execute the whole un-checkpointed
         # half-iteration lineage)
         auth_in = (
-            scores.join(links, scores["node"] == links["src"])
+            scores.join(links_src, scores["node"] == links_src["src"])
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("hub").alias("__a"))
         )
@@ -241,7 +243,7 @@ def hits(
             "node", (F.col("__a") / F.col("__az")).alias("authority")
         )
         hub_in = (
-            auth.join(links, auth["node"] == links["dst"])
+            auth.join(links_dst, auth["node"] == links_dst["dst"])
             .groupBy(F.col("src").alias("node"))
             .agg(F.sum("authority").alias("__h"))
         )
@@ -288,5 +290,6 @@ def hits(
     out = scores.select(
         "node", F.round("hub", 9).alias("hub"), F.round("authority", 9).alias("authority")
     )
-    links.unpersist()
+    links_src.unpersist()
+    links_dst.unpersist()
     return out

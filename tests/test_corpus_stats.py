@@ -38,19 +38,19 @@ class TestVocabGrowth:
             for r in vocab_growth(docs, n_points=n_points, salt="g").collect()
         ]
         rows = docs.select("doc_id", "text").collect()
-        order = sorted(rows, key=lambda r: (_md5_int60(f"g:{r.doc_id}"), r.doc_id))
-        n = len(order)
-        # ntile semantics: first n % k buckets get ceil(n/k)
-        sizes = [(n // n_points) + (1 if i < n % n_points else 0) for i in range(n_points)]
+        # bucket = 1 + salted-hash mod n_points (pure map-side assignment)
+        by_bucket: dict[int, list] = {}
+        for r in rows:
+            b = 1 + _md5_int60(f"g:{r.doc_id}") % n_points
+            by_bucket.setdefault(b, []).append(r)
         want, seen = [], set()
-        idx, docs_cum, toks_cum = 0, 0, 0
-        for p, sz in enumerate(sizes, start=1):
-            for r in order[idx : idx + sz]:
+        docs_cum, toks_cum = 0, 0
+        for p in range(1, n_points + 1):
+            for r in by_bucket.get(p, []):
                 toks = (r.text or "").strip()
                 toks_cum += len(toks.split()) if toks else 0
                 seen.update(_clean_tokens(r.text))
-            idx += sz
-            docs_cum += sz
+            docs_cum += len(by_bucket.get(p, []))
             want.append((p, docs_cum, toks_cum, len(seen)))
         assert got == want
 
@@ -109,6 +109,12 @@ class TestZipf:
         alpha, r2 = zipf_fit(df, min_count=2)
         assert alpha == pytest.approx(1.0, abs=0.15)
         assert r2 > 0.97
+
+    def test_empty_vocabulary_returns_zeros(self, spark):
+        df = spark.createDataFrame(
+            [(1, "every token once here"), (2, "")], "doc_id int, text string"
+        )
+        assert zipf_fit(df, min_count=5) == (0.0, 0.0)
 
     def test_validation(self, spark, docs):
         with pytest.raises(ValueError):
