@@ -345,3 +345,51 @@ def stream_gram_bucket_counts(
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bucket_cnt"))
     )
+
+
+def run_stream_drift_monitor(
+    doc_stream: DataFrame,
+    reference: DataFrame,
+    checkpoint_dir: str,
+    text_col: str = "text",
+) -> list[tuple[int, float, int]]:
+    """Per-micro-batch distribution drift against a fixed REFERENCE
+    corpus: for each batch of documents, compute the Jensen-Shannon
+    divergence between the batch's unigram distribution and the
+    reference's (``operators.snapshot.term_distribution_drift``), and
+    return [(batch_id, jsd, n_docs)] — the monitoring stream a recurring
+    ingest alarms on (a healthy feed hovers near its baseline JSD; a
+    source change, language shift, or spam flood spikes it before any
+    downstream metric moves).
+
+    ``foreachBatch`` is the right tool: the comparison targets a STATIC
+    external frame (the reference), not stream-internal state, and the
+    scalar-per-batch output is driver-sized by construction. Runs with
+    availableNow (process all available input, then stop) and a real
+    checkpoint so a restarted monitor resumes at the recorded offsets
+    instead of re-scoring ingested batches.
+
+    Scale: per batch, two vocab-sized aggregates + one full-outer join —
+    the reference side is recomputed per batch from ``reference``'s plan;
+    cache/checkpoint the reference frame once in the caller when batches
+    are frequent.
+    """
+    results: list[tuple[int, float, int]] = []
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.snapshot import term_distribution_drift
+
+        n = batch_df.count()
+        if n == 0:
+            return
+        jsd, _ = term_distribution_drift(batch_df, reference, text_col=text_col)
+        results.append((int(batch_id), float(jsd), int(n)))
+
+    (
+        doc_stream.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return sorted(results)

@@ -89,3 +89,49 @@ def test_planted_shift_surfaces_in_contributors(spark):
 def test_validation(spark, docs):
     with pytest.raises(ValueError):
         term_distribution_drift(docs, docs, top_contributors=0)
+
+
+def test_stream_monitor_matches_batch_jsd(spark, sf_dir, tmp_path):
+    """Streaming the corpus as ONE availableNow batch must score exactly
+    the batch JSD; a second invocation over the same checkpoint resumes
+    past the ingested files and scores nothing new."""
+    from document_clustering_with_hadoop_mapreduce_spark.streaming.events_stream import (
+        read_documents_stream,
+        run_stream_drift_monitor,
+    )
+
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reference = docs.where("doc_id % 2 = 0").localCheckpoint()
+    ckpt = str(tmp_path / "drift_ckpt")
+    # stage the source dir ONCE so the checkpoint's recorded basePath is
+    # valid for the resume invocation too
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        os.path.join(src, "documents.parquet"),
+    )
+    got = run_stream_drift_monitor(
+        read_documents_stream(spark, src),
+        reference,
+        checkpoint_dir=ckpt,
+    )
+    assert len(got) >= 1
+    total_docs = sum(n for _, _, n in got)
+    assert total_docs == docs.count()
+    from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+        term_distribution_drift,
+    )
+
+    if len(got) == 1:
+        want, _ = term_distribution_drift(docs, reference)
+        assert got[0][1] == pytest.approx(want, abs=1e-9)
+    # resume: nothing new to score
+    again = run_stream_drift_monitor(
+        read_documents_stream(spark, src),
+        reference,
+        checkpoint_dir=ckpt,
+    )
+    assert again == []
