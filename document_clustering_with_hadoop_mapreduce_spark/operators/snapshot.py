@@ -143,3 +143,60 @@ def term_distribution_drift(
         .select("term", "p", "q", F.round("__contrib", 9).alias("jsd_contribution"))
     )
     return round(float(jsd), 9), contributors
+
+
+def embedding_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    vec_col: str = "embedding",
+) -> dict[str, float]:
+    """Embedding-space drift between two snapshots, as three scalars a
+    monitor thresholds (the representation-level companion to
+    ``term_distribution_drift`` — a paraphrased spam flood can keep the
+    unigram distribution flat while moving the embedding mass):
+
+    - ``mean_shift_l2``: L2 distance between the two mean vectors
+    - ``mean_cosine``: cosine between the two mean vectors (scale-free)
+    - ``dispersion_ratio``: total per-dim variance of B over A — > 1 the
+      corpus spread out (new modes), < 1 it collapsed (mode drop)
+
+    Scale shape: one (dim)-keyed aggregate per corpus over the
+    posexploded vectors (d-row outputs, map-side partial sums), joined on
+    dim and folded to the three scalars — nothing corpus-sized leaves the
+    executors. First moments only by design: higher-order two-sample
+    tests (MMD, energy distance) need pairwise kernels this summary
+    deliberately avoids at 100 TB.
+    """
+    from ..functions.vector import cosine_similarity  # noqa: F401  (parity of rounding conventions)
+
+    def moments(df: DataFrame, prefix: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
+            .groupBy("dim")
+            .agg(
+                F.avg("x").alias(f"{prefix}_mean"),
+                F.var_pop("x").alias(f"{prefix}_var"),
+            )
+        )
+
+    joined = moments(corpus_a, "a").join(moments(corpus_b, "b"), "dim")
+    row = joined.agg(
+        F.sum(F.pow(F.col("a_mean") - F.col("b_mean"), 2)).alias("__d2"),
+        F.sum(F.col("a_mean") * F.col("b_mean")).alias("__dot"),
+        F.sqrt(F.sum(F.col("a_mean") * F.col("a_mean"))).alias("__na"),
+        F.sqrt(F.sum(F.col("b_mean") * F.col("b_mean"))).alias("__nb"),
+        F.sum("a_var").alias("__va"),
+        F.sum("b_var").alias("__vb"),
+    ).collect()[0]
+    if row["__d2"] is None:
+        raise ValueError("embedding_drift needs at least one vector on each side")
+    prod = (row["__na"] or 0.0) * (row["__nb"] or 0.0)
+    return {
+        "mean_shift_l2": round(float(row["__d2"]) ** 0.5, 9),
+        "mean_cosine": round(float(row["__dot"]) / prod, 9) if prod > 0 else 0.0,
+        "dispersion_ratio": (
+            round(float(row["__vb"]) / float(row["__va"]), 9)
+            if row["__va"] and row["__va"] > 0
+            else 0.0
+        ),
+    }

@@ -135,3 +135,79 @@ def test_stream_monitor_matches_batch_jsd(spark, sf_dir, tmp_path):
         checkpoint_dir=ckpt,
     )
     assert again == []
+
+
+class TestEmbeddingDrift:
+    def test_identical_corpora(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        d = embedding_drift(emb, emb)
+        assert d["mean_shift_l2"] == pytest.approx(0.0, abs=1e-9)
+        assert d["mean_cosine"] == pytest.approx(1.0, abs=1e-9)
+        assert d["dispersion_ratio"] == pytest.approx(1.0, abs=1e-9)
+
+    def test_planted_shift_and_spread(self, spark):
+        from pyspark.sql import functions as F
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        a = spark.createDataFrame(
+            [(i, [float(i % 3), float((i + 1) % 3)]) for i in range(30)],
+            "vec_id int, embedding array<double>",
+        )
+        # b = a shifted by (3, 4) -> mean shift exactly 5; same dispersion
+        b = a.select(
+            "vec_id",
+            F.expr("transform(embedding, (x, i) -> x + CASE WHEN i = 0 THEN 3.0 ELSE 4.0 END)").alias(
+                "embedding"
+            ),
+        )
+        d = embedding_drift(a, b)
+        assert d["mean_shift_l2"] == pytest.approx(5.0, abs=1e-9)
+        assert d["dispersion_ratio"] == pytest.approx(1.0, abs=1e-9)
+        # b2 = a scaled 2x around zero -> variance ratio 4
+        b2 = a.select(
+            "vec_id", F.expr("transform(embedding, x -> x * 2.0)").alias("embedding")
+        )
+        d2 = embedding_drift(a, b2)
+        assert d2["dispersion_ratio"] == pytest.approx(4.0, abs=1e-9)
+
+    def test_matches_numpy(self, spark, sf_dir):
+        import numpy as np
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = emb.where("vec_id % 2 = 0")
+        b = emb.where("vec_id % 2 = 1")
+        d = embedding_drift(a, b)
+        ma = np.array([r.embedding for r in a.collect()], dtype=float)
+        mb = np.array([r.embedding for r in b.collect()], dtype=float)
+        mean_a, mean_b = ma.mean(axis=0), mb.mean(axis=0)
+        assert d["mean_shift_l2"] == pytest.approx(
+            float(np.linalg.norm(mean_a - mean_b)), abs=1e-6
+        )
+        assert d["mean_cosine"] == pytest.approx(
+            float(mean_a @ mean_b / (np.linalg.norm(mean_a) * np.linalg.norm(mean_b))),
+            abs=1e-6,
+        )
+        assert d["dispersion_ratio"] == pytest.approx(
+            float(mb.var(axis=0).sum() / ma.var(axis=0).sum()), abs=1e-6
+        )
+
+    def test_empty_side_raises(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        empty = emb.where("vec_id < 0")
+        with pytest.raises(ValueError, match="at least one vector"):
+            embedding_drift(emb, empty)
