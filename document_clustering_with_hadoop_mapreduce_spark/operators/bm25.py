@@ -317,48 +317,61 @@ def retrieval_metrics(
     all three (an engine that returns nothing for a judged query is
     wrong, not unmeasured); queries with judgments but no rel > 0 row
     are excluded — no positive exists, so no metric is defined.
+    Duplicate (query, doc) rows are normalized first — results keep the
+    BEST (minimum) rank, judgments the MAXIMUM grade — so a sloppily
+    concatenated input cannot double-count gains or push recall past 1.
 
     Scale shape: judgments and results are both bounded per query; one
-    equi-join on (query, doc) and two query-keyed aggregates (observed
-    DCG and ideal DCG), then a final join — every frame is
-    query-cardinality-sized or top-k-sized, nothing corpus-sized.
+    equi-join on (query, doc), ONE judgments aggregate (n_rel + ideal
+    DCG in the same pass) and one observed aggregate, then a final join
+    — every frame is query-cardinality-sized or top-k-sized, nothing
+    corpus-sized. DCG terms are 12dp-rounded and DECIMAL-summed (the
+    module's order-independence discipline) so the 6dp outputs are
+    partition- and engine-stable.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = F.col(query_col).alias("query_id")
-    res = results.select(q, F.col(doc_col).alias("doc_id"), F.col(rank_col).alias("rank"))
-    judg = qrels.select(q, F.col(doc_col).alias("doc_id"), F.col(rel_col).alias("rel"))
-    # ideal DCG per query: judgments sorted by rel desc, positions 1..k
+    res = (
+        results.select(q, F.col(doc_col).alias("doc_id"), F.col(rank_col).alias("rank"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank").alias("rank"))
+    )
+    judg = (
+        qrels.select(q, F.col(doc_col).alias("doc_id"), F.col(rel_col).alias("rel"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("rel").alias("rel"))
+    )
+
+    def gain_term(pos_col: Column) -> Column:
+        # 12dp-round each term, DECIMAL-sum: associative, engine-stable
+        return F.round(
+            (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(pos_col + 1), 12
+        ).cast("decimal(38,12)")
+
+    # n_rel and ideal DCG in ONE pass over the positive judgments
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
     ideal = (
         judg.where(F.col("rel") > 0)
         .withColumn("__pos", F.row_number().over(wq))
-        .where(F.col("__pos") <= k)
         .groupBy("query_id")
         .agg(
+            F.count(F.lit(1)).alias("n_rel"),
             F.sum(
-                (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("__pos") + 1)
-            ).alias("__idcg"),
-            F.count(F.lit(1)).alias("__n_top"),
+                F.when(F.col("__pos") <= k, gain_term(F.col("__pos"))).otherwise(None)
+            ).cast("double").alias("__idcg"),
         )
-    )
-    n_rel = judg.where(F.col("rel") > 0).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_rel")
     )
     hits = res.join(judg.where(F.col("rel") > 0), ["query_id", "doc_id"])
     observed = hits.groupBy("query_id").agg(
         F.sum(F.when(F.col("rank") <= k, 1).otherwise(0)).alias("__hits_k"),
         F.round(1.0 / F.min("rank"), 6).alias("mrr"),
-        F.sum(
-            F.when(
-                F.col("rank") <= k,
-                (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rank") + 1),
-            ).otherwise(0.0)
-        ).alias("__dcg"),
+        F.sum(F.when(F.col("rank") <= k, gain_term(F.col("rank"))).otherwise(None))
+        .cast("double")
+        .alias("__dcg"),
     )
     return (
-        n_rel.join(ideal, "query_id")
-        .join(observed, "query_id", "left")
+        ideal.join(observed, "query_id", "left")
         .select(
             "query_id",
             "n_rel",

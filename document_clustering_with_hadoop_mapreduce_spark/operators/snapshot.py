@@ -97,10 +97,17 @@ def term_distribution_drift(
     changed" drill-down (new boilerplate, a vanished source, a language
     shift show up here before any aggregate metric moves).
 
-    Scale shape: two vocab-sized frequency aggregates, ONE full-outer
-    join on the term key, a map-side contribution expression, and a
-    1-row sum + a top-k. Nothing corpus-sized past the token-count
-    aggregates; the scalar and the k-row frame are the only outputs.
+    Scale shape: two vocab-sized frequency aggregates (each checkpointed
+    once — the mass scalar and the probability join are two consumers of
+    the same tokenize subtree Catalyst cannot unify, the
+    ``unigram_cross_entropy`` rationale), ONE full-outer join on the term
+    key, a map-side contribution expression, and a 1-row sum + a top-k.
+    Nothing corpus-sized past the token-count aggregates.
+
+    A side with ZERO tokens raises (same contract as ``embedding_drift``):
+    the divergence is undefined there, and silently returning the
+    ln(2)/2 a degenerate sum produces would read as "moderate drift" on
+    a dead feed — the one state a monitor must never underreport.
     """
     from ..functions.text import tokens
 
@@ -114,7 +121,13 @@ def term_distribution_drift(
             )
             .groupBy("__t")
             .agg(F.count(F.lit(1)).alias("__c"))
+            .localCheckpoint(eager=False)
         )
+        if counts.limit(1).count() == 0:
+            raise ValueError(
+                f"term_distribution_drift: corpus side {name!r} has no tokens — "
+                "the divergence is undefined for an empty distribution"
+            )
         mass = counts.agg(F.sum("__c").cast("double").alias("__m"))
         return counts.crossJoin(F.broadcast(mass)).select(
             "__t", (F.col("__c") / F.col("__m")).alias(name)
@@ -160,6 +173,10 @@ def embedding_drift(
     - ``dispersion_ratio``: total per-dim variance of B over A — > 1 the
       corpus spread out (new modes), < 1 it collapsed (mode drop)
 
+    Undefined values (zero mean vector; zero variance on the A side) come
+    back as NaN — loud on any threshold comparison — never as an
+    in-range sentinel. Mismatched embedding dimensions raise.
+
     Scale shape: one (dim)-keyed aggregate per corpus over the
     posexploded vectors (d-row outputs, map-side partial sums), joined on
     dim and folded to the three scalars — nothing corpus-sized leaves the
@@ -167,8 +184,6 @@ def embedding_drift(
     tests (MMD, energy distance) need pairwise kernels this summary
     deliberately avoids at 100 TB.
     """
-    from ..functions.vector import cosine_similarity  # noqa: F401  (parity of rounding conventions)
-
     def moments(df: DataFrame, prefix: str) -> DataFrame:
         return (
             df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"))
@@ -179,7 +194,20 @@ def embedding_drift(
             )
         )
 
-    joined = moments(corpus_a, "a").join(moments(corpus_b, "b"), "dim")
+    ma = moments(corpus_a, "a").localCheckpoint(eager=False)
+    mb = moments(corpus_b, "b").localCheckpoint(eager=False)
+    da, db = ma.count(), mb.count()
+    if da == 0 or db == 0:
+        raise ValueError("embedding_drift needs at least one vector on each side")
+    if da != db:
+        # the inner join below would silently truncate to the common dim
+        # prefix — an embedding-model swap must be an ERROR, not a
+        # plausible-looking number over half the dimensions
+        raise ValueError(
+            f"embedding_drift: dimension mismatch ({da} vs {db} dims) — "
+            "the two corpora use different embedding spaces"
+        )
+    joined = ma.join(mb, "dim")
     row = joined.agg(
         F.sum(F.pow(F.col("a_mean") - F.col("b_mean"), 2)).alias("__d2"),
         F.sum(F.col("a_mean") * F.col("b_mean")).alias("__dot"),
@@ -188,15 +216,17 @@ def embedding_drift(
         F.sum("a_var").alias("__va"),
         F.sum("b_var").alias("__vb"),
     ).collect()[0]
-    if row["__d2"] is None:
-        raise ValueError("embedding_drift needs at least one vector on each side")
     prod = (row["__na"] or 0.0) * (row["__nb"] or 0.0)
+    # undefined metrics are NaN, never a valid-looking in-range sentinel:
+    # 0.0 would read as "orthogonal means" / "collapsed dispersion" — for
+    # a zero mean vector or a zero-variance side that is the INVERTED
+    # alarm, not a safe default
     return {
         "mean_shift_l2": round(float(row["__d2"]) ** 0.5, 9),
-        "mean_cosine": round(float(row["__dot"]) / prod, 9) if prod > 0 else 0.0,
+        "mean_cosine": round(float(row["__dot"]) / prod, 9) if prod > 0 else float("nan"),
         "dispersion_ratio": (
             round(float(row["__vb"]) / float(row["__va"]), 9)
             if row["__va"] and row["__va"] > 0
-            else 0.0
+            else float("nan")
         ),
     }

@@ -334,7 +334,7 @@ class TestRetrievalMetrics:
 WITH pos AS (SELECT * FROM qr WHERE rel > 0),
 n_rel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM pos GROUP BY query_id),
 ideal AS (
-  SELECT query_id, sum((pow(2, rel) - 1) / log2(p + 1)) AS idcg
+  SELECT query_id, sum(CAST(round((pow(2, rel) - 1) / log2(p + 1), 12) AS DECIMAL(38,12)))::DOUBLE AS idcg
   FROM (SELECT query_id, rel,
                row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS p
         FROM pos)
@@ -346,7 +346,7 @@ obs AS (
   SELECT query_id,
          sum(CASE WHEN rank <= 2 THEN 1 ELSE 0 END) AS hits_k,
          round(1.0 / min(rank), 6) AS mrr,
-         sum(CASE WHEN rank <= 2 THEN (pow(2, rel) - 1) / log2(rank + 1) ELSE 0 END) AS dcg
+         sum(CASE WHEN rank <= 2 THEN CAST(round((pow(2, rel) - 1) / log2(rank + 1), 12) AS DECIMAL(38,12)) END)::DOUBLE AS dcg
   FROM hits GROUP BY query_id
 )
 SELECT n_rel.query_id, n_rel.n_rel,
@@ -372,6 +372,44 @@ FROM n_rel JOIN ideal USING (query_id) LEFT JOIN obs USING (query_id)
         )
         r = retrieval_metrics(results, qrels, k=2).collect()[0]
         assert (r.recall_at_k, r.mrr, r.ndcg_at_k) == (1.0, 1.0, 1.0)
+
+    def test_relevant_beyond_k_counts_for_mrr_only(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        # the only relevant doc sits at rank k+1: MRR = 1/(k+1) while
+        # recall@k and nDCG@k are exactly 0 — the one case where the
+        # three metrics diverge by design
+        results = spark.createDataFrame(
+            [("q", d, d) for d in range(1, 5)], "query_id string, doc_id int, rank int"
+        )
+        qrels = spark.createDataFrame([("q", 4, 2)], "query_id string, doc_id int, rel int")
+        r = retrieval_metrics(results, qrels, k=3).collect()[0]
+        assert r.mrr == pytest.approx(0.25, abs=1e-9)
+        assert r.recall_at_k == 0.0 and r.ndcg_at_k == 0.0
+
+    def test_duplicate_rows_normalized_not_double_counted(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (
+            retrieval_metrics,
+        )
+
+        # the same doc at two ranks + a duplicated judgment: best rank and
+        # max grade win; recall stays <= 1 and nothing double-counts
+        results = spark.createDataFrame(
+            [("q", 1, 2), ("q", 1, 5)], "query_id string, doc_id int, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [("q", 1, 1), ("q", 1, 3)], "query_id string, doc_id int, rel int"
+        )
+        r = retrieval_metrics(results, qrels, k=3).collect()[0]
+        assert r.n_rel == 1 and r.recall_at_k == 1.0
+        assert r.mrr == 0.5  # best rank 2
+        # ideal puts rel=3 at pos 1; observed has it at rank 2
+        import math
+
+        want = (2**3 - 1) / math.log2(3) / ((2**3 - 1) / math.log2(2))
+        assert r.ndcg_at_k == pytest.approx(want, abs=2e-6)
 
     def test_validation(self, spark):
         from document_clustering_with_hadoop_mapreduce_spark.operators.bm25 import (

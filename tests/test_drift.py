@@ -91,6 +91,15 @@ def test_validation(spark, docs):
         term_distribution_drift(docs, docs, top_contributors=0)
 
 
+def test_empty_side_raises_not_half_ln2(spark, docs):
+    # a dead feed must ERROR, not read as "moderate drift" ln(2)/2
+    empty = spark.createDataFrame([(1, "")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="has no tokens"):
+        term_distribution_drift(docs, empty)
+    with pytest.raises(ValueError, match="has no tokens"):
+        term_distribution_drift(empty, docs)
+
+
 def test_stream_monitor_matches_batch_jsd(spark, sf_dir, tmp_path):
     """Streaming the corpus as ONE availableNow batch must score exactly
     the batch JSD; a second invocation over the same checkpoint resumes
@@ -125,9 +134,11 @@ def test_stream_monitor_matches_batch_jsd(spark, sf_dir, tmp_path):
         term_distribution_drift,
     )
 
-    if len(got) == 1:
-        want, _ = term_distribution_drift(docs, reference)
-        assert got[0][1] == pytest.approx(want, abs=1e-9)
+    # ONE staged file -> availableNow processes exactly one batch, so the
+    # parity assertion is unconditional (no silent skip path)
+    assert len(got) == 1
+    want, _ = term_distribution_drift(docs, reference)
+    assert got[0][1] == pytest.approx(want, abs=1e-9)
     # resume: nothing new to score
     again = run_stream_drift_monitor(
         read_documents_stream(spark, src),
@@ -211,3 +222,35 @@ class TestEmbeddingDrift:
         empty = emb.where("vec_id < 0")
         with pytest.raises(ValueError, match="at least one vector"):
             embedding_drift(emb, empty)
+
+    def test_dimension_mismatch_raises(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        a = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id int, embedding array<double>")
+        b = spark.createDataFrame(
+            [(2, [1.0, 2.0, 3.0])], "vec_id int, embedding array<double>"
+        )
+        with pytest.raises(ValueError, match="dimension mismatch"):
+            embedding_drift(a, b)
+
+    def test_undefined_metrics_are_nan(self, spark):
+        import math
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.snapshot import (
+            embedding_drift,
+        )
+
+        # A: identical vectors (zero variance); B: spread — ratio undefined
+        a = spark.createDataFrame(
+            [(i, [1.0, 1.0]) for i in range(5)], "vec_id int, embedding array<double>"
+        )
+        b = spark.createDataFrame(
+            [(i, [float(i - 2), float(2 - i)]) for i in range(5)],  # mean = (0, 0)
+            "vec_id int, embedding array<double>",
+        )
+        d = embedding_drift(a, b)
+        assert math.isnan(d["dispersion_ratio"])
+        # B's mean is the zero vector -> cosine undefined
+        assert math.isnan(d["mean_cosine"])
