@@ -1172,3 +1172,58 @@ def fim_split(
             F.slice("__toks", start + m, n - (start + m) + F.lit(1)), " "
         ).alias("suffix"),
     )
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train: float = 0.9,
+    valid: float = 0.05,
+) -> DataFrame:
+    """``hash_split`` at DUPLICATE-CLUSTER granularity: every member of a
+    near-dup component inherits the split drawn from the component's
+    REPRESENTATIVE id, so two near-duplicate documents can never straddle
+    train and test — the leakage a doc-level split silently commits
+    whenever dedup is lossy or deliberately keeps all copies (Lee et al.
+    2021 §6.2 measure exactly this train/test contamination).
+
+    ``components`` is ``duplicate_components``/``star_components`` output
+    (doc_id, component); documents absent from it are singletons and
+    split on their own id — identical to ``hash_split`` there, so
+    adopting the safe split only ever MOVES documents that have a
+    duplicate. Output: (doc_id, split_key, bucket, split).
+
+    Scale shape: one equi-join against the component table (LSH-bounded,
+    much smaller than the corpus) and the same map-side bucket
+    expression as ``hash_split`` — the draw is a pure function of
+    (salt, split_key), so corpus growth still never reshuffles existing
+    assignments (a component's key is its min doc id, which is stable
+    unless an EARLIER duplicate arrives — exactly when re-drawing is
+    semantically correct).
+    """
+    from ..functions.hashing import md5_int60
+
+    comp = components.select(
+        F.col(id_col).alias("doc_id"), F.col("component").alias("__comp")
+    )
+    keyed = (
+        documents.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("__comp"), F.col("doc_id")).alias("split_key"),
+        )
+    )
+    bucket = F.pmod(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col("split_key").cast("string"))),
+        F.lit(10000),
+    )
+    t, v = int(train * 10000), int((train + valid) * 10000)
+    split = (
+        F.when(bucket < t, F.lit("train"))
+        .when(bucket < v, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return keyed.select("doc_id", "split_key", bucket.alias("bucket"), split.alias("split"))
