@@ -504,3 +504,49 @@ def test_chunking_matches_python_on_random_text(spark, text, chunk_tokens, overl
         sl = toks[start - 1 : start - 1 + chunk_tokens]
         want.append((i, start, len(sl), " ".join(sl)))
     assert got == sorted(want)
+
+
+@given(
+    assignment=st.lists(
+        st.integers(min_value=0, max_value=9), min_size=1, max_size=60
+    ),
+    salt=st.sampled_from(["a", "b", "c"]),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_leakage_split_component_wholeness(spark, assignment, salt):
+    """For ANY component structure: every component's members share one
+    split, and docs outside the component table match hash_split exactly."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        hash_split,
+        leakage_safe_split,
+    )
+
+    n = len(assignment)
+    docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # components: doc i belongs to group assignment[i]; each group's
+    # representative is its min doc id; groups of size 1 are omitted
+    # (singletons) half the time via the group-parity trick
+    groups: dict[int, list[int]] = {}
+    for i, g in enumerate(assignment):
+        groups.setdefault(g, []).append(i)
+    comp_rows = [
+        (i, min(members))
+        for g, members in groups.items()
+        if len(members) > 1
+        for i in members
+    ]
+    comps = spark.createDataFrame(
+        comp_rows or [(-1, -1)], "doc_id long, component long"
+    )
+    if not comp_rows:
+        comps = comps.where("doc_id >= 0")
+    out = {r.doc_id: (r.split_key, r.split) for r in
+           leakage_safe_split(docs, comps, salt=salt).collect()}
+    base = {r.doc_id: r.split for r in hash_split(docs, salt=salt).collect()}
+    in_comp = {i for i, _ in comp_rows}
+    for g, members in groups.items():
+        if len(members) > 1:
+            assert len({out[i] for i in members}) == 1
+    for i in range(n):
+        if i not in in_comp:
+            assert out[i][1] == base[i]
