@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,12)"
@@ -175,8 +175,17 @@ def bm25_batch_oracle_sql(
     (query_id, term) — same slice-derived df, DECIMAL sums, window rank."""
     from ..plans.oracles import MATRIX_CTE
 
+    def _sql_lit(qid: object) -> str:
+        # numeric qids pass through bare; strings get ''-escaped SQL
+        # quoting (Python repr would emit invalid SQL for qids containing
+        # a single quote — double quotes / backslash escapes)
+        if isinstance(qid, bool) or not isinstance(qid, (int, float)):
+            return "'" + str(qid).replace("'", "''") + "'"
+        return repr(qid)
+
     vals = ", ".join(
-        f"({qid!r}, '" + t.replace("'", "''") + "')" for qid, t in sorted(set(query_rows))
+        f"({_sql_lit(qid)}, '" + t.replace("'", "''") + "')"
+        for qid, t in sorted(set(query_rows))
     )
     return f"""{matrix_cte or MATRIX_CTE},
 bq AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),

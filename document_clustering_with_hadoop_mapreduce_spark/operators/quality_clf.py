@@ -16,10 +16,10 @@ Scale design — train small, score big:
 - TRAINING runs on the labeled frame you pass it (in production a
   bounded sample — a learned linear filter saturates long before corpus
   scale) via MLlib ``LogisticRegression`` (distributed L-BFGS,
-  per-iteration treeAggregate). Vector assembly there is the one
-  row-at-a-time UDF in this module, bounded to train-time rows and to
-  each doc's distinct-bucket count — Arrow can't carry VectorUDT, and no
-  built-in makes a sparse vector from (indices, values) columns;
+  per-iteration treeAggregate). Vector assembly there is an
+  Arrow-batched pandas UDF emitting VectorUDT's sqlType struct (same
+  pattern as ``doc_cluster.pivot_to_sparse_vectors``) — no
+  row-at-a-time Python anywhere in the module;
 - SCORING — the corpus-sized hot path — never touches Python or MLlib
   row objects: the fitted coefficients leave the model ONCE as a
   driver-side list, enter the plan as an ``n_buckets``-element literal
@@ -52,8 +52,15 @@ def quality_features(
     """(doc_id, features): MLlib sparse vectors of hashed uni+bigram
     counts, for TRAINING. One explode + one (doc, bucket) aggregate + one
     per-doc collect_list; the vectors never densify (32 KB/doc dense at
-    the default width vs ~tokens-per-doc sparse)."""
-    from pyspark.ml.linalg import VectorUDT, Vectors
+    the default width vs ~tokens-per-doc sparse).
+
+    The UDT construction is the Arrow-batched pandas UDF pattern of
+    ``doc_cluster.pivot_to_sparse_vectors`` — batches cross the Python
+    boundary as columnar buffers and come back as VectorUDT's sqlType
+    struct (type=0 sparse, size, indices, values); the per-doc sorted
+    (bucket, cnt) struct array upstream is JVM-side."""
+    import pandas as pd
+    from pyspark.ml.linalg import VectorUDT
 
     counts = hashed_ngram_counts(docs, n_buckets, text_col, id_col)
     pairs = counts.groupBy("doc_id").agg(
@@ -67,13 +74,20 @@ def quality_features(
         ).alias("bc")
     )
 
-    @F.udf(returnType=VectorUDT())
     def to_sparse(bc):
-        return Vectors.sparse(
-            n_buckets, [r["bucket"] for r in bc], [float(r["cnt"]) for r in bc]
-        )
+        n = len(bc)
+        return pd.DataFrame({
+            "type": [0] * n,  # 0 = sparse in VectorUDT's struct encoding
+            "size": [n_buckets] * n,
+            "indices": [[int(r["bucket"]) for r in row] for row in bc],
+            "values": [[float(r["cnt"]) for r in row] for row in bc],
+        })
 
-    return pairs.select("doc_id", to_sparse("bc").alias("features"))
+    # module stringifies annotations (future import); pandas_udf needs real
+    # type objects to infer the scalar eval type — attach them directly
+    to_sparse.__annotations__ = {"bc": pd.Series, "return": pd.DataFrame}
+    to_sparse_udf = F.pandas_udf(to_sparse, VectorUDT())
+    return pairs.select("doc_id", to_sparse_udf("bc").alias("features"))
 
 
 def train_quality_classifier(

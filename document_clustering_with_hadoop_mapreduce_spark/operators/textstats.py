@@ -201,7 +201,7 @@ def hash_split(
     bucket = F.pmod(
         md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
     )
-    t, v = int(train * 10000), int((train + valid) * 10000)
+    t, v = int(round(train * 10000)), int(round((train + valid) * 10000))
     split = (
         F.when(bucket < t, F.lit("train"))
         .when(bucket < v, F.lit("valid"))
@@ -1220,7 +1220,7 @@ def leakage_safe_split(
         md5_int60(F.concat(F.lit(salt + ":"), F.col("split_key").cast("string"))),
         F.lit(10000),
     )
-    t, v = int(train * 10000), int((train + valid) * 10000)
+    t, v = int(round(train * 10000)), int(round((train + valid) * 10000))
     split = (
         F.when(bucket < t, F.lit("train"))
         .when(bucket < v, F.lit("valid"))

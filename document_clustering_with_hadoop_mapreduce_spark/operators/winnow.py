@@ -113,12 +113,25 @@ def _capped_pair_join(
         raise ValueError(f"need min_shared >= 1 and max_df >= 2, got {min_shared}, {max_df}")
     cols = ["doc_id", "fingerprint"] + (["pos"] if with_pos else [])
     postings = fingerprints.select(*cols).distinct()
-    df_count = (
-        F.size(F.collect_set("doc_id").over(Window.partitionBy("fingerprint")))
-        if with_pos  # position-level rows: count DOCS, not rows
-        else F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
-    )
-    capped = postings.withColumn("__df", df_count).where(F.col("__df") <= max_df)
+    if with_pos:
+        # Position-level rows: the cap counts DOCS, not rows. A window
+        # with collect_set(doc_id) would buffer the FULL posting list of a
+        # fingerprint in window state BEFORE the <= max_df filter — and
+        # the unbounded-df fingerprints are exactly the boilerplate keys
+        # the cap exists to drop (a license-header k-gram in 10M docs
+        # would buffer a 10M-element set). countDistinct aggregates with
+        # constant per-key state instead, and the join-back lands on the
+        # same fingerprint hash partitioning the self-join below reuses.
+        df_counts = postings.groupBy("fingerprint").agg(
+            F.count_distinct("doc_id").alias("__df")
+        )
+        capped = postings.join(df_counts.where(F.col("__df") <= max_df), "fingerprint")
+    else:
+        # doc-level rows are already (doc_id, fingerprint)-distinct, so a
+        # plain count window (constant running state) is the doc count
+        capped = postings.withColumn(
+            "__df", F.count(F.lit(1)).over(Window.partitionBy("fingerprint"))
+        ).where(F.col("__df") <= max_df)
     a_cols = [F.col("doc_id").alias("doc_a"), F.col("fingerprint")]
     b_cols = [F.col("doc_id").alias("doc_b"), F.col("fingerprint")]
     if with_pos:

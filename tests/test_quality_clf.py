@@ -117,6 +117,20 @@ def test_quality_scores_plan_is_jvm_side(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_quality_features_vector_assembly_is_arrow_not_row_udf(spark, sf_dir):
+    # Training vector assembly must be the Arrow pandas_udf path, never a
+    # row-at-a-time Python UDF (BatchEvalPython) — the one remaining row
+    # UDF in the codebase was here, and it's gone.
+    from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
+        quality_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    plan = quality_features(docs, n_buckets=64)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
 class TestCalibration:
     def test_matches_duckdb_oracle(self, spark):
         import duckdb

@@ -188,3 +188,24 @@ class TestOverlapSpans:
             for r in winnow_overlap_spans(fps, min_shared=2, max_df=16).collect()
         }
         assert pairs == spans
+
+    def test_precap_df_count_is_aggregate_not_collect_set_window(self, spark):
+        # The df cap must never buffer a fingerprint's full posting list
+        # in window state before the <= max_df filter: the hot keys the
+        # cap drops are exactly the ones whose collect_set would blow up
+        # at scale. The spans path therefore counts docs with a bounded-
+        # state groupBy/countDistinct, not a collect_set window.
+        from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+            winnow_overlap_spans,
+        )
+
+        df = spark.createDataFrame([(1, "a b c " * 30)], "doc_id int, text string")
+        fps = winnow_fingerprints(df, k=K, w=W)
+        plan = (
+            winnow_overlap_spans(fps, min_shared=1, max_df=8)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "collect_set" not in plan
+        assert "Window" not in plan
