@@ -165,15 +165,22 @@ def bm25_batch_topk(
 
 
 def bm25_batch_oracle_sql(
-    query_rows: Sequence[tuple[object, str]],
+    query_rows: Sequence[tuple[object, str]] | None,
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     matrix_cte: str | None = None,
+    bq_sql: str | None = None,
 ) -> str:
-    """DuckDB mirror of ``bm25_batch_topk`` for a literal query batch
-    (query_id, term) — same slice-derived df, DECIMAL sums, window rank."""
+    """DuckDB mirror of ``bm25_batch_topk`` — same slice-derived df,
+    DECIMAL sums, window rank. The query batch is either a literal
+    ``query_rows`` sequence of (query_id, term) or, for data-derived
+    batches, a ``bq_sql`` SELECT producing (query_id, term) rows (it may
+    reference CTEs of ``matrix_cte``)."""
     from ..plans.oracles import MATRIX_CTE
+
+    if (query_rows is None) == (bq_sql is None):
+        raise ValueError("pass exactly one of query_rows or bq_sql")
 
     def _sql_lit(qid: object) -> str:
         # numeric qids pass through bare; strings get ''-escaped SQL
@@ -183,12 +190,26 @@ def bm25_batch_oracle_sql(
             return "'" + str(qid).replace("'", "''") + "'"
         return repr(qid)
 
-    vals = ", ".join(
-        f"({_sql_lit(qid)}, '" + t.replace("'", "''") + "')"
-        for qid, t in sorted(set(query_rows))
-    )
+    if bq_sql is None:
+        vals = ", ".join(
+            f"({_sql_lit(qid)}, '" + t.replace("'", "''") + "')"
+            for qid, t in sorted(set(query_rows))
+        )
+        bq_body = f"SELECT * FROM (VALUES {vals}) AS t(query_id, term)"
+    else:
+        bq_body = bq_sql
     return f"""{matrix_cte or MATRIX_CTE},
-bq AS (SELECT * FROM (VALUES {vals}) AS t(query_id, term)),
+{bm25_ranked_ctes(bq_body, k=k, k1=k1, b=b)}
+SELECT query_id, doc_id, score, rank FROM bm25r"""
+
+
+def bm25_ranked_ctes(bq_body: str, k: int = 10, k1: float = 1.2, b: float = 0.75) -> str:
+    """The DuckDB CTE chain ``bq, bm_dl, ..., bm25r`` mirroring
+    ``bm25_batch_topk`` over a ``matrix`` CTE — the shared building block
+    between ``bm25_batch_oracle_sql`` and fused-slot oracles that feed the
+    ranked rows into further stages (RRF, metrics). ``bm25r`` holds
+    (query_id, doc_id, score, rank) with rank <= k."""
+    return f"""bq AS ({bq_body}),
 bm_dl AS (SELECT doc_id, sum(cnt)::BIGINT AS dl FROM matrix GROUP BY doc_id),
 bm_avg AS (SELECT avg(dl) AS avgdl FROM bm_dl),
 bm_n AS (SELECT count(*)::DOUBLE AS n_docs FROM bm_dl),
@@ -204,11 +225,13 @@ bm_scores AS (
   JOIN bq q USING (term) JOIN bm_df f USING (term) JOIN bm_dl d USING (doc_id)
   CROSS JOIN bm_avg a CROSS JOIN bm_n n
   GROUP BY q.query_id, p.doc_id
-)
-SELECT query_id, doc_id, score,
-       row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
-FROM bm_scores
-QUALIFY rank <= {int(k)}"""
+),
+bm25r AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM bm_scores
+  QUALIFY rank <= {int(k)}
+)"""
 
 
 def bm25_oracle_sql(

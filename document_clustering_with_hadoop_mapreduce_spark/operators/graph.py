@@ -44,6 +44,9 @@ def pagerank(
     between consecutive rank vectors drops below ``tol``; raises if
     ``max_iter`` passes without convergence on a ``tol > 0`` run — loud,
     like the dedup flood, never a silently-unconverged result.
+    ``tol <= 0`` selects FIXED-ITERATION mode: exactly ``max_iter``
+    power steps with no per-round delta probe (saves one collect per
+    iteration) — the shape an SQL oracle can mirror step-for-step.
     ``undirected=True`` symmetrizes the edge list first (similarity
     graphs are undirected; rank then reduces to a smoothed degree
     centrality, still useful as a canonical-doc score).
@@ -114,11 +117,12 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("rank", "__old"), "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
-            .collect()[0]["d"]
-        )
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("rank", "__old"), "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))).alias("d"))
+                .collect()[0]["d"]
+            )
         ranks.unpersist()  # superseded generation — same discipline as the dedup flood
         ranks = new_ranks
         if tol > 0 and delta < tol:

@@ -79,16 +79,95 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
 
 
+# PageRank over the LSH candidate graph, fused into the lsh_candidate_pairs
+# slot (the registry is capped at 50 — same fusion pattern as simhash).
+# Centrality over the near-dup graph is the keep-representative signal
+# richer than min-id: the most-connected document of a boilerplate
+# neighborhood. Fixed-iteration power mode (tol=0) so DuckDB can mirror
+# the exact K steps; undirected similarity edges mean no dangling mass.
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_iter_ctes(n_iters: int, damping: float) -> str:
+    """Unrolled power steps r1..rK over pr_links/pr_nodes/pr_n — DuckDB
+    disallows aggregates in recursive CTE terms, so a fixed iteration
+    count unrolls instead (identical arithmetic to operators/graph.py:
+    rank' = (1-d)/N + d * sum_in rank/outdeg, no dangling term on a
+    symmetrized graph)."""
+    steps = []
+    for i in range(1, n_iters + 1):
+        steps.append(f"""r{i} AS (
+  SELECT nd.node, (1.0 - {damping}) / pn.n + {damping} * coalesce(c.s, 0.0) AS rank
+  FROM pr_nodes nd CROSS JOIN pr_n pn
+  LEFT JOIN (
+    SELECT l.dst AS node, sum(r.rank * l.w) AS s
+    FROM pr_links l JOIN r{i - 1} r ON r.node = l.src GROUP BY l.dst
+  ) c USING (node)
+)""")
+    return ",\n".join(steps)
+
+
+_LSH_PAGERANK_ORACLE = f"""
+WITH pairs AS ({_ORACLES["lsh_candidate_pairs"]}),
+pr_edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+pr_n AS (SELECT count(*)::DOUBLE AS n FROM pr_nodes),
+pr_links AS (
+  SELECT src, dst, 1.0 / count(*) OVER (PARTITION BY src) AS w FROM pr_edges
+),
+r0 AS (SELECT node, 1.0 / pn.n AS rank FROM pr_nodes CROSS JOIN pr_n pn),
+{_pagerank_iter_ctes(_PR_ITERS, _PR_DAMPING)}
+SELECT 'pair' AS kind, doc_a, doc_b, NULL::DOUBLE AS rank FROM pairs
+UNION ALL
+SELECT 'rank' AS kind, node AS doc_a, NULL::BIGINT AS doc_b,
+       round(round(rank, 9), 6) AS rank
+FROM r{_PR_ITERS}"""
+
+
 @register(
     "lsh_candidate_pairs",
-    _ORACLES["lsh_candidate_pairs"],
+    _LSH_PAGERANK_ORACLE,
     "MinHash-LSH banding (8 bands x 2 rows): candidate near-dup pairs via "
-    "shuffle-bounded band-key equi-join (never O(n^2))",
+    "shuffle-bounded band-key equi-join (never O(n^2)); fused kind='rank' "
+    "rows carry 5-step fixed-iteration PageRank centrality over the same "
+    "candidate graph (keep-representative signal; one co-partitioned join "
+    "+ one agg exchange per step, DuckDB mirror is the unrolled power "
+    "iteration)",
     tags=("dedup",),
 )
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
     sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
-    return lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
+    # two consumers (pair rows + the pagerank edge list) — materialize once
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2).localCheckpoint(
+        eager=False
+    )
+    ranks = pagerank(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
+        damping=_PR_DAMPING,
+        max_iter=_PR_ITERS,
+        tol=0.0,  # fixed-iteration power mode — the oracle-mirrorable shape
+        undirected=True,
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.lit(None).cast("double").alias("rank"),
+    )
+    rank_rows = ranks.select(
+        F.lit("rank").alias("kind"),
+        F.col("node").cast("long").alias("doc_a"),
+        F.lit(None).cast("long").alias("doc_b"),
+        F.round(F.col("rank"), 6).alias("rank"),
+    )
+    return pair_rows.unionByName(rank_rows)
 
 
 @register(
@@ -345,7 +424,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COSINE_PAIRS_ORACLE = f"""{TFIDF_CTE},
+_COSINE_CTES = f"""{TFIDF_CTE},
 ranked AS (
   SELECT doc_id, term, round(tfidf, 6) AS w0,
          row_number() OVER (PARTITION BY doc_id ORDER BY round(tfidf, 6) DESC, term ASC) AS rn
@@ -353,25 +432,184 @@ ranked AS (
 ),
 top AS (SELECT doc_id, term, w0 FROM ranked WHERE rn <= 20),
 norms AS (SELECT doc_id, sqrt(sum(w0*w0)) AS norm FROM top GROUP BY doc_id),
-nw AS (SELECT t.doc_id, t.term, t.w0 / n.norm AS w FROM top t JOIN norms n USING (doc_id))
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(sum(a.w*b.w), 6) AS cosine
+nw AS (SELECT t.doc_id, t.term, t.w0 / n.norm AS w FROM top t JOIN norms n USING (doc_id))"""
+
+_COSINE_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(sum(a.w*b.w), 6) AS cosine
 FROM nw a JOIN nw b ON a.term = b.term AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING round(sum(a.w*b.w), 6) >= 0.9"""
 
+_COSINE_PAIRS_ORACLE = f"{_COSINE_CTES}\n{_COSINE_PAIRS_SELECT}"
+
+
+# Retrieval stack fused into the tfidf_cosine_pairs slot (50-slot cap,
+# simhash fusion pattern): the cosine near-dup pairs keep their rows as
+# kind='cos_pair'; fused in are the query-side retrieval family over the
+# SAME term-doc matrix — BM25 batch top-k (kind='bm25'), a term-frequency
+# second system, their RRF hybrid fusion (kind='rrf'), and per-query
+# ranked-retrieval metrics of the fused list (kind='m_nrel'/'m_recall'/
+# 'm_mrr'/'m_ndcg'). The query batch is DATA-DERIVED so both engines agree
+# by construction: per language, the top-RET_QTERMS terms by total corpus
+# frequency (exact integer sums, term tie-break); judgments grade each doc
+# by how many of the query's terms it contains.
+_RET_K = 10       # retrieval depth (top-k, recall@k, ndcg@k)
+_RET_RRF_K = 60   # the SIGIR'09 standard damping constant
+_RET_QTERMS = 2   # terms per query (query_id = lang)
+
+
+def _retrieval_fused_oracle() -> str:
+    from ..operators.bm25 import bm25_ranked_ctes
+
+    bq_body = f"""
+  SELECT lang AS query_id, term FROM (
+    SELECT d.lang, m.term,
+           row_number() OVER (PARTITION BY d.lang
+                              ORDER BY sum(m.cnt) DESC, m.term ASC) AS rn
+    FROM matrix m JOIN documents d USING (doc_id)
+    GROUP BY d.lang, m.term
+  ) WHERE rn <= {_RET_QTERMS}"""
+    return f"""{_COSINE_CTES},
+cospairs AS ({_COSINE_PAIRS_SELECT}),
+{bm25_ranked_ctes(bq_body, k=_RET_K)},
+tf_scores AS (
+  SELECT q.query_id, p.doc_id, sum(p.cnt)::DOUBLE AS score
+  FROM bm_post p JOIN bq q USING (term) GROUP BY q.query_id, p.doc_id
+),
+tfr AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC)::INT AS rank
+  FROM tf_scores QUALIFY rank <= {_RET_K}
+),
+rrf0 AS (
+  SELECT query_id, doc_id, 1.0 / ({_RET_RRF_K}.0 + rank) AS r FROM bm25r
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / ({_RET_RRF_K}.0 + rank) AS r FROM tfr
+),
+rrf1 AS (SELECT query_id, doc_id, round(sum(r), 6) AS rrf_score FROM rrf0 GROUP BY query_id, doc_id),
+rrfr AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC)::INT AS rank
+  FROM rrf1 QUALIFY rank <= {_RET_K}
+),
+qrels AS (
+  SELECT q.query_id, p.doc_id, count(DISTINCT p.term)::INT AS rel
+  FROM bm_post p JOIN bq q USING (term) GROUP BY q.query_id, p.doc_id
+),
+nrel AS (SELECT query_id, count(*)::BIGINT AS n_rel FROM qrels GROUP BY query_id),
+ideal AS (
+  SELECT query_id,
+         sum(CAST(round((pow(2, rel) - 1) / log2(p + 1), 12) AS DECIMAL(38,12)))::DOUBLE AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS p
+        FROM qrels)
+  WHERE p <= {_RET_K} GROUP BY query_id
+),
+hits AS (SELECT r.query_id, r.rank, qrels.rel FROM rrfr r JOIN qrels USING (query_id, doc_id)),
+obs AS (
+  SELECT query_id,
+         sum(CASE WHEN rank <= {_RET_K} THEN 1 ELSE 0 END) AS hits_k,
+         round(1.0 / min(rank), 6) AS mrr,
+         sum(CASE WHEN rank <= {_RET_K} THEN CAST(round((pow(2, rel) - 1) / log2(rank + 1), 12) AS DECIMAL(38,12)) END)::DOUBLE AS dcg
+  FROM hits GROUP BY query_id
+),
+metrics AS (
+  SELECT nrel.query_id, nrel.n_rel,
+         round(coalesce(hits_k, 0)::DOUBLE / nrel.n_rel, 6) AS recall_at_k,
+         coalesce(mrr, 0.0) AS mrr,
+         round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg_at_k
+  FROM nrel JOIN ideal USING (query_id) LEFT JOIN obs USING (query_id)
+)
+SELECT 'cos_pair' AS kind, CAST(doc_a AS VARCHAR) AS query_id, doc_b AS doc_id,
+       cosine AS score, NULL::INT AS rank FROM cospairs
+UNION ALL SELECT 'bm25', query_id, doc_id, score, rank FROM bm25r
+UNION ALL SELECT 'rrf', query_id, doc_id, rrf_score, rank FROM rrfr
+UNION ALL SELECT 'm_nrel', query_id, NULL::BIGINT, n_rel::DOUBLE, NULL::INT FROM metrics
+UNION ALL SELECT 'm_recall', query_id, NULL::BIGINT, recall_at_k, NULL::INT FROM metrics
+UNION ALL SELECT 'm_mrr', query_id, NULL::BIGINT, mrr, NULL::INT FROM metrics
+UNION ALL SELECT 'm_ndcg', query_id, NULL::BIGINT, ndcg_at_k, NULL::INT FROM metrics"""
+
 
 @register(
     "tfidf_cosine_pairs",
-    _COSINE_PAIRS_ORACLE,
+    _retrieval_fused_oracle(),
     "near-dup pairs: cosine >= 0.9 over each doc's top-20 tf-idf terms via "
     "inverted-index self-join (Bayardo prefix truncation — never dense, "
-    "never O(n^2))",
-    tags=("dedup",),
+    "never O(n^2)); fused retrieval stack over the same matrix: BM25 batch "
+    "top-10 for data-derived per-lang queries (kind='bm25'), RRF hybrid of "
+    "BM25 + term-frequency rankings (kind='rrf'), and per-query "
+    "recall@k/MRR/nDCG@k of the fused list (kind='m_*')",
+    tags=("dedup", "retrieval"),
 )
 def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from ..operators.bm25 import bm25_batch_topk, retrieval_metrics, rrf_fuse
+    from ..operators.topk import top_k_per_group
+
     docs = _docs(spark, sf_dir)
-    m = tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
-    return tfidf_cosine_pairs(m, top_t=20, min_cosine=0.9)
+    # the count matrix feeds five consumers (tfidf pairs, query derivation,
+    # BM25, the TF system, qrels) with no subtree reuse across the tokenize
+    # lambdas — materialize once (same reasoning as the simhash slot)
+    m = term_doc_counts(docs).localCheckpoint(eager=False)
+    cos = tfidf_cosine_pairs(tfidf(m, n_docs=_n_docs(spark, sf_dir)), top_t=20, min_cosine=0.9)
+
+    # data-derived query batch: top terms per language by exact corpus
+    # frequency (integer sums — engine-stable), query_id = lang
+    # doc->lang is corpus-row-sized (NOT broadcastable at 100 TB): shuffle
+    # equi-join on doc_id, then the per-(lang, term) aggregate
+    cats = load_table(spark, sf_dir, "documents", fan_out=False).select("doc_id", "lang")
+    wq = Window.partitionBy("lang").orderBy(F.desc("tot"), F.asc("term"))
+    queries = (
+        m.join(cats, "doc_id")
+        .groupBy("lang", "term")
+        .agg(F.sum("cnt").alias("tot"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _RET_QTERMS)
+        .select(F.col("lang").alias("query_id"), "term")
+        .localCheckpoint(eager=False)  # 3 consumers of a k-row frame
+    )
+    bm = bm25_batch_topk(m, queries, k=_RET_K).localCheckpoint(eager=False)  # rows + RRF input
+    posting = m.join(F.broadcast(queries.select("term").distinct()), "term")
+    graded = posting.join(F.broadcast(queries), "term").groupBy("query_id", "doc_id")
+    tfr = top_k_per_group(
+        graded.agg(F.sum("cnt").cast("double").alias("score")),
+        ["query_id"],
+        [F.desc("score"), F.asc("doc_id")],
+        _RET_K,
+    )
+    fused = rrf_fuse([bm, tfr], k=_RET_RRF_K, top_n=_RET_K).localCheckpoint(eager=False)
+    qrels = graded.agg(F.count_distinct("term").cast("int").alias("rel"))
+    mets = retrieval_metrics(fused, qrels, k=_RET_K)
+
+    def _shape(df, kind, qid, did, score, rank):
+        return df.select(
+            F.lit(kind).alias("kind"),
+            qid.cast("string").alias("query_id"),
+            did.cast("long").alias("doc_id"),
+            score.cast("double").alias("score"),
+            rank.cast("int").alias("rank"),
+        )
+
+    null_l = F.lit(None)
+    rows = _shape(cos, "cos_pair", F.col("doc_a"), F.col("doc_b"), F.col("cosine"), null_l)
+    rows = rows.unionByName(
+        _shape(bm, "bm25", F.col("query_id"), F.col("doc_id"), F.col("score"), F.col("rank"))
+    )
+    rows = rows.unionByName(
+        _shape(fused, "rrf", F.col("query_id"), F.col("doc_id"), F.col("rrf_score"), F.col("rank"))
+    )
+    # metric melt rides ONE pass over the k-row metrics frame
+    met_rows = mets.selectExpr(
+        "query_id",
+        "stack(4, 'm_nrel', cast(n_rel as double), 'm_recall', recall_at_k, "
+        "'m_mrr', mrr, 'm_ndcg', ndcg_at_k) AS (kind, score)",
+    ).select(
+        "kind",
+        F.col("query_id").cast("string").alias("query_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "score",
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return rows.unionByName(met_rows)
 
 
 def _simhash_fused_oracle(
