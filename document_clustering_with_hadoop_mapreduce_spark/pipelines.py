@@ -230,43 +230,70 @@ def task_2_2_doc_kmeans_with_artifacts(
     Values come from the verified sparse Lloyd loop; the dense centroid
     lines use the term-sorted dictionary index (the documented N5 fix —
     the reference's slots were reducer-arrival-ordered). The k x V dense
-    materialization happens ONLY here, driver-side, exactly like the
-    reference shipping k x V centroid strings through job config — a
-    compat sink, not the scale path (the engine's centroids stay sparse).
+    TEXT is assembled executor-side (``doc_kmeans_cluster_lines``) and
+    streamed out k lines at a time, ``write_mtx_single``-style — the
+    driver holds nothing vocab-sized (the reference shipped k x V
+    centroid strings through job config; this sink reproduces the FILE,
+    not the anti-pattern). A compat sink, not the scale path — the
+    engine's centroids stay sparse.
 
     Returns the per-iteration WCSS trace.
     """
+    from pyspark.sql import Window
+
     from .operators.doc_cluster import sparse_lloyd
-    from .sources.artifacts import clean_artifact_folder, write_doc_kmeans_iteration
+    from .sources.artifacts import (
+        clean_artifact_folder,
+        doc_kmeans_cluster_lines,
+        write_doc_kmeans_iteration,
+    )
 
     clean_artifact_folder(out_folder)
-    vocab = {
-        r["term"]: i
-        for i, r in enumerate(
-            matrix.select("term").distinct().orderBy("term").collect()
-        )
-    }
-    v_size = len(vocab)
+    spark = matrix.sparkSession
+    # term dictionary as a FRAME (term -> sorted rank), reused every
+    # iteration's broadcast join — never collected to the driver
+    vocab = (
+        matrix.select("term")
+        .distinct()
+        .withColumn("term_idx", F.row_number().over(Window.orderBy("term")) - 1)
+        .localCheckpoint(eager=False)
+    )
+    v_size = vocab.count()
 
     def on_iteration(it, assigned, new_cents, wcss):
-        dense: list[list[float]] = [[0.0] * v_size for _ in range(k)]
         if new_cents is not None:
-            for r in new_cents.collect():
-                dense[r["cluster"]][vocab[r["term"]]] = float(r["w"])
+            # two consumers (the .clusters lines + the top-10 window)
+            idx = (
+                new_cents.join(F.broadcast(vocab), "term")
+                .select(
+                    "cluster",
+                    F.col("term_idx").cast("int").alias("term_idx"),
+                    F.col("w").cast("double").alias("w"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            idx = None
+        lines = doc_kmeans_cluster_lines(spark, idx, v_size=v_size, k=k)
         losses_rows = (
             assigned.groupBy("cluster").agg(F.sum("dist_sq").alias("loss")).collect()
         )
         loss_by_cluster = {r["cluster"]: float(r["loss"]) for r in losses_rows}
         losses = [loss_by_cluster.get(c, 0.0) for c in range(k)]
-        top10 = [
-            sorted(
-                ((w, i) for i, w in enumerate(vec) if w != 0.0),
-                key=lambda p: (-p[0], p[1]),
-            )[:10]
-            for vec in dense
-        ]
+        top10: list[list[tuple[float, int]]] = [[] for _ in range(k)]
+        if idx is not None:
+            w10 = Window.partitionBy("cluster").orderBy(F.desc("w"), F.asc("term_idx"))
+            rows10 = (
+                idx.where(F.col("w") != 0.0)
+                .withColumn("rn", F.row_number().over(w10))
+                .where(F.col("rn") <= 10)
+                .orderBy("cluster", "rn")
+                .collect()  # k x 10 rows — bounded
+            )
+            for r in rows10:
+                top10[r["cluster"]].append((float(r["w"]), int(r["term_idx"])))
         write_doc_kmeans_iteration(
-            out_folder, it, max_iter, assigned, dense, losses, top10=top10
+            out_folder, it, max_iter, assigned, lines, losses, top10=top10
         )
 
     _, _, trace = sparse_lloyd(

@@ -33,7 +33,70 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def doc_kmeans_cluster_lines(
+    spark: SparkSession,
+    centroids_idx: DataFrame | None,
+    v_size: int,
+    k: int,
+) -> DataFrame:
+    """The k preformatted ``<cid>\\t<v0> <v1> ... <v(V-1)> `` lines of a
+    task-2.2 ``.clusters`` file, assembled EXECUTOR-side.
+
+    ``centroids_idx`` is the sparse (cluster, term_idx, w) centroid frame
+    (term_idx = rank in the sorted term dictionary — the documented N5
+    fix), or None for the skipped final recompute (all-zero rows, like the
+    reference's uninitialized reducer state). Per-cluster (term_idx, w)
+    pairs aggregate into ONE row per cluster; an Arrow pandas UDF then
+    densifies and formats each vector with Python ``repr`` (= Java
+    ``Double.toString`` text for these magnitudes, ref
+    sources/2.2/source/KMeansReducer.java:56-66). The k x V dense TEXT
+    exists only inside k executor rows — the driver never holds a
+    vocab-sized object; the caller streams the k lines out
+    ``write_mtx_single``-style."""
+    import pandas as pd
+
+    pair_t = "array<struct<term_idx:int,w:double>>"
+    clusters = spark.range(k).select(F.col("id").cast("int").alias("cluster"))
+    if centroids_idx is None:
+        pairs = clusters.withColumn("pairs", F.array().cast(pair_t))
+    else:
+        agg = centroids_idx.groupBy("cluster").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("term_idx").cast("int").alias("term_idx"),
+                        F.col("w").cast("double").alias("w"),
+                    )
+                )
+            ).alias("pairs")
+        )
+        pairs = clusters.join(agg, "cluster", "left").withColumn(
+            "pairs", F.coalesce(F.col("pairs"), F.array().cast(pair_t))
+        )
+
+    def body(batch):
+        out = []
+        for row in batch:
+            dense = ["0.0"] * v_size
+            for p in row:
+                dense[int(p["term_idx"])] = repr(float(p["w"]))
+            out.append(" ".join(dense))
+        return pd.Series(out)
+
+    # module stringifies annotations (future import); pandas_udf needs real
+    # type objects to infer the scalar eval type — attach them directly
+    body.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    body_udf = F.pandas_udf(body, "string")
+    return pairs.select(
+        "cluster",
+        F.concat(
+            F.col("cluster").cast("string"), F.lit("\t"), body_udf("pairs"), F.lit(" ")
+        ).alias("line"),
+    )
 
 
 def _fmt(v: float) -> str:
@@ -87,7 +150,7 @@ def write_doc_kmeans_iteration(
     iteration: int,
     max_iteration: int,
     assignments: DataFrame,
-    centroids: list[list[float]],
+    cluster_lines: DataFrame,
     losses: list[float],
     top10: list[list[tuple[float, int]]] | None = None,
     prefix: str = "task_2_2",
@@ -99,7 +162,9 @@ def write_doc_kmeans_iteration(
     previous iteration's files deleted, ``.losses`` / ``.txt`` appended
     with the reference's section headers.
 
-    ``centroids``: dense per-cluster vectors (index = cluster id);
+    ``cluster_lines``: the k preformatted ``.clusters`` lines from
+    ``doc_kmeans_cluster_lines`` (streamed out sorted, the
+    ``write_mtx_single`` discipline — no vocab-sized driver object);
     ``losses``: per-cluster WCSS for this iteration; ``top10``: per
     cluster, (weight, term_idx) pairs strongest-first.
     """
@@ -117,9 +182,8 @@ def write_doc_kmeans_iteration(
 
     cl_path = _path(".clusters", None if final else iteration)
     with open(cl_path, "w", encoding="utf-8") as fh:
-        for cid, vec in enumerate(centroids):
-            body = " ".join(_fmt(v) for v in vec)
-            fh.write(f"{cid}\t{body} \n")  # reference keeps a trailing space
+        for r in cluster_lines.orderBy("cluster").toLocalIterator():
+            fh.write(r["line"] + "\n")
 
     cls_path = _path(".classes", None if final else iteration)
     with open(cls_path, "w", encoding="utf-8") as fh:
