@@ -215,6 +215,91 @@ def bench_overlap_and_lm(spark, docs) -> dict[str, float]:
     }
 
 
+SF1_QUERIES = [
+    # one per plan family; inputs chosen so 10x data means 10x INDEPENDENT
+    # work (no cross-copy interactions that would change output complexity)
+    "term_doc_matrix",      # text scan -> tokenize -> count agg
+    "tfidf_standard",       # + per-doc/per-term windows, driver-known N
+    "minhash_signatures",   # shingle explode -> 16-way min agg
+    "dedup_components",     # LSH banding + iterative CC flood
+    "events_hourly",        # timestamp-bucket aggregate
+    "pricing_summary",      # TPC-H Q1-style wide aggregate
+]
+
+
+def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
+    """The scaling checkpoint: replicate the bench tables 10x into a temp
+    dir and re-time one headline query per plan family, recording the
+    t(10x)/t(1x) ratio. The plan-shape tests pin the SHAPES; this pins the
+    measured exponent — a hidden super-linear path (accidental re-scan,
+    quadratic candidate growth, driver-bound stage) shows up as a ratio
+    well above ~10 even when every shape assertion passes.
+
+    Copies are made INDEPENDENT so 10x input is 10x work, not new
+    semantics: document copies get a per-copy token prefix (disjoint
+    vocabularies — no cross-copy shingle/LSH matches, so dedup output
+    scales linearly by construction), event/lineitem copies get offset
+    keys. Dimension tables ship unscaled.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    out = tempfile.mkdtemp(prefix="sparkgraft_sf1_")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            # prefix every token with r<rep>: copy vocabularies are disjoint
+            F.regexp_replace(
+                F.col("text"),
+                F.lit(r"(^|\s+)"),
+                F.concat(F.lit("$1r"), F.col("rep").cast("string")),
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    (
+        ev.crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        .write.mode("overwrite").parquet(f"{out}/events.parquet")
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(reps)
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        )
+        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    )
+    for t in ("region", "nation", "customer", "supplier", "part", "orders", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    sf1: dict[str, float] = {}
+    for name in SF1_QUERIES:
+        q = registry[name]
+        sf1[name] = min_of_runs(lambda: q.spark(spark, out).count())
+    ratios = {
+        n: round(sf1[n] / warm[n], 2) for n in SF1_QUERIES if warm.get(n)
+    }
+    shutil.rmtree(out, ignore_errors=True)
+    return {"sf1_build_sec": build_sec, "sf1_queries": sf1, "sf1_ratio": ratios}
+
+
 def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -257,6 +342,7 @@ def main() -> None:
         "corpus_curation_sec": cur_sec,
         **inc,
         **bench_curation_extras(spark),
+        **bench_scale_growth(spark, registry, timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
