@@ -91,3 +91,25 @@ def test_component_members_share_key_and_split(spark):
     assert out[0] == out[1] == out[2]
     assert out[5] == out[6]
     assert out[3][0] == 3 and out[9][0] == 9  # singletons keyed by self
+
+
+def test_threshold_rounding_no_float_truncation(spark):
+    """Regression: train=0.7, valid=0.1 must cut at buckets 7000/8000 —
+    int((0.7+0.1)*10000) truncates to 7999 (float 0.7999999...), silently
+    moving one 1/10000 bucket from valid to test. Doc ids below are
+    precomputed to land exactly on the boundary buckets of the default
+    salt (md5('split-v1:<id>') % 10000)."""
+    boundary = {3373: 8000, 5345: 7999, 7637: 7000, 16102: 6999}
+    docs = spark.createDataFrame([(i,) for i in boundary], "doc_id long")
+    for fn in (
+        lambda d: hash_split(d, train=0.7, valid=0.1),
+        lambda d: leakage_safe_split(
+            d, spark.createDataFrame([], "doc_id long, component long"),
+            train=0.7, valid=0.1,
+        ),
+    ):
+        got = {r.doc_id: (r.bucket, r.split) for r in fn(docs).collect()}
+        assert got[16102] == (6999, "train")
+        assert got[7637] == (7000, "valid")
+        assert got[5345] == (7999, "valid")  # the truncation casualty
+        assert got[3373] == (8000, "test")
