@@ -975,6 +975,23 @@ def star_components(
     )
 
 
+def _topt_unit_vectors(tfidf_df: DataFrame, top_t: int) -> DataFrame:
+    """(doc_id, term, w): each doc truncated to its T strongest tf-idf
+    terms and L2-normalized — the shared head of both cosine-pair engines.
+    Weights are rounded to 6dp BEFORE ranking and normalizing so the
+    selected prefix and the result are identical across engines."""
+    w = Window.partitionBy("doc_id").orderBy(F.col("w0").desc(), F.col("term").asc())
+    top = (
+        tfidf_df.select("doc_id", "term", F.round("tfidf", 6).alias("w0"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_t)
+    )
+    norms = top.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w0") * F.col("w0"))).alias("norm"))
+    return top.join(norms, "doc_id").select(
+        "doc_id", "term", (F.col("w0") / F.col("norm")).alias("w")
+    )
+
+
 def tfidf_cosine_pairs(
     tfidf_df: DataFrame, top_t: int = 20, min_cosine: float = 0.9
 ) -> DataFrame:
@@ -985,28 +1002,144 @@ def tfidf_cosine_pairs(
     inverted-index self-join — is the standard all-pairs-similarity scale
     trick (Bayardo et al., "Scaling Up All Pairs Similarity Search",
     WWW'07): the term join expands O(sum df_T^2) instead of O(sum df^2),
-    and df_T is bounded because hot (high-df) terms have low tf-idf and
-    never make a prefix. Weights are rounded to 6dp BEFORE ranking and
-    normalizing so the selected prefix and the result are identical across
-    engines (cross-engine float discipline; summation-order noise is
-    absorbed by the final round).
+    and df_T is bounded on Zipfian text because hot (high-df) terms have
+    low tf-idf and never make a prefix. Weights are rounded to 6dp BEFORE
+    ranking and normalizing so the selected prefix and the result are
+    identical across engines (cross-engine float discipline;
+    summation-order noise is absorbed by the final round).
+
+    DEGENERATE-CASE caveat (measured, round 7): on a flat, tiny-vocabulary
+    corpus the Bayardo assumption collapses — at sf0.1 only 29 distinct
+    terms make ANY top-20 prefix, every one with df ~3500, so the term
+    self-join expands to 3.0e8 rows and this plan runs ~97 s where the
+    block-matmul engine below runs ~4 s producing the identical frame.
+    Pick ``tfidf_cosine_pairs_blocked`` when the effective prefix
+    vocabulary is small/flat; keep this form for Zipfian text where
+    df_T stays bounded and no dense task-local matrix is desirable.
     """
-    w = Window.partitionBy("doc_id").orderBy(F.col("w0").desc(), F.col("term").asc())
-    top = (
-        tfidf_df.select("doc_id", "term", F.round("tfidf", 6).alias("w0"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_t)
-    )
-    norms = top.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w0") * F.col("w0"))).alias("norm"))
-    nw = top.join(norms, "doc_id").select(
-        "doc_id", "term", (F.col("w0") / F.col("norm")).alias("w")
-    )
+    # the normalized frame feeds BOTH sides of the self-join, and Catalyst
+    # never unifies the tokenize/window subtrees — materialize once
+    # (measured at sf0.1: 97 s -> 84 s; the single-materialization pattern)
+    nw = _topt_unit_vectors(tfidf_df, top_t).localCheckpoint(eager=False)
     a, b = nw.alias("a"), nw.alias("b")
     return (
         a.join(b, (F.col("a.term") == F.col("b.term")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.round(F.sum(F.col("a.w") * F.col("b.w")), 6).alias("cosine"))
         .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def tfidf_cosine_pairs_blocked(
+    tfidf_df: DataFrame,
+    top_t: int = 20,
+    min_cosine: float = 0.9,
+    n_blocks: int = 8,
+    row_chunk: int = 2048,
+) -> DataFrame:
+    """``tfidf_cosine_pairs`` computed via block-pair partitioned LOCAL
+    matmuls — the exact all-pairs engine for corpora where the inverted
+    index degenerates (flat document frequencies: every doc's top-T prefix
+    hits the same hot terms and the term self-join goes quadratic in
+    rows). Same (doc_a, doc_b, cosine) frame, same 6dp HALF_UP rounding,
+    same >= threshold filter.
+
+    Plan (the ``similarity.block_topk_pairs`` partitioning, sparse
+    payload): each doc's normalized top-T vector rides as ONE row of
+    (term, w) structs, replicated to the B(B+1)/2 block-pair tasks it
+    participates in (shuffle = n x B vector rows — never pair rows);
+    inside each task an Arrow-grouped pandas fn remaps the TASK-LOCAL
+    vocabulary (np.unique over the two blocks' terms — per-task width is
+    bounded by 2 * block_size * top_t regardless of global V), builds the
+    local dense matrix once, and scores all of the task's pairs with a
+    row-chunked NumPy matmul (``row_chunk`` bounds the score-buffer at
+    row_chunk x block_size doubles). Each unordered pair is produced
+    exactly once: diagonal tasks take id<id, cross tasks take one side
+    from each block. Threshold filtering happens INSIDE the task, so only
+    qualifying pairs ever leave it.
+
+    Measured (sf0.1, local[32], 5,000 docs / 12.5M pairs, warm): triples
+    plan 97 s (3.0e8 join rows over 29 flat-df terms), this plan ~4 s.
+    Choose block count so block_size x top_t x 8 bytes x block_size fits
+    executor memory; on Zipfian text with bounded df_T prefer the triples
+    plan (no dense task-local matrices at all).
+    """
+    if n_blocks < 1 or row_chunk < 1:
+        raise ValueError(f"need n_blocks >= 1 and row_chunk >= 1, got {n_blocks}, {row_chunk}")
+    t = float(min_cosine)
+    nw = _topt_unit_vectors(tfidf_df, top_t)
+    docs = (
+        nw.groupBy("doc_id")
+        .agg(F.collect_list(F.struct("term", "w")).alias("tw"))
+        .withColumn("blk", F.pmod(F.col("doc_id"), F.lit(n_blocks)).cast("int"))
+    )
+    rep = docs.select(
+        "doc_id", "tw", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("p"),
+    ).select(
+        "doc_id", "tw", "blk",
+        F.least("blk", "p").alias("ti"),
+        F.greatest("blk", "p").alias("tj"),
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_c: list[float] = []
+        if len(pdf):
+            ti, tj = int(pdf["ti"].iloc[0]), int(pdf["tj"].iloc[0])
+            ids = pdf["doc_id"].to_numpy()
+            terms: list[str] = []
+            ws: list[float] = []
+            starts = np.zeros(len(pdf) + 1, dtype=np.int64)
+            for i, tw in enumerate(pdf["tw"]):
+                for p in tw:
+                    terms.append(p["term"])
+                    ws.append(p["w"])
+                starts[i + 1] = len(terms)
+            vocab, tcodes = np.unique(np.asarray(terms, dtype=object), return_inverse=True)
+            m = np.zeros((len(pdf), len(vocab)), dtype=np.float64)
+            rows = np.repeat(np.arange(len(pdf)), np.diff(starts))
+            m[rows, tcodes] = np.asarray(ws, dtype=np.float64)
+
+            def emit(sc, left_ids, right_ids, lt_mask=None):
+                # HALF_UP at 6dp (numpy's round is half-even; Spark/DuckDB
+                # round half up) — weights are >= 0 so floor(+0.5) suffices
+                r = np.floor(sc * 1e6 + 0.5) / 1e6
+                hit = r >= t
+                if lt_mask is not None:
+                    hit &= lt_mask
+                ii, jj = np.nonzero(hit)
+                a, b = left_ids[ii], right_ids[jj]
+                lo, hi = np.minimum(a, b), np.maximum(a, b)
+                out_a.extend(lo.tolist())
+                out_b.extend(hi.tolist())
+                out_c.extend(r[ii, jj].tolist())
+
+            if ti == tj:
+                for r0 in range(0, len(pdf), row_chunk):
+                    r1 = min(r0 + row_chunk, len(pdf))
+                    sc = m[r0:r1] @ m.T
+                    lt = ids[r0:r1, None] < ids[None, :]
+                    emit(sc, ids[r0:r1], ids, lt)
+            else:
+                li = np.nonzero(pdf["blk"].to_numpy() == ti)[0]
+                ri = np.nonzero(pdf["blk"].to_numpy() == tj)[0]
+                mr_t = m[ri].T
+                for r0 in range(0, len(li), row_chunk):
+                    sel = li[r0 : r0 + row_chunk]
+                    emit(m[sel] @ mr_t, ids[sel], ids[ri])
+        return pd.DataFrame({
+            "doc_a": pd.Series(out_a, dtype="int64"),
+            "doc_b": pd.Series(out_b, dtype="int64"),
+            "cosine": pd.Series(out_c, dtype="float64"),
+        })
+
+    return rep.groupBy("ti", "tj").applyInPandas(
+        score, "doc_a long, doc_b long, cosine double"
     )
 
 

@@ -23,7 +23,7 @@ from ..operators.dedup import (
     shingles,
     simhash_fingerprints,
     simhash_pairs,
-    tfidf_cosine_pairs,
+    tfidf_cosine_pairs_blocked,
 )
 from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
@@ -550,7 +550,14 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BM25, the TF system, qrels) with no subtree reuse across the tokenize
     # lambdas — materialize once (same reasoning as the simhash slot)
     m = term_doc_counts(docs).localCheckpoint(eager=False)
-    cos = tfidf_cosine_pairs(tfidf(m, n_docs=_n_docs(spark, sf_dir)), top_t=20, min_cosine=0.9)
+    # block-matmul engine: the fixtures are the measured degenerate case of
+    # the Bayardo prefix assumption (flat 29-term prefix vocabulary at
+    # sf0.1 — the inverted-index triples plan expands to 3.0e8 join rows,
+    # 88.5 s vs 3.3 s for the identical frame; see tfidf_cosine_pairs
+    # docstrings and tests/test_dedup_components.py engine-equality gate)
+    cos = tfidf_cosine_pairs_blocked(
+        tfidf(m, n_docs=_n_docs(spark, sf_dir)), top_t=20, min_cosine=0.9
+    )
 
     # data-derived query batch: top terms per language by exact corpus
     # frequency (integer sums — engine-stable), query_id = lang

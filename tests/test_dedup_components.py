@@ -177,6 +177,46 @@ def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
     assert got.select("doc_a", "doc_b").distinct().count() == n
 
 
+def test_cosine_pairs_engines_identical(spark, sf_dir):
+    """The block-matmul engine must produce the EXACT frame of the
+    inverted-index triples engine — same pairs, same 6dp HALF_UP cosines —
+    across thresholds, block counts, and a row_chunk small enough to
+    force the chunked-matmul path (incl. blocks larger than the chunk)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        tfidf_cosine_pairs_blocked,
+    )
+
+    m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents"))).cache()
+    for thresh in (0.5, 0.9):
+        want = sorted(
+            tuple(r) for r in tfidf_cosine_pairs(m, top_t=20, min_cosine=thresh).collect()
+        )
+        assert want  # non-vacuous at both thresholds on the fixture
+        for n_blocks, row_chunk in ((1, 7), (3, 2048), (8, 2048)):
+            got = sorted(
+                tuple(r)
+                for r in tfidf_cosine_pairs_blocked(
+                    m, top_t=20, min_cosine=thresh, n_blocks=n_blocks, row_chunk=row_chunk
+                ).collect()
+            )
+            assert got == want, (thresh, n_blocks, row_chunk)
+    m.unpersist()
+
+
+def test_cosine_pairs_blocked_validation(spark, sf_dir):
+    import pytest
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        tfidf_cosine_pairs_blocked,
+    )
+
+    m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")))
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs_blocked(m, n_blocks=0)
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs_blocked(m, row_chunk=0)
+
+
 def test_lsh_guard_oracle_parity_when_cap_triggers(spark, sf_dir, duck):
     """Cross-engine value gate for the star-degrade path itself: with a cap
     small enough to trigger on the real corpus, the Spark guard and the

@@ -158,17 +158,37 @@ def test_sql_surface_matches_dataframe_queries(spark, sf_dir):
         assert got == want, name
 
 
-def test_cosine_pairs_is_equi_join_not_cartesian(spark, sf_dir):
-    """The all-pairs cosine self-join must equi-join on term (the inverted
-    index) — never a cartesian doc x doc expansion — with map-side partial
-    sums, staying JVM-side. (Since n_docs became a driver-known scalar the
-    plan has no nested-loop join at all — pinned by the blanket test.)"""
-    df = all_queries()["tfidf_cosine_pairs"].spark(spark, sf_dir)
-    plan = _plan(df)
+def test_cosine_pairs_triples_engine_is_equi_join_not_cartesian(spark, sf_dir):
+    """The inverted-index cosine engine must equi-join on term — never a
+    cartesian doc x doc expansion — with map-side partial sums, staying
+    JVM-side (the Zipfian-text scale path)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.tfidf import tfidf
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+    m = tfidf(term_doc_counts(load_table(spark, sf_dir, "documents")), n_docs=100)
+    plan = _plan(tfidf_cosine_pairs(m))
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin [term" in plan or "SortMergeJoin [term" in plan
     assert "partial_sum" in plan  # pair dot-products combine map-side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cosine_pairs_registered_slot_is_block_matmul(spark, sf_dir):
+    """The REGISTERED slot runs the block-matmul engine (the fixtures are
+    the measured degenerate case of the Bayardo prefix assumption):
+    Arrow-grouped task scoring, one task-key exchange, no cartesian, no
+    row-at-a-time Python anywhere in the fused plan."""
+    df = all_queries()["tfidf_cosine_pairs"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the block-pair task engine
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_category_top_terms_single_rollup_pass(spark, sf_dir):
