@@ -475,6 +475,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     materialize: bool = True,
+    sub_blocks: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Semantic deduplication (SemDeDup, Abbas et al. 2023, arXiv:2303.09540):
     k-means-cluster the embedding space, then find near-duplicate pairs ONLY
@@ -494,13 +495,27 @@ def semdedup(
       above-threshold within-cluster near-dup edges, for auditing.
 
     Scale design (the whole point of the method): pair candidates
-    materialize only inside an equi-join on ``cluster``, so the candidate
-    volume is sum_c |c|^2 — controlled by k, which SemDeDup scales with the
-    corpus (n/k vectors per cluster; the paper uses ~10k-100k clusters at
-    web scale). Assignment is one map-side pass against a k x d literal
-    (``assign_nearest``); no global pair enumeration, no broadcast of any
-    per-document frame. The drop rule is a projection over the pair frame
-    plus one distinct + one hash join back on vec_id.
+    materialize only inside an equi-join keyed by cluster, so the
+    candidate volume is sum_c |c|^2 — controlled by k, which SemDeDup
+    scales with the corpus (n/k vectors per cluster; the paper uses
+    ~10k-100k clusters at web scale). Assignment is one map-side pass
+    against a k x d literal (``assign_nearest``); no global pair
+    enumeration, no broadcast of any per-document frame. The drop rule is
+    a projection over the pair frame plus one distinct + one hash join
+    back on vec_id.
+
+    SKEW guard (measured, round 7): a plain equi-join on ``cluster``
+    serializes each cluster's |c|^2/2 cosine evaluations onto ONE task —
+    with the fixture's hot cluster (1,973 of 2,000 vectors) that single
+    task ran 1.9M HOF cosines for ~43 s while 31 cores idled. Each
+    cluster is therefore sub-blocked (``sub_blocks``, the
+    ``block_topk_pairs`` pattern keyed by (cluster, ti, tj)): vectors
+    replicate to the S(S+1)/2 sub-block-pair tasks of their own cluster
+    only, each unordered pair is produced exactly once, and a hot
+    cluster's pair work spreads across S(S+1)/2 tasks, with an explicit
+    task-count repartition so AQE's small-bytes coalescing cannot undo
+    the spread (measured 43.9 s -> 4.0 s warm at sf0.1 with S=8;
+    identical output, pinned in tests).
 
     Reference parity note: the reference engine has no semantic dedup; this
     is a north-star extension composing its clustering surface
@@ -528,23 +543,57 @@ def semdedup(
         # the scan + k-centroid distance math runs three times (the
         # single-materialization pattern, see operators/dedup.py:160)
         base = base.localCheckpoint(eager=False)
-    left = base.select(
-        F.col("cluster"),
+    if sub_blocks < 1:
+        raise ValueError(f"sub_blocks must be >= 1, got {sub_blocks}")
+    # sub-block the within-cluster pair space so a hot cluster's pairs
+    # spread across S(S+1)/2 tasks instead of serializing on one (see
+    # docstring); sub assignment only affects scheduling, never the output
+    rep = base.withColumn(
+        "__sub", F.pmod(F.hash(F.col("vec_id")), F.lit(sub_blocks)).cast("int")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(sub_blocks - 1))).alias("__p")
+    ).select(
+        "vec_id", "cluster", "centroid_cos", "_v", "__sub",
+        F.least("__sub", "__p").alias("__ti"),
+        F.greatest("__sub", "__p").alias("__tj"),
+    )
+    # explicit partition count (one per (cluster, sub-pair) task) so AQE
+    # can't coalesce the tiny-bytes/huge-compute pair stream back onto a
+    # few cores — same counter-measure as block_topk_pairs
+    n_tasks = len(centroids) * sub_blocks * (sub_blocks + 1) // 2
+    left = rep.repartition(
+        n_tasks, F.col("cluster"), F.col("__ti"), F.col("__tj")
+    ).select(
+        F.col("cluster"), F.col("__ti"), F.col("__tj"),
+        F.col("__sub").alias("__sl"),
         F.col("vec_id").alias("vec_a"),
         F.col("centroid_cos").alias("cos_a"),
         F.col("_v").alias("_va"),
     )
-    right = base.select(
-        F.col("cluster"),
+    right = rep.select(
+        F.col("cluster"), F.col("__ti"), F.col("__tj"),
+        F.col("__sub").alias("__sr"),
         F.col("vec_id").alias("vec_b"),
         F.col("centroid_cos").alias("cos_b"),
         F.col("_v").alias("_vb"),
     )
+    diag = F.col("__ti") == F.col("__tj")
+    pair_once = (diag & (F.col("vec_a") < F.col("vec_b"))) | (
+        ~diag & (F.col("__sl") == F.col("__ti")) & (F.col("__sr") == F.col("__tj"))
+    )
     pairs = (
-        left.join(right, "cluster")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn(
-            "cos", F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6)
+        left.join(right, ["cluster", "__ti", "__tj"])
+        .filter(pair_once)
+        .select(
+            # cross-sub sides aren't id-ordered; the contract is vec_a < vec_b
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            F.col("cluster"),
+            F.when(F.col("vec_a") < F.col("vec_b"), F.col("cos_a"))
+            .otherwise(F.col("cos_b")).alias("cos_a"),
+            F.when(F.col("vec_a") < F.col("vec_b"), F.col("cos_b"))
+            .otherwise(F.col("cos_a")).alias("cos_b"),
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
         )
         .filter(F.col("cos") >= float(threshold))
         .select("cluster", "vec_a", "vec_b", "cos", "cos_a", "cos_b")

@@ -170,3 +170,25 @@ def test_semdedup_plan_is_cluster_equijoin(fixture):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semdedup_sub_blocking_invariant(fixture):
+    """The hot-cluster skew guard (sub-blocked pair tasks) must never
+    change the result: docs and pairs identical across sub_blocks=1 (the
+    one-task-per-cluster degenerate), the default, and a non-divisor."""
+    sdf, _, cents = fixture
+    want_docs, want_pairs = None, None
+    for s in (1, 3, 8):
+        docs, pairs = semdedup(sdf, cents, threshold=THRESH, sub_blocks=s)
+        d = sorted(tuple(r) for r in docs.collect())
+        p = sorted(tuple(r) for r in pairs.collect())
+        if want_docs is None:
+            want_docs, want_pairs = d, p
+            assert p  # non-vacuous
+        else:
+            assert d == want_docs, s
+            assert p == want_pairs, s
+    import pytest
+
+    with pytest.raises(ValueError):
+        semdedup(sdf, cents, threshold=THRESH, sub_blocks=0)
