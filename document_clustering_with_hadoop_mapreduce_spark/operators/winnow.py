@@ -182,8 +182,10 @@ def winnow_overlap_spans(
     yields its exact extent to within w; disjoint repeats yield the
     covering hull — a consumer that needs per-region granularity clusters
     the matched positions itself). Same plan shape as the pair join plus
-    four min/max aggregates riding the existing pair groupBy — no extra
-    exchange.
+    four min/max aggregates riding the existing pair groupBy; the df cap's
+    doc counts come from a bounded-state groupBy/countDistinct joined back
+    on the fingerprint key (one fingerprint-cardinality exchange — never a
+    collect_set window buffering a hot fingerprint's posting list).
     """
     pairs = _capped_pair_join(fingerprints, min_shared, max_df, with_pos=True)
     return (
