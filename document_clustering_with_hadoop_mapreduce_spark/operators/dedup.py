@@ -987,8 +987,14 @@ def _topt_unit_vectors(tfidf_df: DataFrame, top_t: int) -> DataFrame:
         .filter(F.col("rn") <= top_t)
     )
     norms = top.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("w0") * F.col("w0"))).alias("norm"))
-    return top.join(norms, "doc_id").select(
-        "doc_id", "term", (F.col("w0") / F.col("norm")).alias("w")
+    # a zero-norm doc (every selected term tf-idf-rounds to 0 — e.g. all
+    # its terms appear in every document) has no defined cosine to
+    # anything: drop it rather than divide by zero (ANSI) or emit NaN/inf
+    # weights whose comparison semantics differ across engines
+    return (
+        top.join(norms, "doc_id")
+        .where(F.col("norm") > 0)
+        .select("doc_id", "term", (F.col("w0") / F.col("norm")).alias("w"))
     )
 
 

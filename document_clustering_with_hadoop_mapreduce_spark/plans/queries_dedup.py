@@ -432,7 +432,10 @@ ranked AS (
 ),
 top AS (SELECT doc_id, term, w0 FROM ranked WHERE rn <= 20),
 norms AS (SELECT doc_id, sqrt(sum(w0*w0)) AS norm FROM top GROUP BY doc_id),
-nw AS (SELECT t.doc_id, t.term, t.w0 / n.norm AS w FROM top t JOIN norms n USING (doc_id))"""
+-- zero-norm docs (all selected tf-idf weights round to 0) have no defined
+-- cosine: dropped in BOTH engines rather than dividing by zero
+nw AS (SELECT t.doc_id, t.term, t.w0 / n.norm AS w
+       FROM top t JOIN norms n USING (doc_id) WHERE n.norm > 0)"""
 
 _COSINE_PAIRS_SELECT = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round(sum(a.w*b.w), 6) AS cosine
 FROM nw a JOIN nw b ON a.term = b.term AND a.doc_id < b.doc_id

@@ -550,3 +550,56 @@ def test_leakage_split_component_wholeness(spark, assignment, salt):
     for i in range(n):
         if i not in in_comp:
             assert out[i][1] == base[i]
+
+
+# ---------------------------------------------------------------------------
+# Cosine-pair engine equivalence: the block-matmul engine must equal the
+# inverted-index triples engine on ARBITRARY corpora — not just the
+# fixtures — including the degenerate shapes (identical docs, docs shorter
+# than top_t, fewer docs than blocks, single doc, shared-nothing docs).
+# ---------------------------------------------------------------------------
+
+_cos_docs = st.lists(
+    st.lists(
+        st.sampled_from("alpha bravo charlie delta echo foxtrot golf".split()),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(docs=_cos_docs, thresh=st.sampled_from([0.2, 0.6, 0.95]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cosine_engines_agree_on_arbitrary_corpora(spark, docs, thresh):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+        tfidf_cosine_pairs,
+        tfidf_cosine_pairs_blocked,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.tfidf import tfidf
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    m = tfidf(term_doc_counts(frame), n_docs=len(docs))
+    want = sorted(
+        tuple(r) for r in tfidf_cosine_pairs(m, top_t=4, min_cosine=thresh).collect()
+    )
+    # n_blocks above the doc count and a chunk smaller than block size —
+    # both partition-edge paths exercised on every example
+    got = sorted(
+        tuple(r)
+        for r in tfidf_cosine_pairs_blocked(
+            m, top_t=4, min_cosine=thresh, n_blocks=5, row_chunk=2
+        ).collect()
+    )
+    assert got == want
