@@ -115,7 +115,10 @@ def clustering_metrics(
         .crossJoin(mi).crossJoin(h_u).crossJoin(h_v)
     )
     s_n = _comb2(F.col("n").cast("long"))
-    expected = F.col("s_a") * F.col("s_b") / s_n
+    # n = 1 has zero possible pairs (s_n = 0): every pair index is 0, so
+    # guard the expected-index division (ANSI mode raises on /0) — the
+    # max_index == expected arm below then yields the degenerate ARI 1.0
+    expected = F.when(s_n > 0, F.col("s_a") * F.col("s_b") / s_n).otherwise(F.lit(0.0))
     max_index = (F.col("s_a") + F.col("s_b")) / F.lit(2)
     ari = F.when(max_index == expected, F.lit(1.0)).otherwise(
         (F.col("s_ij") - expected) / (max_index - expected)
@@ -236,6 +239,7 @@ def metrics_oracle_ctes(
         SELECT 'purity', maj::DOUBLE / n FROM clu_s
         UNION ALL
         SELECT 'ari', CASE
+            WHEN s_n = 0 THEN 1.0  -- n = 1: zero possible pairs, degenerate agreement
             WHEN (s_a + s_b) / 2.0 = s_a::DOUBLE * s_b / s_n THEN 1.0
             ELSE (s_ij - s_a::DOUBLE * s_b / s_n) / ((s_a + s_b) / 2.0 - s_a::DOUBLE * s_b / s_n)
           END FROM clu_s

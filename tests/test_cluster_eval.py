@@ -154,3 +154,12 @@ def test_contingency_one_exchange(spark):
     # map-side (two HashAggregates) and nothing Python touches the path
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_single_row_input_does_not_divide_by_zero(spark):
+    """n = 1 has zero possible pairs (comb2(1) = 0): ARI's expected-index
+    division must be guarded (ANSI mode raises on /0), yielding the
+    degenerate perfect-agreement 1.0 in BOTH engines."""
+    got = _spark_metrics(spark, [(0, "x")])
+    assert got["n"] == 1.0 and got["purity"] == 1.0
+    assert got["ari"] == 1.0 and got["nmi"] == 0.0
