@@ -603,3 +603,50 @@ def test_cosine_engines_agree_on_arbitrary_corpora(spark, docs, thresh):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Winnow pair/span consistency on arbitrary corpora: the span generator's
+# bounded-state df cap (groupBy/countDistinct + join-back) must select
+# exactly the pairs the count generator's window cap selects, for any
+# corpus and any cap — the two branches of _capped_pair_join can't drift.
+# ---------------------------------------------------------------------------
+
+_winnow_docs = st.lists(
+    st.lists(
+        st.sampled_from("kilo lima mike november oscar papa".split()),
+        min_size=3,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(docs=_winnow_docs, max_df=st.sampled_from([2, 4, 8]))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winnow_span_cap_matches_pair_cap(spark, docs, max_df):
+    from document_clustering_with_hadoop_mapreduce_spark.operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+        winnow_overlap_spans,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(words)) for i, words in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(frame, k=6, w=3)
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in winnow_overlap_pairs(fps, min_shared=1, max_df=max_df).collect()
+    }
+    spans = {
+        (r.doc_a, r.doc_b): r.shared
+        for r in winnow_overlap_spans(fps, min_shared=1, max_df=max_df).collect()
+    }
+    assert pairs == spans
