@@ -322,6 +322,16 @@ def main() -> None:
         cold[name] = min_of_runs(lambda: q.spark(spark, SF_DIR).count(), n=1)
         timings[name] = min_of_runs(lambda: q.spark(spark, SF_DIR).count())
     total = round(sum(timings.values()), 3)
+    # non-headline fused slots, timed separately (NOT in the total, which
+    # stays comparable round-over-round): these were invisible to the
+    # bench until round 7, which is exactly how a quadratic cosine plan
+    # survived six rounds — what isn't measured regresses silently
+    fused = {
+        f"fused_{name}_sec": min_of_runs(
+            lambda q=registry[name]: q.spark(spark, SF_DIR).count()
+        )
+        for name in ("lsh_candidate_pairs", "tfidf_cosine_pairs", "embedding_top_pairs")
+    }
     ref_sec = bench_reference_workload(spark)
     skew_sec = bench_lsh_skew_guard(spark)
     inc = bench_incremental_dedup(spark)
@@ -341,6 +351,7 @@ def main() -> None:
         "lsh_skew_guard_sec": skew_sec,
         "corpus_curation_sec": cur_sec,
         **inc,
+        **fused,
         **bench_curation_extras(spark),
         **bench_scale_growth(spark, registry, timings),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
