@@ -78,9 +78,20 @@ def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix inside tfidf is single-consumer and needs no checkpoint of
     # its own; only the tf-idf output is pinned here for the 4+
     # downstream consumers.
+    # Explicit repartition BEFORE the checkpoint: AQE coalesces the small
+    # tf-idf shuffle output to ONE partition, and the checkpoint then
+    # pins that layout — every downstream map-side pass (the Lloyd loop's
+    # per-iteration assignment joins especially) would run on one core.
+    # An explicit partition count is exempt from AQE coalescing; the
+    # extra nnz-row exchange is paid once at materialization (measured
+    # sf0.1/local[32]: 3-iteration sparse trace 9.2 -> 7.3 s warm,
+    # single-assignment consumers unchanged, trace values identical).
     docs = load_table(spark, sf_dir, "documents")
-    return tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir)).localCheckpoint(
-        eager=False
+    par = spark.sparkContext.defaultParallelism
+    return (
+        tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
+        .repartition(par)
+        .localCheckpoint(eager=False)
     )
 
 
