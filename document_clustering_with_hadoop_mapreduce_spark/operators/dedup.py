@@ -1144,8 +1144,17 @@ def tfidf_cosine_pairs_blocked(
             "cosine": pd.Series(out_c, dtype="float64"),
         })
 
-    return rep.groupBy("ti", "tj").applyInPandas(
-        score, "doc_a long, doc_b long, cosine double"
+    # explicit one-partition-per-task repartition on the grouping keys:
+    # applyInPandas' clustered-distribution requirement is satisfied by
+    # the child's hash partitioning, so no second exchange — and an
+    # explicit count is exempt from AQE's small-bytes coalescing, which
+    # otherwise merges the tiny-shuffle/huge-compute block-pair tasks
+    # onto a few cores (measured: 36 tasks coalesced to 7 without this)
+    n_tasks = n_blocks * (n_blocks + 1) // 2
+    return (
+        rep.repartition(n_tasks, F.col("ti"), F.col("tj"))
+        .groupBy("ti", "tj")
+        .applyInPandas(score, "doc_a long, doc_b long, cosine double")
     )
 
 
