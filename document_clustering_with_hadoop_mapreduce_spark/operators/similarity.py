@@ -598,6 +598,12 @@ def semdedup(
         .filter(F.col("cos") >= float(threshold))
         .select("cluster", "vec_a", "vec_b", "cos", "cos_a", "cos_b")
     )
+    if materialize:
+        # the pair frame has two consumers (the returned edges + the
+        # dropped-set projection feeding docs) and its producer is the
+        # expensive sub-blocked cosine pass — materialize the (small,
+        # threshold-filtered) edge set once
+        pairs = pairs.localCheckpoint(eager=False)
     # of each pair drop the HIGHER-centroid-sim member; centroid_cos tie
     # (incl. exact duplicates) drops the larger vec_id, so exactly one
     # member of every edge is marked and the mark-set is deterministic.
