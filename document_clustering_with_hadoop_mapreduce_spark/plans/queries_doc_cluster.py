@@ -83,14 +83,20 @@ def _tfidf_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pins that layout — every downstream map-side pass (the Lloyd loop's
     # per-iteration assignment joins especially) would run on one core.
     # An explicit partition count is exempt from AQE coalescing; the
-    # extra nnz-row exchange is paid once at materialization (measured
-    # sf0.1/local[32]: 3-iteration sparse trace 9.2 -> 7.3 s warm,
-    # single-assignment consumers unchanged, trace values identical).
+    # extra nnz-row exchange is paid once at materialization.
+    # HASH on doc_id, not round-robin: every downstream aggregate here
+    # groups by doc_id or (doc_id, cluster) — doc_ss, the dots rollup
+    # after the broadcast centroid join, and the argmin — and
+    # HashPartitioning(doc_id) satisfies all three ClusteredDistributions,
+    # so Catalyst drops those exchanges instead of re-shuffling nnz rows
+    # per consumer per iteration (measured sf0.1/local[32]: single
+    # assignment 0.85 -> 0.35 s, 3-iteration sparse trace 12.0 -> 7.7 s
+    # vs the round-robin shape, values identical / hash-green).
     docs = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     return (
         tfidf(term_doc_counts(docs), n_docs=_n_docs(spark, sf_dir))
-        .repartition(par)
+        .repartition(par, F.col("doc_id"))
         .localCheckpoint(eager=False)
     )
 
