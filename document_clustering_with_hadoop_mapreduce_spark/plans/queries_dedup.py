@@ -183,6 +183,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Connected components over the LSH candidate graph: DuckDB's recursive CTE
 # floods min labels exactly like the Spark propagation loop.
+# leakage-safe split params fused into the components slot: the split key
+# is the component representative, so near-duplicates can never straddle
+# train/test (Lee et al. 2021 §6.2) — same salt/thresholds as hash_split
+_SPLIT_SALT = "split-v1"
+
 _CC_ORACLE = f"""
 WITH RECURSIVE pairs AS ({_ORACLES["lsh_candidate_pairs"]}),
 edges AS (
@@ -195,9 +200,21 @@ reach AS (
   UNION
   SELECT e.dst AS doc_id, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
 ),
-comp AS (SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id)
-SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
-FROM documents d LEFT JOIN comp c USING (doc_id)"""
+comp AS (SELECT doc_id, min(label) AS component FROM reach GROUP BY doc_id),
+comp_all AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+safe AS (
+  SELECT doc_id, component,
+         CAST(('0x' || substr(md5('{_SPLIT_SALT}:' || component::VARCHAR), 1, 15)) AS BIGINT) % 10000 AS bucket
+  FROM comp_all
+)
+SELECT doc_id, component, bucket,
+       CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'valid'
+            ELSE 'test' END AS split
+FROM safe"""
 
 
 @register(
@@ -205,16 +222,31 @@ FROM documents d LEFT JOIN comp c USING (doc_id)"""
     _CC_ORACLE,
     "duplicate-cluster resolution: connected components (min-label flood, "
     "Kiveris-style) over the LSH candidate graph; every doc -> canonical "
-    "min-id representative, singletons map to themselves",
+    "min-id representative, singletons map to themselves. FUSED with the "
+    "leakage-safe train/valid/test split (Lee'21 §6.2): bucket/split are "
+    "drawn from the salted hash of the COMPONENT key, so near-duplicate "
+    "documents always land in the same split — zero extra shuffle, the "
+    "split is a map-side projection of the component table",
     tags=("dedup", "bench"),
 )
 def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import leakage_safe_split
+
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(shingle_hashes(docs, n=3), num_hashes=16, seed=42)
     pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2)
     # the singleton fan-back only projects doc_id — no fan-out shuffle
     ids = load_table(spark, sf_dir, "documents", fan_out=False)
-    return duplicate_components(pairs, documents=ids)
+    comps = duplicate_components(pairs, documents=ids)
+    # component table already covers every doc (singletons map to self),
+    # so the operator's left-join fan-back is a no-op coalesce and the
+    # fused split costs one map-side hash over the k-or-fewer-per-doc rows
+    return leakage_safe_split(ids, comps, salt=_SPLIT_SALT).select(
+        "doc_id",
+        F.col("split_key").alias("component"),
+        "bucket",
+        "split",
+    )
 
 
 # The capstone a 100 TB training-data pipeline actually runs: quality

@@ -177,19 +177,145 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# Winnowing params for the fused doc_fingerprints slot (SIGMOD'03: any
+# shared substring of length >= k + w - 1 = 23 chars of normalized text is
+# guaranteed to surface a shared fingerprint).
+_WINNOW_K = 16
+_WINNOW_W = 8
+_WINNOW_MIN_SHARED = 2
+_WINNOW_MAX_DF = 256
+
+
+def _winnow_fused_oracle() -> str:
+    """Mirror of operators/winnow.py in DuckDB: k-gram md5-60bit hashes over
+    the SAME normalized text as doc_fingerprints, robust-winnowed with a
+    sliding struct-min window (min on (hash, -pos) = smallest hash,
+    rightmost tie — exactly the Spark fold's ``<=`` replace rule), then the
+    df-capped posting self-join and the span hull aggregates. Bit-parity
+    verified against winnow_fingerprints at sf0.001 (32,200 rows exact)."""
+    k, w = _WINNOW_K, _WINNOW_W
+    return f"""
+    WITH wn_norm AS (
+      SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents
+    ),
+    wn_grams AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substr(md5(substr(norm, i, {k})), 1, 15)) AS BIGINT) AS h,
+             length(norm) - {k} + 1 AS n_grams
+      FROM wn_norm, UNNEST(generate_series(1, length(norm) - {k} + 1)) AS g(i)
+      WHERE length(norm) >= {k} + {w} - 1
+    ),
+    wn_win AS (
+      SELECT doc_id, i, n_grams,
+             min({{'h': h, 'ni': -i}}) OVER (
+               PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS sel
+      FROM wn_grams
+    ),
+    wn_fp AS (
+      SELECT DISTINCT doc_id, -(sel.ni) AS pos, sel.h AS fingerprint
+      FROM wn_win WHERE i <= n_grams - {w} + 1
+    ),
+    wn_df AS (
+      SELECT fingerprint, count(DISTINCT doc_id) AS df FROM wn_fp GROUP BY fingerprint
+    ),
+    wn_capped AS (
+      SELECT f.doc_id, f.pos, f.fingerprint
+      FROM wn_fp f JOIN wn_df d USING (fingerprint) WHERE d.df <= {_WINNOW_MAX_DF}
+    ),
+    wn_joined AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fingerprint,
+             a.pos AS pa, b.pos AS pb
+      FROM wn_capped a JOIN wn_capped b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    ),
+    wn_spans AS (
+      SELECT doc_a, doc_b, count(DISTINCT fingerprint) AS shared,
+             min(pa) AS a_start, max(pa) AS a_end,
+             min(pb) AS b_start, max(pb) AS b_end
+      FROM wn_joined GROUP BY doc_a, doc_b
+      HAVING count(DISTINCT fingerprint) >= {_WINNOW_MIN_SHARED}
+    ),
+    fp_doc AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fingerprint,
+             length(norm) AS norm_len
+      FROM wn_norm
+    )
+    SELECT 'doc' AS kind, doc_id AS id_a, NULL::BIGINT AS id_b,
+           fingerprint, norm_len::BIGINT AS n,
+           NULL::BIGINT AS a_start, NULL::BIGINT AS a_end,
+           NULL::BIGINT AS b_start, NULL::BIGINT AS b_end
+    FROM fp_doc
+    UNION ALL
+    SELECT 'pair', doc_a, doc_b, NULL::BIGINT, shared::BIGINT,
+           NULL::BIGINT, NULL::BIGINT, NULL::BIGINT, NULL::BIGINT
+    FROM wn_spans
+    UNION ALL
+    SELECT 'span', doc_a, doc_b, NULL::BIGINT, shared::BIGINT,
+           a_start::BIGINT, a_end::BIGINT, b_start::BIGINT, b_end::BIGINT
+    FROM wn_spans"""
+
+
 @register(
     "doc_fingerprints",
-    f"""
-    WITH t AS (SELECT doc_id, array_to_string({_TOKS}, ' ') AS norm FROM documents)
-    SELECT doc_id,
-           CAST(('0x' || substr(md5(norm), 1, 15)) AS BIGINT) AS fingerprint,
-           length(norm) AS norm_len
-    FROM t""",
-    "deterministic md5-60bit content fingerprint of normalized text",
+    _winnow_fused_oracle(),
+    "deterministic md5-60bit content fingerprint of normalized text "
+    "(kind='doc'), FUSED with the winnowing overlap stack (Schleimer "
+    "SIGMOD'03 / MOSS): kind='pair' rows are document pairs sharing >= "
+    f"{_WINNOW_MIN_SHARED} df-capped winnow fingerprints, kind='span' rows "
+    "add the aligned min/max k-gram offset hull on each side — the "
+    "partial-overlap primitive whole-doc hashing cannot express",
     tags=("textstats", "dedup"),
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    from ..operators.winnow import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+        winnow_overlap_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # two pair-stack consumers and no subtree reuse across the tokenize
+    # lambdas (see operators/dedup.py) — materialize the fingerprint set
+    # once; it is the winnowed ~2/(w+1) sample of the k-gram stream, far
+    # smaller than the corpus
+    fp = winnow_fingerprints(docs, k=_WINNOW_K, w=_WINNOW_W).localCheckpoint(eager=False)
+    nulls = [F.lit(None).cast("long").alias(c) for c in ("a_start", "a_end", "b_start", "b_end")]
+    doc_rows = doc_fingerprints(docs).select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("long").alias("id_b"),
+        F.col("fingerprint"),
+        F.col("norm_len").cast("long").alias("n"),
+        *nulls,
+    )
+    pair_rows = winnow_overlap_pairs(
+        fp, min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF
+    ).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.col("shared").cast("long").alias("n"),
+        *nulls,
+    )
+    span_rows = winnow_overlap_spans(
+        fp, min_shared=_WINNOW_MIN_SHARED, max_df=_WINNOW_MAX_DF
+    ).select(
+        F.lit("span").alias("kind"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.lit(None).cast("long").alias("fingerprint"),
+        F.col("shared").cast("long").alias("n"),
+        F.col("a_start").cast("long"),
+        F.col("a_end").cast("long"),
+        F.col("b_start").cast("long"),
+        F.col("b_end").cast("long"),
+    )
+    return doc_rows.unionByName(pair_rows).unionByName(span_rows)
 
 
 @register(

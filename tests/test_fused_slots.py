@@ -119,3 +119,81 @@ class TestRetrievalFusion:
             for r in ret_fused.where(F.col("kind") == "bm25").select("query_id").distinct().collect()
         }
         assert bm_qs == langs
+
+
+@pytest.fixture(scope="module")
+def wn_fused(spark, sf_dir):
+    return all_queries()["doc_fingerprints"].spark(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def cc_fused(spark, sf_dir):
+    return all_queries()["dedup_components"].spark(spark, sf_dir).cache()
+
+
+class TestWinnowFusion:
+    """Round-8 fusion: winnow overlap pairs + spans riding doc_fingerprints."""
+
+    def test_doc_rows_cover_the_corpus(self, wn_fused, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert wn_fused.where(F.col("kind") == "doc").count() == n_docs
+
+    def test_pair_and_span_rows_agree(self, wn_fused):
+        # spans are pairs + the hull columns: same (doc_a, doc_b, shared) set
+        key = lambda k: {
+            (r["id_a"], r["id_b"], r["n"])
+            for r in wn_fused.where(F.col("kind") == k).collect()
+        }
+        pairs, spans = key("pair"), key("span")
+        assert len(pairs) > 0  # fixture near-dups guarantee overlaps
+        assert pairs == spans
+
+    def test_span_hulls_are_ordered(self, wn_fused):
+        bad = wn_fused.where(
+            (F.col("kind") == "span")
+            & ((F.col("a_start") > F.col("a_end")) | (F.col("b_start") > F.col("b_end"))
+               | (F.col("a_start") < 1) | (F.col("b_start") < 1))
+        )
+        assert bad.count() == 0
+
+    def test_pairs_are_ordered_and_min_shared(self, wn_fused):
+        pairs = wn_fused.where(F.col("kind") == "pair")
+        assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+        assert pairs.where(F.col("n") < 2).count() == 0
+
+
+class TestComponentSplitFusion:
+    """Round-8 fusion: leakage-safe split riding dedup_components."""
+
+    def test_components_share_one_split(self, cc_fused):
+        # THE leakage invariant: every member of a component draws the
+        # same (bucket, split) — near-dups can never straddle train/test
+        multi = (
+            cc_fused.groupBy("component")
+            .agg(F.count_distinct("split").alias("ns"), F.count_distinct("bucket").alias("nb"))
+            .where((F.col("ns") > 1) | (F.col("nb") > 1))
+        )
+        assert multi.count() == 0
+
+    def test_split_matches_bucket_thresholds(self, cc_fused):
+        bad = cc_fused.where(
+            ~(
+                ((F.col("bucket") < 9000) & (F.col("split") == "train"))
+                | ((F.col("bucket") >= 9000) & (F.col("bucket") < 9500) & (F.col("split") == "valid"))
+                | ((F.col("bucket") >= 9500) & (F.col("split") == "test"))
+            )
+        )
+        assert bad.count() == 0
+        assert cc_fused.where((F.col("bucket") < 0) | (F.col("bucket") >= 10000)).count() == 0
+
+    def test_singletons_match_plain_hash_split(self, cc_fused, spark, sf_dir):
+        # docs that are their own component must draw exactly the
+        # hash_split bucket (same salt, key = own id)
+        base = {
+            r["doc_id"]: (r["bucket"], r["split"])
+            for r in all_queries()["hash_split"].spark(spark, sf_dir).collect()
+        }
+        singles = cc_fused.where(F.col("component") == F.col("doc_id")).collect()
+        assert len(singles) > 0
+        for r in singles:
+            assert base[r["doc_id"]] == (r["bucket"], r["split"]), r["doc_id"]
