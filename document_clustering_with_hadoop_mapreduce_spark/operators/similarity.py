@@ -468,6 +468,54 @@ def quantized_ivf_topk(
     )
 
 
+# HOF assignment is O(k*d) INTERPRETED work per row (~1 us/element); fine
+# for the handful-of-centroids queries, a scale-killer once k grows with
+# the corpus the way SemDeDup prescribes (10k-100k clusters at web scale).
+# Above this k, semdedup switches to the Arrow batch assignment below.
+_ARROW_ASSIGN_MIN_K = 16
+
+
+def _assign_nearest_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """``kmeans.assign_nearest`` semantics on a NumPy batch path: squared
+    euclidean per centroid (vectorized one-centroid-at-a-time — no
+    |v|^2+|c|^2-2vc expansion, whose cancellation error would differ from
+    the fold for near-duplicate vectors), 6dp HALF_UP round of the
+    distance, argmin with smallest-cid tie-break. mapInPandas keeps it
+    map-side (no shuffle, no join-back); the k x d centroid matrix ships
+    once per task in the closure. Used by ``semdedup`` when k exceeds
+    ``_ARROW_ASSIGN_MIN_K``; float-summation order differs from the JVM
+    fold at ~1e-16, the same accepted class as the block matmul engines
+    (6dp rounding makes a flip ~1e-10-probable per comparison)."""
+    cmat = [[float(v) for v in c] for c in centroids]
+    from pyspark.sql.types import IntegerType
+
+    schema = df.select(id_col, vec_col).schema.add("cluster", IntegerType())
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.float64)
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            d2 = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for ci in range(len(C)):
+                diff = m - C[ci]
+                d2[:, ci] = (diff * diff).sum(axis=1)
+            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # HALF_UP, d2 >= 0
+            pdf["cluster"] = d2.argmin(axis=1).astype("int32")  # first min = smallest cid
+            yield pdf
+
+    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+
+
 def semdedup(
     embeddings: DataFrame,
     centroids: list[list[float]],
@@ -525,7 +573,14 @@ def semdedup(
     from .kmeans import assign_nearest
 
     cents = F.lit([[float(v) for v in c] for c in centroids])
-    assigned = assign_nearest(embeddings, centroids, features_col=vec_col)
+    if len(centroids) > _ARROW_ASSIGN_MIN_K:
+        # k grows with the corpus per the paper; the interpreted HOF
+        # assignment is O(k*d)/row and dominated the whole pipeline at
+        # k=80 (measured ~16 s for 20k x 80 x 64 — see the quadratic
+        # family bench). Same semantics, BLAS batch (helper above).
+        assigned = _assign_nearest_arrow(embeddings, centroids, id_col, vec_col)
+    else:
+        assigned = assign_nearest(embeddings, centroids, features_col=vec_col)
     base = assigned.select(
         F.col(id_col).alias("vec_id"),
         F.col("cluster"),
@@ -557,46 +612,91 @@ def semdedup(
         F.least("__sub", "__p").alias("__ti"),
         F.greatest("__sub", "__p").alias("__tj"),
     )
-    # explicit partition count (one per (cluster, sub-pair) task) so AQE
-    # can't coalesce the tiny-bytes/huge-compute pair stream back onto a
-    # few cores — same counter-measure as block_topk_pairs
-    n_tasks = len(centroids) * sub_blocks * (sub_blocks + 1) // 2
-    left = rep.repartition(
-        n_tasks, F.col("cluster"), F.col("__ti"), F.col("__tj")
-    ).select(
-        F.col("cluster"), F.col("__ti"), F.col("__tj"),
-        F.col("__sub").alias("__sl"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("centroid_cos").alias("cos_a"),
-        F.col("_v").alias("_va"),
+    # explicit partition count so AQE can't coalesce the tiny-bytes/
+    # huge-compute pair stream back onto a few cores — same counter-measure
+    # as block_topk_pairs. CAPPED (round 8): one-partition-per-group is
+    # k * S(S+1)/2 — at k=200 that was 7,200 near-empty tasks whose launch
+    # overhead dominated the pass (46.6 -> ~18 s measured at 20k vectors),
+    # and SemDeDup's contract scales k with the corpus (3.6M partitions at
+    # web-scale k). The count only has to be >> parallelism so hot groups
+    # hash apart; applyInPandas still scores each (cluster, ti, tj) group
+    # independently within a partition.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    n_tasks = min(
+        len(centroids) * sub_blocks * (sub_blocks + 1) // 2,
+        max(16 * par, 512),
     )
-    right = rep.select(
-        F.col("cluster"), F.col("__ti"), F.col("__tj"),
-        F.col("__sub").alias("__sr"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("centroid_cos").alias("cos_b"),
-        F.col("_v").alias("_vb"),
-    )
-    diag = F.col("__ti") == F.col("__tj")
-    pair_once = (diag & (F.col("vec_a") < F.col("vec_b"))) | (
-        ~diag & (F.col("__sl") == F.col("__ti")) & (F.col("__sr") == F.col("__tj"))
-    )
+    thr = float(threshold)
+
+    def _score(pdf):
+        # One (cluster, ti, tj) sub-block-pair task: build the task-local
+        # dense matrix ONCE and score every pair with a NumPy matmul.
+        # Round 8 replacement for a per-pair JVM zip_with/aggregate cosine
+        # (higher-order functions are interpreted, measured ~60 us/pair —
+        # on a 12.8k-vector hot cluster that was 5,400 core-seconds; the
+        # matmul form is the same ~82M dots in ~10 Gflop of BLAS).
+        # Identical output: dot/(||a||*||b||) with the zero-norm->0.0
+        # guard and 6dp HALF_UP (away-from-zero) rounding BEFORE the
+        # threshold filter, exactly like functions.vector.cosine_similarity
+        # + F.round. Per-task memory: 2*(|c|/S)*d for the matrix plus the
+        # chunked (row_chunk x cols) score buffer.
+        import numpy as np
+        import pandas as pd
+
+        out: dict[str, list] = {k: [] for k in ("cluster", "vec_a", "vec_b", "cos", "cos_a", "cos_b")}
+        row_chunk = 4096
+        if len(pdf):
+            cluster = int(pdf["cluster"].iloc[0])
+            ti, tj = int(pdf["__ti"].iloc[0]), int(pdf["__tj"].iloc[0])
+            ids = pdf["vec_id"].to_numpy()
+            ccos = pdf["centroid_cos"].to_numpy(dtype=np.float64)
+            m = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+
+            def emit(li, ri):
+                for r0 in range(0, len(li), row_chunk):
+                    sel = li[r0 : r0 + row_chunk]
+                    dots = m[sel] @ m[ri].T
+                    den = norms[sel][:, None] * norms[ri][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = np.where(den == 0.0, 0.0, dots / den)
+                    r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                    hit = r >= thr
+                    if ti == tj:  # each unordered pair once: id < id
+                        hit &= ids[sel][:, None] < ids[ri][None, :]
+                    ii, jj = np.nonzero(hit)
+                    a, b = ids[sel][ii], ids[ri][jj]
+                    ca, cb = ccos[sel][ii], ccos[ri][jj]
+                    swap = a > b
+                    out["cluster"].extend([cluster] * len(ii))
+                    out["vec_a"].extend(np.where(swap, b, a).tolist())
+                    out["vec_b"].extend(np.where(swap, a, b).tolist())
+                    out["cos"].extend(r[ii, jj].tolist())
+                    out["cos_a"].extend(np.where(swap, cb, ca).tolist())
+                    out["cos_b"].extend(np.where(swap, ca, cb).tolist())
+
+            subs = pdf["__sub"].to_numpy()
+            if ti == tj:
+                idx = np.arange(len(pdf))
+                emit(idx, idx)
+            else:  # cross task: one side from each sub-block
+                emit(np.nonzero(subs == ti)[0], np.nonzero(subs == tj)[0])
+        return pd.DataFrame({
+            "cluster": pd.Series(out["cluster"], dtype="int32"),
+            "vec_a": pd.Series(out["vec_a"], dtype="int64"),
+            "vec_b": pd.Series(out["vec_b"], dtype="int64"),
+            "cos": pd.Series(out["cos"], dtype="float64"),
+            "cos_a": pd.Series(out["cos_a"], dtype="float64"),
+            "cos_b": pd.Series(out["cos_b"], dtype="float64"),
+        })
+
     pairs = (
-        left.join(right, ["cluster", "__ti", "__tj"])
-        .filter(pair_once)
-        .select(
-            # cross-sub sides aren't id-ordered; the contract is vec_a < vec_b
-            F.least("vec_a", "vec_b").alias("vec_a"),
-            F.greatest("vec_a", "vec_b").alias("vec_b"),
-            F.col("cluster"),
-            F.when(F.col("vec_a") < F.col("vec_b"), F.col("cos_a"))
-            .otherwise(F.col("cos_b")).alias("cos_a"),
-            F.when(F.col("vec_a") < F.col("vec_b"), F.col("cos_b"))
-            .otherwise(F.col("cos_a")).alias("cos_b"),
-            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        rep.repartition(n_tasks, F.col("cluster"), F.col("__ti"), F.col("__tj"))
+        .groupBy("cluster", "__ti", "__tj")
+        .applyInPandas(
+            _score,
+            "cluster int, vec_a long, vec_b long, cos double, cos_a double, cos_b double",
         )
-        .filter(F.col("cos") >= float(threshold))
-        .select("cluster", "vec_a", "vec_b", "cos", "cos_a", "cos_b")
     )
     if materialize:
         # the pair frame has two consumers (the returned edges + the
