@@ -878,12 +878,21 @@ def bigram_cross_entropy(
     p = F.lit(lam) * F.coalesce(F.col("p_bi"), F.lit(0.0)) + F.lit(1.0 - lam) * F.coalesce(
         F.col("p_uni"), F.lit(oov_p)
     )
+    # per-position ln terms 12dp-rounded and DECIMAL-summed — the repo's
+    # order-independent mean discipline (see operators/cluster_eval.py):
+    # a bare double sum depends on partition/merge order at ~1e-16, which
+    # a 6dp-rounded DRIVER-HASHED output cannot tolerate (this operator is
+    # fused into the language_id slot since round 8)
     return (
         stream.join(bi, ["w1", "w2"], "left")
         .join(uni, ["w2"], "left")
         .groupBy("doc_id")
         .agg(
-            F.round(-F.sum(F.log(p)) / F.count(F.lit(1)), 6).alias("cross_entropy"),
+            F.round(
+                -F.sum(F.round(F.log(p), 12).cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("cross_entropy"),
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )

@@ -63,18 +63,61 @@ def q_events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def _user_activity_fused_oracle() -> str:
+    from ..operators.events import retention_oracle_sql
+
+    return f"""
+    WITH ua AS (
+      SELECT user_id, count(*) AS n_events,
+             count(DISTINCT date_trunc('day', ts)) AS active_days,
+             {_DSUM} AS sum_value
+      FROM events GROUP BY user_id
+    ),
+    rc AS ({retention_oracle_sql("events")})
+    SELECT 'user' AS kind, user_id, NULL::TIMESTAMP AS cohort_week,
+           NULL::INT AS weeks_since, n_events AS n, active_days, sum_value AS v
+    FROM ua
+    UNION ALL
+    SELECT 'retention', NULL::BIGINT, cohort_week, weeks_since, n_users,
+           NULL::BIGINT, retention
+    FROM rc"""
+
+
 @register(
     "user_activity",
-    f"""
-    SELECT user_id, count(*) AS n_events,
-           count(DISTINCT date_trunc('day', ts)) AS active_days,
-           {_DSUM} AS sum_value
-    FROM events GROUP BY user_id""",
-    "per-user activity profile (count, distinct days, value sum)",
+    _user_activity_fused_oracle(),
+    "per-user activity profile (kind='user': count, distinct days, value "
+    "sum), FUSED since round 8 with weekly cohort retention "
+    "(kind='retention': users grouped by first-seen ISO week, share of the "
+    "cohort still active in each later week — one corpus-sized distinct on "
+    "(user, week), then calendar-bounded frames only)",
     tags=("events",),
 )
 def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return user_activity(load_table(spark, sf_dir, "events"))
+    from pyspark.sql import functions as F
+
+    from ..operators.events import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = user_activity(ev).select(
+        F.lit("user").alias("kind"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("cohort_week"),
+        F.lit(None).cast("int").alias("weeks_since"),
+        F.col("n_events").alias("n"),
+        "active_days",
+        F.col("sum_value").alias("v"),
+    )
+    rc = retention_cohorts(ev).select(
+        F.lit("retention").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        "cohort_week",
+        "weeks_since",
+        F.col("n_users").alias("n"),
+        F.lit(None).cast("long").alias("active_days"),
+        F.col("retention").alias("v"),
+    )
+    return ua.unionByName(rc)
 
 
 # ---------------------------------------------------------------------------
@@ -140,6 +183,13 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_features(load_table(spark, sf_dir, "documents"), n=2)
 
 
+# Jelinek-Mercer weight for the fused language_id slot. 0.75 so the
+# complement is EXACTLY representable (1.0 - 0.75 == 0.25 in binary
+# floating point) — the Spark literal and the SQL literal must be the
+# same double for a hash-gated output.
+_LM_LAM = 0.75
+
+
 def _lang_oracle() -> str:
     score_cols = []
     for lang in sorted(LANG_MARKERS):
@@ -149,6 +199,12 @@ def _lang_oracle() -> str:
         )
     langs = sorted(LANG_MARKERS)
     pairs = ", ".join(f"{{'s': s_{l}, 'lang': '{l}'}}" for l in langs)
+    # self-trained interpolated bigram LM, mirroring
+    # operators/textstats.bigram_cross_entropy: stopword-filtered ORDERED
+    # token arrays (bigrams are order-sensitive — the unnest-style
+    # TOKENS_CTE would lose adjacency), per-position ln terms 12dp-rounded
+    # and DECIMAL(38,12)-summed (the repo's order-independent mean
+    # discipline, see operators/cluster_eval.py)
     return f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     s AS (SELECT doc_id, {', '.join(score_cols)} FROM t),
@@ -159,21 +215,72 @@ def _lang_oracle() -> str:
       SELECT doc_id, sc.s AS s, sc.lang AS lang,
              row_number() OVER (PARTITION BY doc_id ORDER BY sc.s DESC, sc.lang ASC) AS rn
       FROM ranked
+    ),
+    lm_arr AS (
+      SELECT doc_id, list_filter(toks, t -> t NOT IN ({_STOP_SQL})) AS a FROM t
+    ),
+    lm_bi AS (
+      SELECT doc_id, a[i] AS w1, a[i + 1] AS w2
+      FROM lm_arr, LATERAL (SELECT unnest(generate_series(1, len(a) - 1)) AS i) g
+      WHERE len(a) >= 2
+    ),
+    lm_uni AS (SELECT doc_id, unnest(a) AS w2 FROM lm_arr),
+    lm_bic AS (SELECT w1, w2, count(*) AS c FROM lm_bi GROUP BY w1, w2),
+    lm_ctx AS (SELECT w1, sum(c) AS cx FROM lm_bic GROUP BY w1),
+    lm_pbi AS (
+      SELECT lm_bic.w1, lm_bic.w2, c::DOUBLE / cx AS p_bi
+      FROM lm_bic JOIN lm_ctx USING (w1)
+    ),
+    lm_unic AS (SELECT w2, count(*) AS c FROM lm_uni GROUP BY w2),
+    lm_m AS (SELECT sum(c)::DOUBLE AS m FROM lm_unic),
+    lm_puni AS (SELECT w2, c::DOUBLE / lm_m.m AS p_uni FROM lm_unic, lm_m),
+    lm AS (
+      SELECT lm_bi.doc_id,
+             round(-CAST(sum(CAST(round(ln({_LM_LAM} * p_bi + {1.0 - _LM_LAM} * p_uni), 12)
+                                  AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS cross_entropy,
+             count(*) AS n_bigrams
+      FROM lm_bi JOIN lm_pbi USING (w1, w2) JOIN lm_puni USING (w2)
+      GROUP BY lm_bi.doc_id
     )
-    SELECT doc_id,
+    SELECT 'lang' AS kind, doc_id,
            CASE WHEN s > 0 THEN lang ELSE 'und' END AS pred_lang,
-           s::INT AS marker_hits
-    FROM best WHERE rn = 1"""
+           s::BIGINT AS n, NULL::DOUBLE AS v
+    FROM best WHERE rn = 1
+    UNION ALL
+    SELECT 'lm', doc_id, NULL, n_bigrams, cross_entropy FROM lm"""
 
 
 @register(
     "language_id",
     _lang_oracle(),
-    "marker-word language ID: argmax marker hits, deterministic tie-break",
+    "marker-word language ID (kind='lang': argmax marker hits, "
+    "deterministic tie-break), FUSED since round 8 with the self-trained "
+    "interpolated bigram-LM quality score (kind='lm': CCNet-style "
+    "cross-entropy per doc, Jelinek-Mercer lam=0.75, order-independent "
+    "decimal ln sums — the order-SENSITIVE twin of the unigram score)",
     tags=("textstats",),
 )
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return language_id(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import bigram_cross_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang = language_id(docs).select(
+        F.lit("lang").alias("kind"),
+        "doc_id",
+        "pred_lang",
+        F.col("marker_hits").cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    lm = bigram_cross_entropy(docs, lam=_LM_LAM).select(
+        F.lit("lm").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("pred_lang"),
+        F.col("n_bigrams").alias("n"),
+        F.col("cross_entropy").alias("v"),
+    )
+    return lang.unionByName(lm)
 
 
 

@@ -51,7 +51,8 @@ uni_counts AS (SELECT w2, count(*) AS c FROM uni GROUP BY w2),
 m AS (SELECT sum(c)::DOUBLE AS m FROM uni_counts),
 p_uni AS (SELECT w2, c::DOUBLE / m.m AS p_uni FROM uni_counts, m)
 SELECT bi.doc_id,
-       round(-sum(ln({{lam}} * p_bi + {{one_minus}} * p_uni)) / count(*), 6) AS cross_entropy,
+       round(-CAST(sum(CAST(round(ln({{lam}} * p_bi + {{one_minus}} * p_uni), 12)
+                            AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS cross_entropy,
        count(*) AS n_bigrams
 FROM bi JOIN p_bi USING (w1, w2) JOIN p_uni USING (w2)
 GROUP BY bi.doc_id

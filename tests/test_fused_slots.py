@@ -197,3 +197,61 @@ class TestComponentSplitFusion:
         assert len(singles) > 0
         for r in singles:
             assert base[r["doc_id"]] == (r["bucket"], r["split"]), r["doc_id"]
+
+
+@pytest.fixture(scope="module")
+def ua_fused(spark, sf_dir):
+    return all_queries()["user_activity"].spark(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def lang_fused(spark, sf_dir):
+    return all_queries()["language_id"].spark(spark, sf_dir).cache()
+
+
+class TestRetentionFusion:
+    """Round-8 fusion: weekly cohort retention riding user_activity."""
+
+    def test_user_rows_cover_all_users(self, ua_fused, spark, sf_dir):
+        n = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id").distinct().count()
+        )
+        assert ua_fused.where(F.col("kind") == "user").count() == n
+
+    def test_week_zero_retention_is_one(self, ua_fused):
+        rows = ua_fused.where(F.col("kind") == "retention")
+        assert rows.count() > 0
+        assert rows.where((F.col("weeks_since") == 0) & (F.col("v") != 1.0)).count() == 0
+
+    def test_retention_bounded_and_monotone_cohorts(self, ua_fused):
+        rows = ua_fused.where(F.col("kind") == "retention")
+        assert rows.where((F.col("v") < 0) | (F.col("v") > 1)).count() == 0
+        # every later-week count is <= the cohort's week-0 count
+        bad = (
+            rows.groupBy("cohort_week")
+            .agg(
+                F.max(F.when(F.col("weeks_since") == 0, F.col("n"))).alias("size0"),
+                F.max(F.when(F.col("weeks_since") > 0, F.col("n"))).alias("later_max"),
+            )
+            .where(F.col("later_max") > F.col("size0"))
+        )
+        assert bad.count() == 0
+
+
+class TestBigramLmFusion:
+    """Round-8 fusion: self-trained bigram-LM score riding language_id."""
+
+    def test_lang_rows_cover_the_corpus(self, lang_fused, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert lang_fused.where(F.col("kind") == "lang").count() == n_docs
+
+    def test_lm_scores_positive_and_docs_subset(self, lang_fused):
+        lm = lang_fused.where(F.col("kind") == "lm")
+        assert lm.count() > 0
+        # self-trained: every probability < 1 -> cross-entropy > 0
+        assert lm.where(F.col("v") <= 0).count() == 0
+        assert lm.where(F.col("n") < 1).count() == 0
+        lang_ids = {r["doc_id"] for r in lang_fused.where(F.col("kind") == "lang").select("doc_id").collect()}
+        lm_ids = {r["doc_id"] for r in lm.select("doc_id").collect()}
+        assert lm_ids <= lang_ids
