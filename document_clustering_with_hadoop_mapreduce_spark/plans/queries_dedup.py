@@ -366,16 +366,58 @@ q AS (
          round(len(list_filter({_TOKS}, x -> x IN ({_STOP_SQL})))::DOUBLE
                / nullif({n_tokens}, 0), 6) AS stopword_ratio
   FROM documents
+),
+flags AS (
+  SELECT q.doc_id, q.lang, q.n_tokens::BIGINT AS n_tokens, q.n_chars::BIGINT AS n_chars,
+         q.stopword_ratio, q.punct_ratio,
+         x.cross_entropy, w.log_weight AS dsir_logw,
+         coalesce(q.n_tokens >= 20, false) AS g1,
+         coalesce(q.stopword_ratio >= 0.02, false) AS g2,
+         coalesce(q.punct_ratio <= 0.05, false) AS g3,
+         (k.doc_id IS NULL) AS g4,
+         (c.component = q.doc_id) AS g5
+  FROM q JOIN comp_full c ON q.doc_id = c.doc_id
+  LEFT JOIN xent x ON x.doc_id = q.doc_id
+  LEFT JOIN ds_w w ON w.doc_id = q.doc_id
+  LEFT JOIN contaminated k ON k.doc_id = q.doc_id
+),
+fun AS (
+  SELECT count(*)::BIGINT AS n0,
+         count_if(g1)::BIGINT AS n1,
+         count_if(g1 AND g2)::BIGINT AS n2,
+         count_if(g1 AND g2 AND g3)::BIGINT AS n3,
+         count_if(g1 AND g2 AND g3 AND g4)::BIGINT AS n4,
+         count_if(g1 AND g2 AND g3 AND g4 AND g5)::BIGINT AS n5
+  FROM flags
 )
-SELECT q.doc_id, q.lang, q.n_tokens, q.n_chars, q.stopword_ratio, q.punct_ratio,
-       x.cross_entropy, w.log_weight AS dsir_logw
-FROM q JOIN comp_full c ON q.doc_id = c.doc_id
-LEFT JOIN xent x ON x.doc_id = q.doc_id
-LEFT JOIN ds_w w ON w.doc_id = q.doc_id
-LEFT JOIN contaminated k ON k.doc_id = q.doc_id
-WHERE c.component = q.doc_id AND q.n_tokens >= 20
-  AND q.stopword_ratio >= 0.02 AND q.punct_ratio <= 0.05
-  AND k.doc_id IS NULL"""
+SELECT 'doc' AS kind, doc_id, lang, n_tokens, n_chars, stopword_ratio, punct_ratio,
+       cross_entropy, dsir_logw, NULL::VARCHAR AS stage,
+       NULL::BIGINT AS n_in, NULL::BIGINT AS n_kept, NULL::BIGINT AS n_dropped
+FROM flags WHERE g1 AND g2 AND g3 AND g4 AND g5
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'input', n0, n0, 0::BIGINT FROM fun
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'min_tokens', n0, n1, n0 - n1 FROM fun
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'stopword_ratio', n1, n2, n1 - n2 FROM fun
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'punct_ratio', n2, n3, n2 - n3 FROM fun
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'decontaminated', n3, n4, n3 - n4 FROM fun
+UNION ALL
+SELECT 'funnel', NULL::BIGINT, NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT,
+       NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE,
+       'representative', n4, n5, n4 - n5 FROM fun"""
 
 
 @register(
@@ -436,24 +478,53 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR target-likeness per survivor (bucketed n-gram LMs; the log-ratio
     # table is n_buckets-bounded so its join broadcasts — see operators/dsir.py)
     dsw = dsir_weights(docs, F.expr(_DSIR_TGT_SQL), n_buckets=_DSIR_B)
-    return (
+    # FUSED since round 8: the slot also reports the curation FUNNEL —
+    # funnel_report over the very gate predicates the survivor filter
+    # applies (cumulative pipeline order), so the per-stage attrition a
+    # production curation run publishes is driver-gated too. One flags
+    # frame feeds both consumers (checkpointed: the survivor filter and
+    # the funnel aggregate share every upstream join).
+    from ..operators.funnel import funnel_report
+
+    flags = (
         ids.select("doc_id", "lang")
         .join(qual, "doc_id")
         .join(comp, "doc_id")
         .join(xent, "doc_id", "left")
         .join(dsw.withColumnRenamed("log_weight", "dsir_logw"), "doc_id", "left")
-        .join(flagged, "doc_id", "left_anti")
-        .filter(
-            (F.col("component") == F.col("doc_id"))
-            & (F.col("n_tokens") >= 20)
-            & (F.col("stopword_ratio") >= 0.02)
-            & (F.col("punct_ratio") <= 0.05)
-        )
-        .select(
-            "doc_id", "lang", "n_tokens", "n_chars", "stopword_ratio", "punct_ratio",
-            "cross_entropy", "dsir_logw",
-        )
+        .join(flagged.withColumn("_flag", F.lit(True)), "doc_id", "left")
+        .localCheckpoint(eager=False)
     )
+    stages = {
+        "min_tokens": F.col("n_tokens") >= 20,
+        "stopword_ratio": F.col("stopword_ratio") >= 0.02,
+        "punct_ratio": F.col("punct_ratio") <= 0.05,
+        "decontaminated": F.col("_flag").isNull(),
+        "representative": F.col("component") == F.col("doc_id"),
+    }
+    keep = None
+    for pred in stages.values():
+        keep = pred if keep is None else (keep & pred)
+    fun_cols = ["stage", "n_in", "n_kept", "n_dropped"]
+    doc_rows = flags.filter(keep).select(
+        F.lit("doc").alias("kind"),
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "stopword_ratio", "punct_ratio", "cross_entropy", "dsir_logw",
+        F.lit(None).cast("string").alias("stage"),
+        *[F.lit(None).cast("long").alias(c) for c in fun_cols[1:]],
+    )
+    fun_rows = funnel_report(flags, stages).select(
+        F.lit("funnel").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("string").alias("lang"),
+        *[F.lit(None).cast("long").alias(c) for c in ("n_tokens", "n_chars")],
+        *[F.lit(None).cast("double").alias(c)
+          for c in ("stopword_ratio", "punct_ratio", "cross_entropy", "dsir_logw")],
+        *fun_cols,
+    )
+    return doc_rows.unionByName(fun_rows)
 
 
 _COSINE_CTES = f"""{TFIDF_CTE},

@@ -90,8 +90,19 @@ def test_curation_funnel_matches_capstone_survivors(spark, sf_dir):
         },
     )
     rows = {r["stage"]: r for r in funnel.collect()}
-    survivors = all_queries()["corpus_curation"].spark(spark, sf_dir).count()
+    fused = all_queries()["corpus_curation"].spark(spark, sf_dir).cache()
+    survivors = fused.where(F.col("kind") == "doc").count()
     assert rows["dedup_representative"]["n_kept"] == survivors
+    # the slot's own fused funnel rows (round 8) agree with this
+    # independently-staged funnel at the shared stage boundaries
+    slot_fun = {
+        r["stage"]: r for r in fused.where(F.col("kind") == "funnel").collect()
+    }
+    assert slot_fun["input"]["n_in"] == rows["input"]["n_in"]
+    assert slot_fun["punct_ratio"]["n_kept"] == rows["quality"]["n_kept"]
+    assert slot_fun["decontaminated"]["n_kept"] == rows["decontaminate"]["n_kept"]
+    assert slot_fun["representative"]["n_kept"] == survivors
+    fused.unpersist()
     assert rows["input"]["n_in"] == docs.count()
     # funnel sanity: monotone non-increasing
     order = ["input", "quality", "decontaminate", "dedup_representative"]

@@ -308,6 +308,9 @@ def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
         # scalar (crossJoin(broadcast(mass)) — same class as tfidf's
         # derived-N branch)
         "corpus_curation",
+        # fused round 8: bigram_cross_entropy's unigram model carries the
+        # same 1-ROW token-mass scalar crossJoin (textstats.py::bigram_lm)
+        "language_id",
     }
     for name, q in sorted(all_queries().items()):
         plan = _plan(q.spark(spark, sf_dir))
