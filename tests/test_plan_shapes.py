@@ -64,13 +64,19 @@ def test_minhash_single_shuffle(spark, sf_dir):
     assert "Sort" not in plan  # hash agg needs no sort
 
 
-def test_knn_is_broadcast_nested_loop_not_shuffle_cartesian(spark, sf_dir):
-    """Brute-force knn crossjoins a BROADCAST probe set — never a shuffled
-    cartesian product of the corpus with itself."""
+def test_knn_scores_map_side_and_ranks_only_candidates(spark, sf_dir):
+    """Brute-force knn (round-8 shape): probes ride the task closure and
+    each corpus partition emits only its LOCAL top-k per query via one
+    Arrow batch — so the plan has NO join of corpus against probes at all,
+    and the final exact window ranks only the parts x q x k candidate
+    stream (the old shape window-sorted the full n x q scored stream on q
+    keys — q corpus-sized sort tasks at scale)."""
     df = all_queries()["knn_bruteforce"].spark(spark, sf_dir)
     plan = _plan(df)
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # no corpus x probe join: closure + mapInPandas
+    assert "MapInPandas" in plan
+    assert "Window" in plan  # the exact final rank over candidates only
 
 
 def test_asof_join_single_user_exchange(spark, sf_dir):
