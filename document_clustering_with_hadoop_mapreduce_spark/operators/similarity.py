@@ -164,28 +164,92 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """ANN: per-vector top-k among same-bucket vectors.
 
-    The self-join shuffles on ``bucket`` only — at 100 TB, bucket count
-    (2^planes) is tuned so buckets fit an executor's working set; skewed
-    buckets are AQE-split.
+    Round-8 shape (the semdedup sub-block pattern): the within-bucket
+    pair space is partitioned into (bucket, ti, tj) sub-block tasks —
+    vectors replicate only to their own bucket's S(S+1)/2 sub-pairs, so a
+    HOT bucket (boilerplate embeddings all hashing identically) spreads
+    across tasks instead of serializing — and each task scores its pairs
+    with ONE NumPy matmul and emits only per-vector LOCAL top-k (both
+    directions of a cross task). The previous shape was a bucket-keyed
+    self-join with an interpreted ~60 us HOF cosine per candidate row and
+    a window over the full candidate stream; the final exact rank here
+    orders at most S * k candidate rows per vector. Same 6dp HALF_UP
+    rounding and vec_id tie-break; per-vector local top-k is a superset
+    of the global one, so output is identical.
     """
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    sub_blocks = 4
     b = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("vec"),
         lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
     )
-    left = b.alias("l")
-    right = b.alias("r")
-    scored = (
-        left.join(right, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") != F.col("r.vec_id")))
-        .select(
-            F.col("l.vec_id").alias("query_id"),
-            F.col("r.vec_id").alias("vec_id"),
-            F.round(cosine_similarity(F.col("l.vec"), F.col("r.vec")), 6).alias("cos"),
-        )
+    rep = b.withColumn(
+        "__sub", F.pmod(F.hash(F.col("vec_id")), F.lit(sub_blocks)).cast("int")
+    ).select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(sub_blocks - 1))).alias("__p")
+    ).select(
+        "vec_id", "vec", "bucket", "__sub",
+        F.least("__sub", "__p").alias("__ti"),
+        F.greatest("__sub", "__p").alias("__tj"),
+    )
+    id_type = embeddings.schema[id_col].dataType
+    out_schema = StructType([
+        StructField("query_id", id_type),
+        StructField("vec_id", id_type),
+        StructField("cos", DoubleType()),
+    ])
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        out_q, out_v, out_c = [], [], []
+        if len(pdf):
+            ti, tj = int(pdf["__ti"].iloc[0]), int(pdf["__tj"].iloc[0])
+            ids = pdf["vec_id"].to_numpy()
+            m = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+
+            def emit_topk(li, ri, exclude_self):
+                dots = m[li] @ m[ri].T
+                den = norms[li][:, None] * norms[ri][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(den == 0.0, 0.0, dots / den)
+                r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6  # HALF_UP
+                rid = ids[ri]
+                for row, qi in enumerate(li):
+                    cj, vj = r[row], rid
+                    if exclude_self:
+                        keep = vj != ids[qi]
+                        cj, vj = cj[keep], vj[keep]
+                    order = np.lexsort((vj, -cj))[:k]
+                    out_q.extend([ids[qi]] * len(order))
+                    out_v.extend(vj[order].tolist())
+                    out_c.extend(cj[order].tolist())
+
+            subs = pdf["__sub"].to_numpy()
+            if ti == tj:
+                idx = np.arange(len(pdf))
+                emit_topk(idx, idx, exclude_self=True)
+            else:  # cross task: both directions, one matmul's worth each
+                li = np.nonzero(subs == ti)[0]
+                ri = np.nonzero(subs == tj)[0]
+                if len(li) and len(ri):
+                    emit_topk(li, ri, exclude_self=False)
+                    emit_topk(ri, li, exclude_self=False)
+        return pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
+
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    candidates = (
+        rep.repartition(max(4 * par, 128), F.col("bucket"), F.col("__ti"), F.col("__tj"))
+        .groupBy("bucket", "__ti", "__tj")
+        .applyInPandas(score, out_schema)
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
