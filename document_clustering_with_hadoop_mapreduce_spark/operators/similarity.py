@@ -436,20 +436,64 @@ def ivf_topk(
         "vec_id", "vec", F.col("cluster").alias("cell")
     )
 
-    probes = _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+    # Round-8 shape: the probe table is broadcast-bounded by contract, so
+    # it rides the task closure instead of a join — each corpus partition
+    # scores its rows against the probes of their cells with vectorized
+    # NumPy (grouped per cell present in the batch) and emits per-query
+    # LOCAL top-k; the final exact window ranks parts x q x k candidates.
+    # The previous shape paid an interpreted ~60 us HOF cosine per
+    # (cell-member x probe) row and window-sorted the full candidate
+    # stream on q keys.
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    scored = (
-        cells.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine_similarity(F.col("qvec"), F.col("vec")), 6).alias("cos"),
+    probe_rows = _probe_cells(queries, centroids, nprobe, id_col, vec_col).collect()
+    by_cell: dict[int, list] = {}
+    for r in probe_rows:
+        by_cell.setdefault(int(r["cell"]), []).append(
+            (r["query_id"], [float(x) for x in r["qvec"]])
         )
-    )
+    out_schema = StructType([
+        StructField("query_id", queries.schema[id_col].dataType),
+        StructField("vec_id", embeddings.schema[id_col].dataType),
+        StructField("cos", DoubleType()),
+    ])
+
+    def local_topk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf) or not by_cell:
+                continue
+            out_q, out_v, out_c = [], [], []
+            cells_np = pdf["cell"].to_numpy()
+            ids = pdf["vec_id"].to_numpy()
+            m = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            en = np.sqrt((m * m).sum(axis=1))
+            for cell in np.unique(cells_np):
+                plist = by_cell.get(int(cell))
+                if not plist:
+                    continue
+                sel = np.nonzero(cells_np == cell)[0]
+                Q = np.asarray([p[1] for p in plist], dtype=np.float64)
+                qn = np.sqrt((Q * Q).sum(axis=1))
+                den = en[sel][:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(den == 0.0, 0.0, (m[sel] @ Q.T) / den)
+                r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6  # HALF_UP
+                for j, (qid, _) in enumerate(plist):
+                    keep = ids[sel] != qid  # self excluded
+                    cj, vj = r[keep, j], ids[sel][keep]
+                    order = np.lexsort((vj, -cj))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(vj[order].tolist())
+                    out_c.extend(cj[order].tolist())
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
+
+    candidates = cells.mapInPandas(local_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
     )
