@@ -67,6 +67,69 @@ def assign_nearest(
     return df.withColumn("cluster", best["cid"]).withColumn("dist_sq", best["d"])
 
 
+# The HOF assignment above is O(k*d) INTERPRETED work per row (~1 us per
+# element) — the right shape for a handful of centroids, a scale-killer
+# once k grows with the corpus (SemDeDup's k, k-means||'s candidate set).
+# Callers switch to the Arrow twin below past this k.
+ARROW_ASSIGN_MIN_K = 16
+
+
+def assign_nearest_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    features_col: str = "embedding",
+    round_decimals: int | None = 6,
+) -> DataFrame:
+    """``assign_nearest`` semantics on a NumPy batch path: squared
+    euclidean per centroid (vectorized one-centroid-at-a-time — no
+    |v|^2+|c|^2-2vc expansion, whose cancellation error would differ from
+    the fold for near-duplicate vectors), optional HALF_UP distance round,
+    argmin with smallest-cid tie-break (NumPy argmin returns the first
+    minimum). mapInPandas keeps it map-side (no shuffle, no join-back);
+    the k x d centroid matrix ships once per task in the closure.
+
+    Emits the SAME columns as ``assign_nearest`` (input + cluster +
+    dist_sq) — but the input passes through Arrow, so callers must select
+    Arrow-friendly columns first (no UDTs). Float-summation order differs
+    from the JVM fold at ~1e-16, the accepted class (see the block matmul
+    engines); pinned equal to ``assign_nearest`` on real fixture data in
+    tests/test_semdedup.py.
+    """
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    cmat = [[float(v) for v in c] for c in centroids]
+    # fresh StructType — df.schema is memoized on the DataFrame and
+    # StructType.add mutates in place, so .add on it would poison the
+    # input frame's own schema
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField("cluster", IntegerType()), StructField("dist_sq", DoubleType())]
+    )
+    scale = None if round_decimals is None else float(10**round_decimals)
+
+    def assign(batches):
+        import numpy as np
+
+        C = np.asarray(cmat, dtype=np.float64)
+        for pdf in batches:
+            pdf = pdf.reset_index(drop=True)
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf[features_col].tolist(), dtype=np.float64)
+            d2 = np.empty((len(pdf), len(C)), dtype=np.float64)
+            for ci in range(len(C)):
+                diff = m - C[ci]
+                d2[:, ci] = (diff * diff).sum(axis=1)
+            if scale is not None:
+                d2 = np.floor(d2 * scale + 0.5) / scale  # HALF_UP, d2 >= 0
+            cl = d2.argmin(axis=1)
+            pdf["cluster"] = cl.astype("int32")
+            pdf["dist_sq"] = d2[np.arange(len(pdf)), cl]
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def recompute_centroids(
     assigned: DataFrame,
     features_col: str = "embedding",
@@ -335,10 +398,20 @@ def scalable_kmeans_init(
     feats = feats.cache()
     first = feats.orderBy("id").limit(1).collect()[0]
     cands: dict[int, list[float]] = {first["id"]: list(first["v"])}
+
+    # the candidate set GROWS ~l per round (that is k-means||'s whole
+    # point), so later distance passes pay O(|cands| * d) per row — the
+    # interpreted HOF form past ARROW_ASSIGN_MIN_K candidates is exactly
+    # the cost the round-8 similarity audit removed; same switch here
+    def nearest(cents: list[list[float]]) -> DataFrame:
+        if len(cents) > ARROW_ASSIGN_MIN_K:
+            return assign_nearest_arrow(feats, cents, "v", round_decimals=6)
+        return assign_nearest(feats, cents, "v", round_decimals=6)
+
     for r in range(rounds):
         ordered = sorted(cands)
-        dists = assign_nearest(
-            feats, [cands[i] for i in ordered], "v", round_decimals=6
+        dists = nearest(
+            [cands[i] for i in ordered]
         ).select("id", "v", "dist_sq").cache()
         psi_df = dists.agg(
             F.sum(F.col("dist_sq").cast("decimal(28,6)")).cast("double").alias("psi")
@@ -373,7 +446,7 @@ def scalable_kmeans_init(
     # weight = nearest-point count over ALL candidates (6dp-rounded dist,
     # lowest-candidate-id tie-break — assign_nearest's struct-min order)
     ordered = sorted(cands)
-    assigned = assign_nearest(feats, [cands[i] for i in ordered], "v", round_decimals=6)
+    assigned = nearest([cands[i] for i in ordered])
     wrows = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
     feats.unpersist()
     weights = {ordered[row["cluster"]]: int(row["w"]) for row in wrows}

@@ -629,49 +629,9 @@ def quantized_ivf_topk(
 # HOF assignment is O(k*d) INTERPRETED work per row (~1 us/element); fine
 # for the handful-of-centroids queries, a scale-killer once k grows with
 # the corpus the way SemDeDup prescribes (10k-100k clusters at web scale).
-# Above this k, semdedup switches to the Arrow batch assignment below.
-_ARROW_ASSIGN_MIN_K = 16
-
-
-def _assign_nearest_arrow(
-    df: DataFrame,
-    centroids: list[list[float]],
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """``kmeans.assign_nearest`` semantics on a NumPy batch path: squared
-    euclidean per centroid (vectorized one-centroid-at-a-time — no
-    |v|^2+|c|^2-2vc expansion, whose cancellation error would differ from
-    the fold for near-duplicate vectors), 6dp HALF_UP round of the
-    distance, argmin with smallest-cid tie-break. mapInPandas keeps it
-    map-side (no shuffle, no join-back); the k x d centroid matrix ships
-    once per task in the closure. Used by ``semdedup`` when k exceeds
-    ``_ARROW_ASSIGN_MIN_K``; float-summation order differs from the JVM
-    fold at ~1e-16, the same accepted class as the block matmul engines
-    (6dp rounding makes a flip ~1e-10-probable per comparison)."""
-    cmat = [[float(v) for v in c] for c in centroids]
-    from pyspark.sql.types import IntegerType
-
-    schema = df.select(id_col, vec_col).schema.add("cluster", IntegerType())
-
-    def assign(batches):
-        import numpy as np
-
-        C = np.asarray(cmat, dtype=np.float64)
-        for pdf in batches:
-            pdf = pdf.reset_index(drop=True)
-            if not len(pdf):
-                continue
-            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            d2 = np.empty((len(pdf), len(C)), dtype=np.float64)
-            for ci in range(len(C)):
-                diff = m - C[ci]
-                d2[:, ci] = (diff * diff).sum(axis=1)
-            d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # HALF_UP, d2 >= 0
-            pdf["cluster"] = d2.argmin(axis=1).astype("int32")  # first min = smallest cid
-            yield pdf
-
-    return df.select(id_col, vec_col).mapInPandas(assign, schema)
+# Above kmeans.ARROW_ASSIGN_MIN_K, semdedup switches to the shared Arrow
+# batch assignment (kmeans.assign_nearest_arrow — also used by the
+# k-means|| distance passes, whose candidate set grows ~l per round).
 
 
 def semdedup(
@@ -728,15 +688,18 @@ def semdedup(
     (sources/2.2/source/KMeans.java assignment semantics, re-expressed in
     ``assign_nearest``) with the dedup family in ``operators/dedup.py``.
     """
-    from .kmeans import assign_nearest
+    from .kmeans import ARROW_ASSIGN_MIN_K, assign_nearest, assign_nearest_arrow
 
     cents = F.lit([[float(v) for v in c] for c in centroids])
-    if len(centroids) > _ARROW_ASSIGN_MIN_K:
+    if len(centroids) > ARROW_ASSIGN_MIN_K:
         # k grows with the corpus per the paper; the interpreted HOF
         # assignment is O(k*d)/row and dominated the whole pipeline at
         # k=80 (measured ~16 s for 20k x 80 x 64 — see the quadratic
-        # family bench). Same semantics, BLAS batch (helper above).
-        assigned = _assign_nearest_arrow(embeddings, centroids, id_col, vec_col)
+        # family bench). Same semantics, BLAS batch (Arrow pass-through,
+        # so select just the two columns semdedup needs).
+        assigned = assign_nearest_arrow(
+            embeddings.select(id_col, vec_col), centroids, features_col=vec_col
+        )
     else:
         assigned = assign_nearest(embeddings, centroids, features_col=vec_col)
     base = assigned.select(

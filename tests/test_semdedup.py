@@ -200,18 +200,20 @@ def test_arrow_assignment_matches_hof(spark, sf_dir):
     equality on real fixture vectors with a k above the switch point."""
     import random
 
-    from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import assign_nearest
-    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
-        _assign_nearest_arrow,
+    from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import (
+        assign_nearest,
+        assign_nearest_arrow,
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     dim = len(emb.select("embedding").first()[0])
     rng = random.Random(8)
     cents = [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(24)]
-    hof = {r["vec_id"]: r["cluster"] for r in assign_nearest(emb, cents).collect()}
     arrow = {
-        r["vec_id"]: r["cluster"]
-        for r in _assign_nearest_arrow(emb, cents, "vec_id", "embedding").collect()
+        r["vec_id"]: (r["cluster"], r["dist_sq"])
+        for r in assign_nearest_arrow(
+            emb.select("vec_id", "embedding"), cents, features_col="embedding"
+        ).collect()
     }
-    assert arrow == hof
+    both = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in assign_nearest(emb, cents).collect()}
+    assert arrow == both
