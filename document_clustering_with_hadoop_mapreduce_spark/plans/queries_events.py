@@ -499,23 +499,93 @@ def q_events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# token-budget recipe for the fused stratified_sample slot: en partially
+# sampled at every SF, zh heavily sampled, everything else kept — the
+# Pile/Doremi-style "N tokens of lang X" planner feeding the sampler
+_MIX_BUDGETS = {"en": 5000, "zh": 100}
+
+
+def _stratified_fused_oracle() -> str:
+    n_tokens = "CASE WHEN trim(text)='' THEN 0 ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END"
+    budget_case = " ".join(
+        f"WHEN stratum = '{s}' THEN {int(b)}" for s, b in sorted(_MIX_BUDGETS.items())
+    )
+    u = "CAST(('0x' || substr(md5('sample-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 1000000"
+    return f"""
+    WITH mx_avail AS (
+      SELECT lang AS stratum, sum({n_tokens})::BIGINT AS available_tokens
+      FROM documents GROUP BY lang
+    ),
+    mx_rates AS (
+      SELECT stratum, available_tokens,
+             (CASE {budget_case} END)::BIGINT AS budget_tokens,
+             round(CASE WHEN (CASE {budget_case} END) IS NOT NULL
+                         AND available_tokens > (CASE {budget_case} END)
+                        THEN (CASE {budget_case} END) / available_tokens::DOUBLE
+                        ELSE 1.0 END, 6) AS rate
+      FROM mx_avail
+    )
+    SELECT 'doc' AS kind, doc_id, text, lang, source, n_chars::BIGINT AS n_chars,
+           NULL::VARCHAR AS stratum, NULL::BIGINT AS available_tokens,
+           NULL::BIGINT AS budget_tokens, NULL::DOUBLE AS rate
+    FROM documents
+    WHERE {u} < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END) * 1000000.0
+    UNION ALL
+    SELECT 'rate', NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT,
+           stratum, available_tokens, budget_tokens, rate
+    FROM mx_rates
+    UNION ALL
+    SELECT 'budget_doc', d.doc_id, NULL::VARCHAR, d.lang, NULL::VARCHAR, NULL::BIGINT,
+           NULL::VARCHAR, NULL::BIGINT, NULL::BIGINT, NULL::DOUBLE
+    FROM documents d LEFT JOIN mx_rates r ON r.stratum = d.lang
+    WHERE {u} < coalesce(r.rate, 1.0) * 1000000.0"""
+
+
 @register(
     "stratified_sample",
-    """
-    SELECT doc_id, text, lang, source, n_chars
-    FROM documents
-    WHERE CAST(('0x' || substr(md5('sample-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 1000000
-          < (CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'zh' THEN 0.25 ELSE 1.0 END) * 1000000.0""",
+    _stratified_fused_oracle(),
     "deterministic stratified down-sampling (language mixing weights) by "
-    "salted id hash — reproducible across runs/engines/partitionings, "
-    "map-side filter, no RNG (the training-data mixture primitive)",
+    "salted id hash — map-side filter, no RNG (kind='doc'); FUSED since "
+    "round 8 with the token-budget mixing planner: kind='rate' rows are "
+    "mixture_rates' (stratum, available, budget, keep-rate) plan and "
+    "kind='budget_doc' rows are sample_to_budget's kept documents under "
+    "those rates — the Pile/Doremi-style 'N tokens of lang X' recipe, "
+    "driver-gated end to end",
     tags=("textstats",),
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import stratified_sample
+    from pyspark.sql import functions as F
+
+    from ..operators.textstats import mixture_rates, sample_to_budget, stratified_sample
 
     # pure map-side hash filter: same no-shuffle reasoning as hash_split
-    return stratified_sample(
-        load_table(spark, sf_dir, "documents", fan_out=False),
-        rates={"en": 0.5, "zh": 0.25},
+    docs = load_table(spark, sf_dir, "documents", fan_out=False)
+    nulls_tail = [
+        F.lit(None).cast("string").alias("stratum"),
+        F.lit(None).cast("long").alias("available_tokens"),
+        F.lit(None).cast("long").alias("budget_tokens"),
+        F.lit(None).cast("double").alias("rate"),
+    ]
+    doc_rows = stratified_sample(docs, rates={"en": 0.5, "zh": 0.25}).select(
+        F.lit("doc").alias("kind"),
+        "doc_id", "text", "lang", "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        *nulls_tail,
     )
+    rate_rows = mixture_rates(docs, _MIX_BUDGETS).select(
+        F.lit("rate").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        *[F.lit(None).cast("string").alias(c) for c in ("text", "lang", "source")],
+        F.lit(None).cast("long").alias("n_chars"),
+        "stratum", "available_tokens", "budget_tokens", "rate",
+    )
+    budget_rows = sample_to_budget(docs, _MIX_BUDGETS).select(
+        F.lit("budget_doc").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+        *nulls_tail,
+    )
+    return doc_rows.unionByName(rate_rows).unionByName(budget_rows)

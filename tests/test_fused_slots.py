@@ -255,3 +255,53 @@ class TestBigramLmFusion:
         lang_ids = {r["doc_id"] for r in lang_fused.where(F.col("kind") == "lang").select("doc_id").collect()}
         lm_ids = {r["doc_id"] for r in lm.select("doc_id").collect()}
         assert lm_ids <= lang_ids
+
+
+class TestMixtureFusion:
+    """Round-8 fusion: token-budget mixing planner riding stratified_sample."""
+
+    @pytest.fixture(scope="class")
+    def mix_fused(self, spark, sf_dir):
+        return all_queries()["stratified_sample"].spark(spark, sf_dir).cache()
+
+    def test_rate_rows_cover_all_strata(self, mix_fused, spark, sf_dir):
+        langs = {
+            r["lang"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("lang").distinct().collect()
+        }
+        strata = {
+            r["stratum"]
+            for r in mix_fused.where(F.col("kind") == "rate").collect()
+        }
+        assert strata == langs
+
+    def test_rates_bounded_and_budget_semantics(self, mix_fused):
+        rates = mix_fused.where(F.col("kind") == "rate")
+        assert rates.where((F.col("rate") <= 0) | (F.col("rate") > 1)).count() == 0
+        # no-budget strata keep everything
+        assert rates.where(F.col("budget_tokens").isNull() & (F.col("rate") != 1.0)).count() == 0
+
+    def test_budget_docs_hit_budget_in_expectation(self, mix_fused, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.functions.text import token_count
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_events import (
+            _MIX_BUDGETS,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        kept_ids = {
+            r["doc_id"]
+            for r in mix_fused.where(F.col("kind") == "budget_doc").select("doc_id").collect()
+        }
+        kept = docs.where(F.col("doc_id").isin(list(kept_ids)))
+        got = {
+            r["lang"]: r["m"]
+            for r in kept.groupBy("lang")
+            .agg(F.sum(token_count(F.col("text"))).alias("m"))
+            .collect()
+        }
+        for lang, budget in _MIX_BUDGETS.items():
+            if lang in got:
+                # expectation-level check: within 3x of the budget (hash
+                # sampling variance at small strata), never wildly over
+                assert got[lang] <= 3 * budget, (lang, got[lang], budget)
