@@ -272,8 +272,15 @@ def test_stratified_sample_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
-    # the REGISTERED query must stay shuffle-free too (no fan-out creep)
-    assert "Exchange" not in _plan(all_queries()["stratified_sample"].spark(spark, sf_dir))
+    # the REGISTERED slot fuses the mixing planner since round 8, whose
+    # per-stratum token aggregate is the query's one legitimate exchange
+    # (map-side partial sums -> strata-count rows); the sampling branches
+    # themselves must stay map-side filters. <= 2 because the plan STRING
+    # can render the adaptive plan's exchange twice depending on AQE
+    # re-plan state (observed 1 standalone vs 2 mid-session) — the pin is
+    # against corpus-sized shuffle creep, not the exact node count
+    slot_plan = _plan(all_queries()["stratified_sample"].spark(spark, sf_dir))
+    assert slot_plan.count("Exchange") <= 2, slot_plan
 
 
 def test_single_matrix_materialization_plans(spark, sf_dir):
