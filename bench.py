@@ -34,6 +34,11 @@ HEADLINE = [
 
 REF_ZIP = "/root/reference/sources/1.1/input/bbc-fulltext.zip"
 
+# the non-headline fused slots (strictly heavier than any headline query);
+# timed warm AND cold, but never in the headline totals, which stay
+# comparable round-over-round
+FUSED = ("lsh_candidate_pairs", "tfidf_cosine_pairs", "embedding_top_pairs")
+
 
 def min_of_runs(fn, n: int = 2) -> float:
     """Min-of-n steady-state timing — the ONE timing discipline every bench
@@ -235,6 +240,12 @@ def cold_main() -> None:
     cold = {}
     for name in names:
         cold[name] = min_of_runs(lambda: registry[name].spark(spark, SF_DIR).count(), n=1)
+    # round 9: cold floors for the fused trio too (prefixed so main() can
+    # keep them OUT of cold_total, which stays comparable round-over-round)
+    for name in FUSED:
+        cold[f"fused_{name}"] = min_of_runs(
+            lambda: registry[name].spark(spark, SF_DIR).count(), n=1
+        )
     print(json.dumps(cold))
     spark.stop()
 
@@ -293,7 +304,18 @@ def bench_quadratic_family(spark) -> dict:
     )
     from document_clustering_with_hadoop_mapreduce_spark.operators.tfidf import tfidf
 
+    # the 1x side of the growth ratios is the next SF down; if the bench is
+    # pointed anywhere else the substitution is a no-op and every ratio
+    # would silently compare a dataset against itself (~1.0, meaningless) —
+    # skip loudly instead (round 9, advisor finding)
     sf001 = SF_DIR.replace("sf0.1", "sf0.01")
+    if sf001 == SF_DIR or not os.path.isdir(sf001):
+        print(
+            f"bench_quadratic_family: no 1x twin for {SF_DIR!r} "
+            f"(expected {sf001!r}); skipping the bounded-growth checkpoint",
+            file=sys.stderr,
+        )
+        return {"quadratic_family": None}
     out: dict[str, dict] = {}
 
     def ratio_entry(t1: float, t10: float, designed: str) -> dict:
@@ -447,7 +469,7 @@ def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
     ratios = {
         n: round(sf1[n] / base[n], 2) for n in SF1_QUERIES if base.get(n)
     }
-    skew = bench_scale_skew(spark, registry, out, docs, ev, reps)
+    skew = bench_scale_skew(spark, registry, out, docs, ev, emb, reps)
     shutil.rmtree(out, ignore_errors=True)
     return {
         "sf1_build_sec": build_sec,
@@ -457,10 +479,10 @@ def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
     }
 
 
-def bench_scale_skew(spark, registry, uniform_dir, docs, ev, reps) -> dict:
+def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     """Zipf-hot twin of the 10x checkpoint: ``sf1_ratio`` replicates
     UNIFORMLY, which never exercises the skew guards under measurement.
-    Build a 10x variant with two planted hot keys and compare against the
+    Build a 10x variant with planted hot keys and compare against the
     uniform 10x timing of the same query (ratio ~1-2x = the guard holds;
     ratio near the hot key's share of the data = a serialized task):
 
@@ -469,7 +491,11 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, reps) -> dict:
       LSH bucket; dedup_components must ride the hot-bucket star guard,
       not enumerate ~5e7 bucket pairs;
     - events: 50% of all rows re-keyed to ONE user -> events_sessionized's
-      per-user ordering window gets a single partition with ~75k rows.
+      per-user ordering window gets a single partition with ~75k rows;
+    - embeddings (round 9): copies 8-9 (20% of vectors, 4,000 at sf0.1)
+      all carry ONE planted vector -> one LSH hyperplane bucket holds
+      them all; ann_lsh_topk must ride the sub-block spread (a plain
+      bucket self-join would serialize ~8e6 pair scores on one task).
     """
     import shutil
     import tempfile
@@ -510,8 +536,27 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, reps) -> dict:
         )
         .write.mode("overwrite").parquet(f"{out}/events.parquet")
     )
+    dim = len(emb.select("embedding").first()[0])
+    (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.when(
+                F.col("rep") >= 8,
+                F.array(*[F.lit(1.0)] * dim).cast("array<float>"),
+            )
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+            *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    )
     build_sec = round(time.perf_counter() - t0, 3)
-    skew_q = {"dedup_components": "documents", "events_sessionized": "events"}
+    skew_q = {
+        "dedup_components": "documents",
+        "events_sessionized": "events",
+        "ann_lsh_topk": "embeddings",
+    }
     uniform: dict[str, float] = {}
     skewed: dict[str, float] = {}
     for name in skew_q:
@@ -562,7 +607,16 @@ def main() -> None:
         f"fused_{name}_sec": min_of_runs(
             lambda q=registry[name]: q.spark(spark, SF_DIR).count()
         )
-        for name in ("lsh_candidate_pairs", "tfidf_cosine_pairs", "embedding_top_pairs")
+        for name in FUSED
+    }
+    # round-9 verdict item 3: separate the judge's doc_kmeans_assign floor
+    # from host factor — min-of-4 for the slot and a neighbor in the SAME
+    # invocation, so their ratio is host-independent
+    min4_profile = {
+        name: min_of_runs(
+            lambda q=registry[name]: q.spark(spark, SF_DIR).count(), n=4
+        )
+        for name in ("doc_kmeans_assign", "category_top_terms")
     }
     ref_sec = bench_reference_workload(spark)
     skew_sec = bench_lsh_skew_guard(spark)
@@ -572,13 +626,17 @@ def main() -> None:
     # round-over-round matters more than double-counting them)
     cur_sec = min_of_runs(lambda: registry["corpus_curation"].spark(spark, SF_DIR).count())
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    cold_fused = {k: v for k, v in cold.items() if k.startswith("fused_")}
+    cold_core = {k: v for k, v in cold.items() if not k.startswith("fused_")}
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "cold_total": round(sum(cold.values()), 3),
-        "cold_queries": cold,
+        "cold_total": round(sum(cold_core.values()), 3),
+        "cold_queries": cold_core,
+        "cold_fused": cold_fused,
+        "min4_profile": min4_profile,
         "bbc_task11_sec": ref_sec,
         "lsh_skew_guard_sec": skew_sec,
         "corpus_curation_sec": cur_sec,

@@ -94,6 +94,15 @@ def assign_nearest_arrow(
     from the JVM fold at ~1e-16, the accepted class (see the block matmul
     engines); pinned equal to ``assign_nearest`` on real fixture data in
     tests/test_semdedup.py.
+
+    Magnitude contract (round 9, enforced): the HALF_UP emulation
+    ``floor(d2*10^r + 0.5)`` is exact only while ``d2*10^r < 2^53`` —
+    past that, float integers lose ulps and the rounding silently
+    diverges from ``assign_nearest``'s decimal ``F.round``. Fine for
+    normalized embeddings (d2 <= 4); a large-magnitude feature space
+    that crosses the bound RAISES with a pointer at
+    ``round_decimals=None`` (exact, unrounded distances) rather than
+    returning assignments under different tie-break semantics.
     """
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
@@ -121,7 +130,17 @@ def assign_nearest_arrow(
                 diff = m - C[ci]
                 d2[:, ci] = (diff * diff).sum(axis=1)
             if scale is not None:
-                d2 = np.floor(d2 * scale + 0.5) / scale  # HALF_UP, d2 >= 0
+                scaled = d2 * scale
+                if scaled.max(initial=0.0) >= 2.0**53:  # see docstring
+                    raise ValueError(
+                        "assign_nearest_arrow: a squared distance exceeds "
+                        f"2^53/10^{int(np.log10(scale))}, where the HALF_UP "
+                        "emulation loses integer precision and diverges from "
+                        "assign_nearest's decimal F.round — pass "
+                        "round_decimals=None (exact distances) or normalize "
+                        "the feature space."
+                    )
+                d2 = np.floor(scaled + 0.5) / scale  # HALF_UP, d2 >= 0
             cl = d2.argmin(axis=1)
             pdf["cluster"] = cl.astype("int32")
             pdf["dist_sq"] = d2[np.arange(len(pdf)), cl]

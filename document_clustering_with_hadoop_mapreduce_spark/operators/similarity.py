@@ -28,12 +28,41 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _round6(c):
+    """6dp HALF_UP rounding of a NumPy score array:
+    sign(c) * floor(|c|*1e6 + 0.5) / 1e6.
+
+    Emulates Spark's ``F.round(col, 6)`` — but not bit-for-bit in every
+    case, and the exact mismatch class is pinned here by name: the JVM
+    rounds via BigDecimal HALF_UP on the SHORTEST DECIMAL REPRESENTATION
+    of the double, while this floors the BINARY double scaled by 1e6.
+    The two can disagree when a double's shortest repr lands exactly on
+    a .5 boundary but its binary value sits just below it — e.g. a
+    double printing as '0.1234565' whose binary value is
+    0.12345649999999999: the JVM reads the decimal string and rounds up
+    to 0.123457; this path sees the binary value and rounds down to
+    0.123456. (This is a different class from float summation order,
+    which perturbs the ~1e-16 tail before rounding.) A boundary hit
+    could flip a top-k rank or a threshold edge vs the DuckDB oracle;
+    none has ever occurred across the 50-slot oracle gate at three SFs —
+    accepted, and named so a future mismatch has a diagnosis.
+
+    Magnitude contract: exact only while |c|*1e6 < 2^53 (above that,
+    float integers lose ulps and the +0.5 no longer decides) — always
+    true for cosines (|c| <= 1) and any score in [-9e9, 9e9].
+    """
+    import numpy as np
+
+    return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 8192,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (self excluded).
 
@@ -52,12 +81,24 @@ def cosine_topk(
     defects the quadratic-family bench measures for. Per-partition local
     top-k by (cos desc, id asc) is a superset of the global top-k, so
     the result is identical (same 6dp HALF_UP rounding; float summation
-    order differs from the JVM fold at ~1e-16, the accepted class)."""
+    order differs from the JVM fold at ~1e-16, the accepted class).
+
+    Round 9: the contract is ENFORCED, not just documented — the collect
+    is capped at ``max_queries`` rows (the cap+1'th row raises with a
+    redirect to the LSH/IVF paths), so an unbounded query frame fails
+    fast instead of silently materializing on the driver."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     qrows = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qvec")
-    ).collect()
+    ).limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"cosine_topk probe set exceeds max_queries={max_queries}: the "
+            "exact scorer ships queries in the task closure (driver-bounded "
+            "by contract); route large query sets through lsh_bucketed_topk "
+            "or ivf_topk, or raise max_queries explicitly."
+        )
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("evec")
     )
@@ -88,7 +129,7 @@ def cosine_topk(
             den = en[:, None] * qn[None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 c = np.where(den == 0.0, 0.0, (m @ Q.T) / den)
-            r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6  # HALF_UP
+            r = _round6(c)  # 6dp HALF_UP, see _round6
             out_q, out_v, out_c = [], [], []
             for j, qid in enumerate(qids):
                 keep = ids != qid  # self excluded
@@ -161,6 +202,8 @@ def lsh_bucketed_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sub_blocks: int = 4,
+    row_chunk: int = 4096,
 ) -> DataFrame:
     """ANN: per-vector top-k among same-bucket vectors.
 
@@ -176,10 +219,21 @@ def lsh_bucketed_topk(
     orders at most S * k candidate rows per vector. Same 6dp HALF_UP
     rounding and vec_id tie-break; per-vector local top-k is a superset
     of the global one, so output is identical.
+
+    Round 9: ``sub_blocks`` is a parameter (matching ``semdedup``'s
+    signature — size S to the expected hot-bucket occupancy; the default
+    spreads a hot bucket over 10 sub-pair tasks), and each task chunks
+    its matmul at ``row_chunk`` query rows so the score buffer is
+    bounded at row_chunk x (|bucket|/S) doubles no matter how large a
+    pathological bucket grows — the same bound ``semdedup._score``
+    carries. Neither knob changes output (pinned in tests).
     """
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    sub_blocks = 4
+    if sub_blocks < 1:
+        raise ValueError(f"sub_blocks must be >= 1, got {sub_blocks}")
+    if row_chunk < 1:
+        raise ValueError(f"row_chunk must be >= 1, got {row_chunk}")
     b = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("vec"),
@@ -212,22 +266,25 @@ def lsh_bucketed_topk(
             m = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             norms = np.sqrt((m * m).sum(axis=1))
 
+            # score-buffer bound: row_chunk x |ri| doubles per matmul
             def emit_topk(li, ri, exclude_self):
-                dots = m[li] @ m[ri].T
-                den = norms[li][:, None] * norms[ri][None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    c = np.where(den == 0.0, 0.0, dots / den)
-                r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6  # HALF_UP
                 rid = ids[ri]
-                for row, qi in enumerate(li):
-                    cj, vj = r[row], rid
-                    if exclude_self:
-                        keep = vj != ids[qi]
-                        cj, vj = cj[keep], vj[keep]
-                    order = np.lexsort((vj, -cj))[:k]
-                    out_q.extend([ids[qi]] * len(order))
-                    out_v.extend(vj[order].tolist())
-                    out_c.extend(cj[order].tolist())
+                for r0 in range(0, len(li), row_chunk):
+                    sel = li[r0 : r0 + row_chunk]
+                    dots = m[sel] @ m[ri].T
+                    den = norms[sel][:, None] * norms[ri][None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = np.where(den == 0.0, 0.0, dots / den)
+                    r = _round6(c)  # 6dp HALF_UP, see _round6
+                    for row, qi in enumerate(sel):
+                        cj, vj = r[row], rid
+                        if exclude_self:
+                            keep = vj != ids[qi]
+                            cj, vj = cj[keep], vj[keep]
+                        order = np.lexsort((vj, -cj))[:k]
+                        out_q.extend([ids[qi]] * len(order))
+                        out_v.extend(vj[order].tolist())
+                        out_c.extend(cj[order].tolist())
 
             subs = pdf["__sub"].to_numpy()
             if ti == tj:
@@ -410,6 +467,7 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 8192,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize into cells, probe few.
 
@@ -446,7 +504,26 @@ def ivf_topk(
     # stream on q keys.
     from pyspark.sql.types import DoubleType, StructField, StructType
 
-    probe_rows = _probe_cells(queries, centroids, nprobe, id_col, vec_col).collect()
+    # Round 9: the broadcast-bounded-probes contract is enforced — the
+    # collect is capped at max_queries * nprobe rows; past the cap this
+    # raises instead of silently materializing an unbounded probe table
+    # on the driver. (For truly large query sets, write the corpus
+    # bucketed BY cell with build_ivf_index and run the probe as the
+    # shuffle-free equi-join ivf_probe_indexed provides.)
+    probe_cap = max_queries * nprobe
+    probe_rows = (
+        _probe_cells(queries, centroids, nprobe, id_col, vec_col)
+        .limit(probe_cap + 1)
+        .collect()
+    )
+    if len(probe_rows) > probe_cap:
+        raise ValueError(
+            f"ivf_topk probe set exceeds max_queries={max_queries} "
+            f"(x nprobe={nprobe}): probes ride the task closure "
+            "(driver-bounded by contract); route large query sets through "
+            "build_ivf_index + ivf_probe_indexed, or raise max_queries "
+            "explicitly."
+        )
     by_cell: dict[int, list] = {}
     for r in probe_rows:
         by_cell.setdefault(int(r["cell"]), []).append(
@@ -480,7 +557,7 @@ def ivf_topk(
                 den = en[sel][:, None] * qn[None, :]
                 with np.errstate(divide="ignore", invalid="ignore"):
                     c = np.where(den == 0.0, 0.0, (m[sel] @ Q.T) / den)
-                r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6  # HALF_UP
+                r = _round6(c)  # 6dp HALF_UP, see _round6
                 for j, (qid, _) in enumerate(plist):
                     keep = ids[sel] != qid  # self excluded
                     cj, vj = r[keep, j], ids[sel][keep]
@@ -748,6 +825,33 @@ def semdedup(
         max(16 * par, 512),
     )
     thr = float(threshold)
+    # pair schema derives the id columns from the INPUT id type (round 9:
+    # the generic id_col contract — string/int ids flow through unchanged,
+    # like cosine_topk/lsh_bucketed_topk already do)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    id_type = embeddings.schema[id_col].dataType
+    pair_schema = StructType([
+        StructField("cluster", IntegerType()),
+        StructField("vec_a", id_type),
+        StructField("vec_b", id_type),
+        StructField("cos", DoubleType()),
+        StructField("cos_a", DoubleType()),
+        StructField("cos_b", DoubleType()),
+    ])
+    # pandas dtype for the id Series: a concrete NumPy dtype where one
+    # exists (fast Arrow path for the common integer ids), object otherwise
+    # (string/decimal ids convert elementwise — pairs are threshold-filtered,
+    # so the stream is small)
+    id_pd_dtype = {
+        "long": "int64", "int": "int32", "short": "int16", "byte": "int8",
+        "float": "float32", "double": "float64",
+    }.get(id_type.simpleString(), "object")
 
     def _score(pdf):
         # One (cluster, ti, tj) sub-block-pair task: build the task-local
@@ -781,7 +885,7 @@ def semdedup(
                     den = norms[sel][:, None] * norms[ri][None, :]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         c = np.where(den == 0.0, 0.0, dots / den)
-                    r = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+                    r = _round6(c)  # 6dp HALF_UP, see _round6
                     hit = r >= thr
                     if ti == tj:  # each unordered pair once: id < id
                         hit &= ids[sel][:, None] < ids[ri][None, :]
@@ -804,8 +908,8 @@ def semdedup(
                 emit(np.nonzero(subs == ti)[0], np.nonzero(subs == tj)[0])
         return pd.DataFrame({
             "cluster": pd.Series(out["cluster"], dtype="int32"),
-            "vec_a": pd.Series(out["vec_a"], dtype="int64"),
-            "vec_b": pd.Series(out["vec_b"], dtype="int64"),
+            "vec_a": pd.Series(out["vec_a"], dtype=id_pd_dtype),
+            "vec_b": pd.Series(out["vec_b"], dtype=id_pd_dtype),
             "cos": pd.Series(out["cos"], dtype="float64"),
             "cos_a": pd.Series(out["cos_a"], dtype="float64"),
             "cos_b": pd.Series(out["cos_b"], dtype="float64"),
@@ -814,10 +918,7 @@ def semdedup(
     pairs = (
         rep.repartition(n_tasks, F.col("cluster"), F.col("__ti"), F.col("__tj"))
         .groupBy("cluster", "__ti", "__tj")
-        .applyInPandas(
-            _score,
-            "cluster int, vec_a long, vec_b long, cos double, cos_a double, cos_b double",
-        )
+        .applyInPandas(_score, pair_schema)
     )
     if materialize:
         # the pair frame has two consumers (the returned edges + the

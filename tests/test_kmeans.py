@@ -200,3 +200,29 @@ def test_lloyd_accepts_dense_random_init(spark, sf_dir):
         lloyd_kmeans(emb, k=3, init_centroids=random_dense_init(k=3, dim=dim + 1, seed=42))
     with pytest.raises(ValueError, match="inconsistent"):
         lloyd_kmeans(emb, k=2, init_centroids=[[0.0] * dim, [0.0] * (dim - 1)])
+
+
+def test_assign_nearest_arrow_magnitude_guard(spark):
+    """Round-9 advisor fix: the Arrow assigner's HALF_UP emulation
+    floor(d2*1e6+0.5) is exact only while d2*1e6 < 2^53; past that it
+    RAISES (pointing at round_decimals=None) instead of silently
+    diverging from assign_nearest's decimal F.round tie-breaks."""
+    import pytest
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import (
+        assign_nearest_arrow,
+    )
+
+    big = 4.0e9  # d2 ~ 1.6e19 -> d2*1e6 far past 2^53
+    df = spark.createDataFrame(
+        [(1, [big, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    with pytest.raises(Exception, match="round_decimals=None"):
+        assign_nearest_arrow(df, cents).collect()
+    # the documented escape hatch: exact unrounded distances still assign
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_nearest_arrow(df, cents, round_decimals=None).collect()
+    }
+    assert got == {1: 1, 2: 0}

@@ -217,3 +217,36 @@ def test_arrow_assignment_matches_hof(spark, sf_dir):
     }
     both = {r["vec_id"]: (r["cluster"], r["dist_sq"]) for r in assign_nearest(emb, cents).collect()}
     assert arrow == both
+
+
+def test_semdedup_generic_string_ids(spark):
+    """Round-9 advisor fix: the pair/docs schemas derive the id columns
+    from the INPUT id type (previously hard-coded long) — string ids flow
+    through both outputs unchanged, with the same keep-the-outlier drop
+    semantics (lexicographic tie-break on the id, mirroring the numeric
+    vec_id ordering contract)."""
+    rows = [
+        ("doc-a", [1.0, 0.0, 0.0]),
+        ("doc-b", [1.0, 0.0, 0.0]),   # exact dup of doc-a
+        ("doc-c", [0.0, 1.0, 0.0]),
+        ("doc-d", [0.0, 0.98, 0.2]),  # near-dup of doc-c
+        ("doc-e", [0.0, 0.0, 1.0]),
+    ]
+    sdf = spark.createDataFrame(rows, "doc_id string, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+    docs, pairs = semdedup(
+        sdf, cents, threshold=0.9, id_col="doc_id", vec_col="embedding"
+    )
+    assert dict(docs.dtypes)["vec_id"] == "string"
+    assert dict(pairs.dtypes)["vec_a"] == "string"
+    p = {(r["vec_a"], r["vec_b"]): r["cos"] for r in pairs.collect()}
+    assert ("doc-a", "doc-b") in p and p[("doc-a", "doc-b")] == 1.0
+    assert ("doc-c", "doc-d") in p
+    keep = {r["vec_id"]: r["keep"] for r in docs.collect()}
+    # equal centroid_cos (exact dup) drops the LARGER id -> doc-b;
+    # doc-d sits further from the centroid than doc-c -> doc-c dropped
+    assert keep == {
+        "doc-a": True, "doc-b": False,
+        "doc-c": False, "doc-d": True,
+        "doc-e": True,
+    }

@@ -126,3 +126,68 @@ class TestEmbeddingOutliers:
         )
         out = {r.vec_id: r.z for r in embedding_outliers(df, [[0.0, 0.0], [10.0, 10.0]]).collect()}
         assert out[3] == 0.0  # alone in its cluster -> not an outlier
+
+
+class TestRound9Hardening:
+    """Round-9 verdict/advice items: sub-block parameterization + chunked
+    scoring leave lsh_bucketed_topk output bit-identical; the
+    bounded-by-contract driver collects in cosine_topk/ivf_topk are
+    ENFORCED caps that raise with a redirect, not silent materializations."""
+
+    def test_lsh_bucketed_topk_sub_blocks_and_chunking_invariant(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            lsh_bucketed_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(300)
+        base = sorted(tuple(r) for r in lsh_bucketed_topk(emb, PLANES, k=3).collect())
+        assert base  # non-trivial fixture
+        for s, rc in ((1, 4096), (2, 4096), (8, 4096), (4, 1), (4, 7)):
+            got = sorted(
+                tuple(r)
+                for r in lsh_bucketed_topk(
+                    emb, PLANES, k=3, sub_blocks=s, row_chunk=rc
+                ).collect()
+            )
+            assert got == base, f"sub_blocks={s}, row_chunk={rc}"
+
+    def test_lsh_bucketed_topk_validates_knobs(self, spark, sf_dir):
+        import pytest
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            lsh_bucketed_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="sub_blocks"):
+            lsh_bucketed_topk(emb, PLANES, sub_blocks=0)
+        with pytest.raises(ValueError, match="row_chunk"):
+            lsh_bucketed_topk(emb, PLANES, row_chunk=0)
+
+    def test_cosine_topk_oversized_query_frame_raises(self, spark, sf_dir):
+        import pytest
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            cosine_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="lsh_bucketed_topk or ivf_topk"):
+            cosine_topk(emb, emb.limit(25), k=3, max_queries=24)
+        # at the cap exactly: allowed (the guard is cap+1 rows)
+        assert cosine_topk(emb, emb.limit(24), k=3, max_queries=24).count() > 0
+
+    def test_ivf_topk_oversized_query_frame_raises(self, spark, sf_dir):
+        import pytest
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            ivf_topk,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        with pytest.raises(ValueError, match="ivf_probe_indexed"):
+            ivf_topk(emb, emb.limit(25), n_cells=4, nprobe=2, k=3, max_queries=24)
+        assert (
+            ivf_topk(emb, emb.limit(10), n_cells=4, nprobe=2, k=3, max_queries=24).count()
+            > 0
+        )
