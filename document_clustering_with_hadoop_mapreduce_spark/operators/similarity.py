@@ -28,6 +28,13 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+# per-matmul score-buffer budget for the closure-probe scorers, in doubles
+# (~32 MB): one task never materializes more than this many scores at once,
+# however many probes ride the closure. Module-level so tests can shrink it
+# to force the chunked path on small fixtures.
+SCORE_BUFFER_DOUBLES = 4_194_304
+
+
 def _round6(c):
     """6dp HALF_UP rounding of a NumPy score array:
     sign(c) * floor(|c|*1e6 + 0.5) / 1e6.
@@ -120,24 +127,32 @@ def cosine_topk(
             return
         Q = np.asarray(qmat, dtype=np.float64)
         qn = np.sqrt((Q * Q).sum(axis=1))
+        # score-buffer bound (round 9): chunk the corpus rows so one matmul
+        # never materializes more than ~4M doubles (32 MB) no matter how
+        # large q grows within its cap — per-(chunk, query) local top-k is
+        # still a superset of the global top-k, so output is identical
+        row_chunk = max(1, SCORE_BUFFER_DOUBLES // len(qids))
         for pdf in batches:
             if not len(pdf):
                 continue
             ids = pdf["vec_id"].to_numpy()
             m = np.asarray(pdf["evec"].tolist(), dtype=np.float64)
             en = np.sqrt((m * m).sum(axis=1))
-            den = en[:, None] * qn[None, :]
-            with np.errstate(divide="ignore", invalid="ignore"):
-                c = np.where(den == 0.0, 0.0, (m @ Q.T) / den)
-            r = _round6(c)  # 6dp HALF_UP, see _round6
             out_q, out_v, out_c = [], [], []
-            for j, qid in enumerate(qids):
-                keep = ids != qid  # self excluded
-                cj, vj = r[keep, j], ids[keep]
-                order = np.lexsort((vj, -cj))[:k]
-                out_q.extend([qid] * len(order))
-                out_v.extend(vj[order].tolist())
-                out_c.extend(cj[order].tolist())
+            for r0 in range(0, len(ids), row_chunk):
+                sl = slice(r0, r0 + row_chunk)
+                den = en[sl][:, None] * qn[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(den == 0.0, 0.0, (m[sl] @ Q.T) / den)
+                r = _round6(c)  # 6dp HALF_UP, see _round6
+                ids_sl = ids[sl]
+                for j, qid in enumerate(qids):
+                    keep = ids_sl != qid  # self excluded
+                    cj, vj = r[keep, j], ids_sl[keep]
+                    order = np.lexsort((vj, -cj))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_v.extend(vj[order].tolist())
+                    out_c.extend(cj[order].tolist())
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
 
     candidates = e.mapInPandas(local_topk, out_schema)
@@ -554,17 +569,25 @@ def ivf_topk(
                 sel = np.nonzero(cells_np == cell)[0]
                 Q = np.asarray([p[1] for p in plist], dtype=np.float64)
                 qn = np.sqrt((Q * Q).sum(axis=1))
-                den = en[sel][:, None] * qn[None, :]
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    c = np.where(den == 0.0, 0.0, (m[sel] @ Q.T) / den)
-                r = _round6(c)  # 6dp HALF_UP, see _round6
-                for j, (qid, _) in enumerate(plist):
-                    keep = ids[sel] != qid  # self excluded
-                    cj, vj = r[keep, j], ids[sel][keep]
-                    order = np.lexsort((vj, -cj))[:k]
-                    out_q.extend([qid] * len(order))
-                    out_v.extend(vj[order].tolist())
-                    out_c.extend(cj[order].tolist())
+                # score-buffer bound (round 9): chunk the cell's rows so one
+                # matmul never holds more than ~4M doubles regardless of how
+                # many probes target the cell; per-chunk local top-k remains
+                # a superset of the global one (final window re-ranks)
+                row_chunk = max(1, SCORE_BUFFER_DOUBLES // len(plist))
+                for r0 in range(0, len(sel), row_chunk):
+                    sub = sel[r0 : r0 + row_chunk]
+                    den = en[sub][:, None] * qn[None, :]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c = np.where(den == 0.0, 0.0, (m[sub] @ Q.T) / den)
+                    r = _round6(c)  # 6dp HALF_UP, see _round6
+                    ids_sub = ids[sub]
+                    for j, (qid, _) in enumerate(plist):
+                        keep = ids_sub != qid  # self excluded
+                        cj, vj = r[keep, j], ids_sub[keep]
+                        order = np.lexsort((vj, -cj))[:k]
+                        out_q.extend([qid] * len(order))
+                        out_v.extend(vj[order].tolist())
+                        out_c.extend(cj[order].tolist())
             yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "cos": out_c})
 
     candidates = cells.mapInPandas(local_topk, out_schema)

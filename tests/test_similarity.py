@@ -191,3 +191,24 @@ class TestRound9Hardening:
             ivf_topk(emb, emb.limit(10), n_cells=4, nprobe=2, k=3, max_queries=24).count()
             > 0
         )
+
+    def test_closure_probe_scorers_chunking_invariant(self, spark, sf_dir, monkeypatch):
+        """The adaptive score-buffer chunking in cosine_topk/ivf_topk
+        (SCORE_BUFFER_DOUBLES per matmul) must not change output: shrink
+        the budget so every matmul covers only a handful of corpus rows
+        and compare against the unchunked result."""
+        import document_clustering_with_hadoop_mapreduce_spark.operators.similarity as sim
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.limit(7)
+        base_cos = sorted(tuple(r) for r in sim.cosine_topk(emb, q, k=5).collect())
+        base_ivf = sorted(
+            tuple(r) for r in sim.ivf_topk(emb, q, n_cells=4, nprobe=2, k=3).collect()
+        )
+        monkeypatch.setattr(sim, "SCORE_BUFFER_DOUBLES", 40)  # ~5 rows/chunk at q=7
+        got_cos = sorted(tuple(r) for r in sim.cosine_topk(emb, q, k=5).collect())
+        got_ivf = sorted(
+            tuple(r) for r in sim.ivf_topk(emb, q, n_cells=4, nprobe=2, k=3).collect()
+        )
+        assert got_cos == base_cos
+        assert got_ivf == base_ivf
