@@ -98,3 +98,31 @@ def test_components_on_empty_and_singleton_graphs(spark):
             for r in algo(empty_pairs, documents=docs, max_rounds=3).collect()
         }
         assert got == {1: 1, 2: 2, 3: 3}, algo.__name__
+
+
+def test_similarity_empty_and_overlong_k(spark):
+    """Degenerate similarity inputs flow through (round 9): an EMPTY query
+    frame yields an empty result (not an error) on both closure-probe
+    scorers, and k larger than the corpus returns every candidate ranked
+    rather than failing."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+        random_hyperplanes,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    none = emb.filter("vec_id < 0")
+    assert cosine_topk(emb, none, k=3).count() == 0
+    assert ivf_topk(emb, none, n_cells=2, nprobe=1, k=3).count() == 0
+    # k > corpus: every non-self candidate comes back, ranks contiguous
+    got = cosine_topk(emb, emb.limit(1), k=100).collect()
+    assert len(got) == 7
+    assert sorted(r["rank"] for r in got) == list(range(1, 8))
+    planes = random_hyperplanes(4, 3, seed=7)
+    # one-row corpus: no same-bucket neighbor, empty but well-formed
+    assert lsh_bucketed_topk(emb.limit(1), planes, k=3).count() == 0
