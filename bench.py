@@ -388,33 +388,36 @@ SF1_QUERIES = [
 ]
 
 
-def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
-    """The scaling checkpoint: replicate the bench tables 10x into a temp
-    dir and re-time one headline query per plan family, recording the
-    t(10x)/t(1x) ratio. The plan-shape tests pin the SHAPES; this pins the
-    measured exponent — a hidden super-linear path (accidental re-scan,
-    quadratic candidate growth, driver-bound stage) shows up as a ratio
-    well above ~10 even when every shape assertion passes.
-
-    Copies are made INDEPENDENT so 10x input is 10x work, not new
-    semantics: document copies get a per-copy token prefix (disjoint
-    vocabularies — no cross-copy shingle/LSH matches, so dedup output
-    scales linearly by construction), event/lineitem copies get offset
-    keys. Dimension tables ship unscaled.
-    """
+def replicate_tables(
+    spark, out: str, reps_n: int = 10, splits: int | None = None,
+    emb_splits: int | None = None,
+) -> float:
+    """Independent-copies replication of the fact tables into ``out``:
+    document copies get a per-copy token prefix (disjoint vocabularies —
+    no cross-copy shingle/LSH matches, so dedup output scales linearly by
+    construction; NOTE the prefix glue densifies within-copy char
+    k-grams, see COVERAGE.md), event/lineitem/embedding copies get offset
+    keys, dimension tables ship unscaled. ONE recipe, shared by
+    ``bench_scale_growth`` (splits=None — the bench layout stays what
+    rounds have always compared) and ``tools/scale_sweep.py`` (re-split
+    so map-side ops parallelize at larger N). Returns build seconds."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     t0 = time.perf_counter()
-    out = tempfile.mkdtemp(prefix="sparkgraft_sf1_")
-    reps = spark.range(10).select(F.col("id").alias("rep"))
+    reps = spark.range(reps_n).select(F.col("id").alias("rep"))
+
+    def _w(df, name):
+        if splits and name != "embeddings":
+            df = df.repartition(splits)
+        elif emb_splits and name == "embeddings":
+            df = df.repartition(emb_splits)
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    (
-        docs.crossJoin(reps)
-        .select(
+    _w(
+        docs.crossJoin(reps).select(
             (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
             # prefix every token with r<rep>: copy vocabularies are disjoint
             F.regexp_replace(
@@ -423,41 +426,59 @@ def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
                 F.concat(F.lit("$1r"), F.col("rep").cast("string")),
             ).alias("text"),
             "lang", "source", "n_chars",
-        )
-        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
+        ),
+        "documents",
     )
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    (
-        ev.crossJoin(reps)
-        .select(
+    _w(
+        ev.crossJoin(reps).select(
             (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
             "ts",
             (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
             "event_type", "value", "props",
-        )
-        .write.mode("overwrite").parquet(f"{out}/events.parquet")
+        ),
+        "events",
     )
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    (
-        li.crossJoin(reps)
-        .select(
+    _w(
+        li.crossJoin(reps).select(
             (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
             *[c for c in li.columns if c != "l_orderkey"],
-        )
-        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+        ),
+        "lineitem",
     )
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    (
-        emb.crossJoin(reps)
-        .select(
+    _w(
+        emb.crossJoin(reps).select(
             (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
             *[c for c in emb.columns if c != "vec_id"],
-        )
-        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+        ),
+        "embeddings",
     )
     for t in ("region", "nation", "customer", "supplier", "part", "orders"):
         shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
-    build_sec = round(time.perf_counter() - t0, 3)
+    return round(time.perf_counter() - t0, 3)
+
+
+def bench_scale_growth(spark, registry, warm: dict[str, float]) -> dict:
+    """The scaling checkpoint: replicate the bench tables 10x into a temp
+    dir and re-time one headline query per plan family, recording the
+    t(10x)/t(1x) ratio. The plan-shape tests pin the SHAPES; this pins the
+    measured exponent — a hidden super-linear path (accidental re-scan,
+    quadratic candidate growth, driver-bound stage) shows up as a ratio
+    well above ~10 even when every shape assertion passes.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="sparkgraft_sf1_")
+    build_sec = replicate_tables(spark, out, reps_n=10)
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
 
     sf1: dict[str, float] = {}
     base: dict[str, float] = dict(warm)

@@ -96,13 +96,16 @@ def assign_nearest_arrow(
     tests/test_semdedup.py.
 
     Magnitude contract (round 9, enforced): the HALF_UP emulation
-    ``floor(d2*10^r + 0.5)`` is exact only while ``d2*10^r < 2^53`` —
-    past that, float integers lose ulps and the rounding silently
-    diverges from ``assign_nearest``'s decimal ``F.round``. Fine for
-    normalized embeddings (d2 <= 4); a large-magnitude feature space
-    that crosses the bound RAISES with a pointer at
-    ``round_decimals=None`` (exact, unrounded distances) rather than
-    returning assignments under different tie-break semantics.
+    ``floor(d2*10^r + 0.5)`` is exact only while ``d2*10^r < 2^52`` —
+    already at odd integers in [2^52, 2^53) the ``+ 0.5`` is not
+    representable (ulp = 1) and rounds half-to-even UP, so the floor
+    lands one past the true value and silently diverges from
+    ``assign_nearest``'s decimal ``F.round`` (verified numerically at
+    2^52 + 1). Fine for normalized embeddings (d2 <= 4); a
+    large-magnitude feature space that crosses the bound RAISES with a
+    pointer at ``round_decimals=None`` (exact, unrounded distances)
+    rather than returning assignments under different tie-break
+    semantics.
     """
     from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
 
@@ -131,11 +134,12 @@ def assign_nearest_arrow(
                 d2[:, ci] = (diff * diff).sum(axis=1)
             if scale is not None:
                 scaled = d2 * scale
-                if scaled.max(initial=0.0) >= 2.0**53:  # see docstring
+                if scaled.max(initial=0.0) >= 2.0**52:  # see docstring
                     raise ValueError(
                         "assign_nearest_arrow: a squared distance exceeds "
-                        f"2^53/10^{int(np.log10(scale))}, where the HALF_UP "
-                        "emulation loses integer precision and diverges from "
+                        f"2^52/10^{int(np.log10(scale))}, where the HALF_UP "
+                        "emulation loses integer precision (the +0.5 rounds "
+                        "half-to-even at ulp >= 1) and diverges from "
                         "assign_nearest's decimal F.round — pass "
                         "round_decimals=None (exact distances) or normalize "
                         "the feature space."

@@ -54,9 +54,12 @@ def _round6(c):
     none has ever occurred across the 50-slot oracle gate at three SFs —
     accepted, and named so a future mismatch has a diagnosis.
 
-    Magnitude contract: exact only while |c|*1e6 < 2^53 (above that,
-    float integers lose ulps and the +0.5 no longer decides) — always
-    true for cosines (|c| <= 1) and any score in [-9e9, 9e9].
+    Magnitude contract: exact only while |c|*1e6 < 2^52 — already at odd
+    integers in [2^52, 2^53) the +0.5 is unrepresentable (ulp = 1) and
+    rounds half-to-even up, landing the floor one past the true value
+    (verified numerically at 2^52 + 1; see the enforced twin guard in
+    kmeans.assign_nearest_arrow). Always true for cosines (|c| <= 1) and
+    any score in [-4.5e9, 4.5e9].
     """
     import numpy as np
 
@@ -284,10 +287,12 @@ def lsh_bucketed_topk(
             # score-buffer bound: row_chunk x |ri| doubles per matmul
             def emit_topk(li, ri, exclude_self):
                 rid = ids[ri]
+                # chunk-invariant right side hoisted: fancy indexing copies
+                mri_t, nri = m[ri].T, norms[ri]
                 for r0 in range(0, len(li), row_chunk):
                     sel = li[r0 : r0 + row_chunk]
-                    dots = m[sel] @ m[ri].T
-                    den = norms[sel][:, None] * norms[ri][None, :]
+                    dots = m[sel] @ mri_t
+                    den = norms[sel][:, None] * nri[None, :]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         c = np.where(den == 0.0, 0.0, dots / den)
                     r = _round6(c)  # 6dp HALF_UP, see _round6
@@ -679,6 +684,7 @@ def quantized_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 8192,
 ) -> DataFrame:
     """``cosine_topk`` over the QUANTIZED corpus: corpus and queries share
     one parameter set, scoring runs on dequantized codes (same broadcast-
@@ -691,7 +697,9 @@ def quantized_topk(
     probes = quantize_embeddings(queries, mins, scales, bits, id_col, vec_col).select(
         "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
     )
-    return cosine_topk(corpus, probes, k, id_col="vec_id", vec_col=vec_col)
+    return cosine_topk(
+        corpus, probes, k, id_col="vec_id", vec_col=vec_col, max_queries=max_queries
+    )
 
 
 def quantized_ivf_topk(
@@ -703,6 +711,7 @@ def quantized_ivf_topk(
     bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 8192,
 ) -> DataFrame:
     """IVF over the int-quantized corpus — the configuration a 100 TB
     vector store actually runs: the coarse index bounds WHICH vectors are
@@ -722,7 +731,8 @@ def quantized_ivf_topk(
         )
 
     return ivf_topk(
-        recon(embeddings), recon(queries), n_cells, nprobe, k, "vec_id", vec_col
+        recon(embeddings), recon(queries), n_cells, nprobe, k, "vec_id", vec_col,
+        max_queries=max_queries,
     )
 
 
@@ -902,10 +912,12 @@ def semdedup(
             norms = np.sqrt((m * m).sum(axis=1))
 
             def emit(li, ri):
+                # chunk-invariant right side hoisted: fancy indexing copies
+                mri_t, nri = m[ri].T, norms[ri]
                 for r0 in range(0, len(li), row_chunk):
                     sel = li[r0 : r0 + row_chunk]
-                    dots = m[sel] @ m[ri].T
-                    den = norms[sel][:, None] * norms[ri][None, :]
+                    dots = m[sel] @ mri_t
+                    den = norms[sel][:, None] * nri[None, :]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         c = np.where(den == 0.0, 0.0, dots / den)
                     r = _round6(c)  # 6dp HALF_UP, see _round6

@@ -15,6 +15,11 @@ and both runs earned their keep:
   across a SECOND decade (text families ~9.5x per decade = core-saturated
   linear; scan-parallel families flat).
 
+The family list, the replication recipe, and the timing discipline are
+IMPORTED from bench.py (``SF1_QUERIES``, ``replicate_tables``,
+``min_of_runs``) so this sweep always measures exactly the workload the
+bench pins — the two cannot drift.
+
 Interpretation notes (also in COVERAGE.md):
 - quadratic-by-contract slots (``tfidf_cosine_pairs``,
   ``embedding_top_pairs``, ``ann_lsh_topk``) keep their slot-PINNED
@@ -43,93 +48,12 @@ import os
 import shutil
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import CPUS, SF_DIR, SF1_QUERIES, min_of_runs, replicate_tables
 from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_queries
 from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
-
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-
-# one slot per plan family whose work is Nx-independent by construction —
-# the same set bench.py's sf1_ratio pins per round
-FAMILIES = [
-    "term_doc_matrix", "tfidf_standard", "minhash_signatures",
-    "dedup_components", "events_hourly", "pricing_summary",
-    "knn_bruteforce", "kmeans_assign_seeded",
-]
-
-
-def build_scaled(spark, out: str, reps_n: int) -> float:
-    """The bench's independent-copies replication (disjoint token
-    vocabularies, offset keys, unscaled dims), parameterized by rep count.
-    Fact tables are re-split so map-side ops parallelize like the
-    thousands-of-row-groups layout the target scale has anyway."""
-    from pyspark.sql import functions as F
-
-    t0 = time.perf_counter()
-    reps = spark.range(reps_n).select(F.col("id").alias("rep"))
-    splits = max(int(CPUS), reps_n // 2)
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    (
-        docs.crossJoin(reps)
-        .select(
-            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-            F.regexp_replace(
-                F.col("text"), F.lit(r"(^|\s+)"),
-                F.concat(F.lit("$1r"), F.col("rep").cast("string")),
-            ).alias("text"),
-            "lang", "source", "n_chars",
-        )
-        .repartition(splits)
-        .write.mode("overwrite").parquet(f"{out}/documents.parquet")
-    )
-    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    (
-        ev.crossJoin(reps)
-        .select(
-            (F.col("event_id") + F.col("rep") * 100_000_000).alias("event_id"),
-            "ts",
-            (F.col("user_id") + F.col("rep") * 10_000_000).alias("user_id"),
-            "event_type", "value", "props",
-        )
-        .repartition(splits)
-        .write.mode("overwrite").parquet(f"{out}/events.parquet")
-    )
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    (
-        li.crossJoin(reps)
-        .select(
-            (F.col("l_orderkey") + F.col("rep") * 100_000_000).alias("l_orderkey"),
-            *[c for c in li.columns if c != "l_orderkey"],
-        )
-        .repartition(splits)
-        .write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
-    )
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    (
-        emb.crossJoin(reps)
-        .select(
-            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
-            *[c for c in emb.columns if c != "vec_id"],
-        )
-        .repartition(max(16, reps_n // 4))
-        .write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
-    )
-    for t in ("region", "nation", "customer", "supplier", "part", "orders"):
-        shutil.copy(f"{SF_DIR}/{t}.parquet", f"{out}/{t}.parquet")
-    return round(time.perf_counter() - t0, 3)
-
-
-def min_of_runs(fn, n: int = 2) -> float:
-    runs = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn()
-        runs.append(time.perf_counter() - t0)
-    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -148,13 +72,20 @@ def main() -> None:
     elif run_all:
         names = sorted(registry)
     else:
-        names = [n for n in FAMILIES if n in registry]
+        names = [n for n in SF1_QUERIES if n in registry]
     if not names:
         raise SystemExit(f"no registered slots match {filters!r}")
 
     out = tempfile.mkdtemp(prefix=f"sparkgraft_scale{reps_n}_")
     try:
-        build_sec = build_scaled(spark, out, reps_n)
+        # unlike the bench (whose 10x layout must stay comparable across
+        # rounds), the sweep re-splits the fact tables so map-side ops
+        # parallelize the way thousands-of-row-groups inputs do anyway
+        build_sec = replicate_tables(
+            spark, out, reps_n,
+            splits=max(int(CPUS), reps_n // 2),
+            emb_splits=max(16, reps_n // 4),
+        )
         base: dict[str, float] = {}
         scaled: dict[str, float] = {}
         for name in names:
