@@ -204,9 +204,11 @@ def test_lloyd_accepts_dense_random_init(spark, sf_dir):
 
 def test_assign_nearest_arrow_magnitude_guard(spark):
     """Round-9 advisor fix: the Arrow assigner's HALF_UP emulation
-    floor(d2*1e6+0.5) is exact only while d2*1e6 < 2^53; past that it
-    RAISES (pointing at round_decimals=None) instead of silently
-    diverging from assign_nearest's decimal F.round tie-breaks."""
+    floor(d2*1e6+0.5) is exact only while d2*1e6 < 2^52 (at odd integers
+    in [2^52, 2^53) the +0.5 rounds half-to-even up — verified
+    numerically); past the bound it RAISES (pointing at
+    round_decimals=None) instead of silently diverging from
+    assign_nearest's decimal F.round tie-breaks."""
     import pytest
 
     from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import (

@@ -146,3 +146,28 @@ def test_quantized_ivf_composition(spark, sf_dir):
     assert recalls[-1] >= 0.8, recalls
     full = pairs(quantized_ivf_topk(corpus, q, n_cells=8, nprobe=8, k=10))
     assert full == pairs(quantized_topk(corpus, q, 10))
+
+
+def test_quantized_wrappers_forward_max_queries(spark):
+    """Round-9 review fix: the probe-cap escape hatch must be reachable
+    through the quantized wrappers — an oversized query frame raises with
+    the documented redirect, and raising max_queries through the wrapper
+    lifts the cap."""
+    import pytest
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        quantized_ivf_topk,
+        quantized_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 5), 1.0]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.limit(12)
+    with pytest.raises(ValueError, match="max_queries"):
+        quantized_topk(emb, q, k=3, max_queries=11)
+    with pytest.raises(ValueError, match="max_queries"):
+        quantized_ivf_topk(emb, q, n_cells=2, nprobe=1, k=3, max_queries=11)
+    assert quantized_topk(emb, q, k=3, max_queries=12).count() > 0
+    assert quantized_ivf_topk(emb, q, n_cells=2, nprobe=1, k=3, max_queries=12).count() > 0
