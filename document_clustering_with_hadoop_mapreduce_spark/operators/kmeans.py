@@ -134,15 +134,20 @@ def assign_nearest_arrow(
                 d2[:, ci] = (diff * diff).sum(axis=1)
             if scale is not None:
                 scaled = d2 * scale
-                if scaled.max(initial=0.0) >= 2.0**52:  # see docstring
+                # max propagates NaN, so one comparison catches both a
+                # corrupt (NaN/Inf) embedding and the magnitude bound —
+                # NaN >= x is False, hence the explicit isnan arm
+                mx = scaled.max(initial=0.0)
+                if np.isnan(mx) or mx >= 2.0**52:  # see docstring
                     raise ValueError(
-                        "assign_nearest_arrow: a squared distance exceeds "
+                        "assign_nearest_arrow: a squared distance is "
+                        "non-finite (NaN/Inf embedding?) or exceeds "
                         f"2^52/10^{int(np.log10(scale))}, where the HALF_UP "
                         "emulation loses integer precision (the +0.5 rounds "
                         "half-to-even at ulp >= 1) and diverges from "
-                        "assign_nearest's decimal F.round — pass "
-                        "round_decimals=None (exact distances) or normalize "
-                        "the feature space."
+                        "assign_nearest's decimal F.round — clean the "
+                        "vectors, pass round_decimals=None (exact "
+                        "distances), or normalize the feature space."
                     )
                 d2 = np.floor(scaled + 0.5) / scale  # HALF_UP, d2 >= 0
             cl = d2.argmin(axis=1)

@@ -914,6 +914,7 @@ def semdedup(
             def emit(li, ri):
                 # chunk-invariant right side hoisted: fancy indexing copies
                 mri_t, nri = m[ri].T, norms[ri]
+                rid, rcos = ids[ri], ccos[ri]
                 for r0 in range(0, len(li), row_chunk):
                     sel = li[r0 : r0 + row_chunk]
                     dots = m[sel] @ mri_t
@@ -923,10 +924,10 @@ def semdedup(
                     r = _round6(c)  # 6dp HALF_UP, see _round6
                     hit = r >= thr
                     if ti == tj:  # each unordered pair once: id < id
-                        hit &= ids[sel][:, None] < ids[ri][None, :]
+                        hit &= ids[sel][:, None] < rid[None, :]
                     ii, jj = np.nonzero(hit)
-                    a, b = ids[sel][ii], ids[ri][jj]
-                    ca, cb = ccos[sel][ii], ccos[ri][jj]
+                    a, b = ids[sel][ii], rid[jj]
+                    ca, cb = ccos[sel][ii], rcos[jj]
                     swap = a > b
                     out["cluster"].extend([cluster] * len(ii))
                     out["vec_a"].extend(np.where(swap, b, a).tolist())

@@ -215,13 +215,29 @@ def test_assign_nearest_arrow_magnitude_guard(spark):
         assign_nearest_arrow,
     )
 
-    big = 4.0e9  # d2 ~ 1.6e19 -> d2*1e6 far past 2^53
+    big = 4.0e9  # d2 ~ 1.6e19 -> d2*1e6 far past even 2^53
     df = spark.createDataFrame(
         [(1, [big, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
     )
     cents = [[0.0, 0.0], [1.0, 1.0]]
     with pytest.raises(Exception, match="round_decimals=None"):
         assign_nearest_arrow(df, cents).collect()
+    # the divergence WINDOW itself: d2*1e6 ~ 5.0e15 sits in [2^52, 2^53),
+    # where the old 2^53 threshold would NOT have raised — pins the bound
+    mid = 70711.0  # d2 ~ 5.0e9
+    df_mid = spark.createDataFrame(
+        [(1, [mid, 0.0]), (2, [0.0, 0.0])], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="round_decimals=None"):
+        assign_nearest_arrow(df_mid, cents).collect()
+    # a corrupt NaN embedding must raise too (NaN >= bound is False, so the
+    # guard has an explicit isnan arm), not silently argmin to cluster 0
+    df_nan = spark.createDataFrame(
+        [(1, [float("nan"), 0.0]), (2, [0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="non-finite"):
+        assign_nearest_arrow(df_nan, cents).collect()
     # the documented escape hatch: exact unrounded distances still assign
     got = {
         r["vec_id"]: r["cluster"]
