@@ -66,6 +66,23 @@ def _round6(c):
     return np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
 
 
+def _id_pd_dtype(id_type) -> str:
+    """pandas dtype for an id Series emitted from an Arrow task: a concrete
+    NumPy dtype where one exists (the fast Arrow path for the common
+    integer ids), ``object`` otherwise (string/decimal ids convert
+    elementwise — such streams are threshold-filtered and small).
+
+    Keyed on ``DataType.simpleString()`` values: LongType prints
+    ``bigint`` (not ``long``), ShortType ``smallint``, ByteType
+    ``tinyint`` — tests pin that a bigint id actually maps to int64
+    (round 9 shipped ``long``/``short``/``byte`` keys that never matched,
+    silently sending every long id down the object path)."""
+    return {
+        "bigint": "int64", "int": "int32", "smallint": "int16",
+        "tinyint": "int8", "float": "float32", "double": "float64",
+    }.get(id_type.simpleString(), "object")
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -877,14 +894,7 @@ def semdedup(
         StructField("cos_a", DoubleType()),
         StructField("cos_b", DoubleType()),
     ])
-    # pandas dtype for the id Series: a concrete NumPy dtype where one
-    # exists (fast Arrow path for the common integer ids), object otherwise
-    # (string/decimal ids convert elementwise — pairs are threshold-filtered,
-    # so the stream is small)
-    id_pd_dtype = {
-        "long": "int64", "int": "int32", "short": "int16", "byte": "int8",
-        "float": "float32", "double": "float64",
-    }.get(id_type.simpleString(), "object")
+    id_pd_dtype = _id_pd_dtype(id_type)
 
     def _score(pdf):
         # One (cluster, ti, tj) sub-block-pair task: build the task-local
@@ -1137,6 +1147,7 @@ def mine_hard_negatives(
     pos_col: str = "positive_id",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 8192,
 ) -> DataFrame:
     """(anchor_id, negative_id, cos, neg_rank): the ``n_neg`` most-similar
     corpus items to each anchor that are NOT among its positives — hard
@@ -1176,7 +1187,14 @@ def mine_hard_negatives(
             f"{n_anchors - n_probes} of {n_anchors} anchors have no row in "
             f"embeddings.{id_col}; re-embed or fix the positives frame"
         )
-    topk = cosine_topk(embeddings, probes, k=search_k, id_col=id_col, vec_col=vec_col)
+    # max_queries forwards to the underlying scorer (anchors ARE the probe
+    # set here, so the cap an over-large anchor frame trips must be
+    # raisable through THIS signature — same contract as the quantized
+    # wrappers; the error's LSH/IVF redirect applies unchanged)
+    topk = cosine_topk(
+        embeddings, probes, k=search_k, id_col=id_col, vec_col=vec_col,
+        max_queries=max_queries,
+    )
     pos_pairs = positives.select(
         F.col(anchor_col).alias("query_id"), F.col(pos_col).alias("vec_id")
     )

@@ -307,6 +307,27 @@ class TestHardNegatives:
         with pytest.raises(ValueError):
             mine_hard_negatives(pos, emb, n_neg=5, search_k=3)
 
+    def test_forwards_max_queries(self, spark):
+        """ADVICE r9: the probe cap must be raisable through THIS signature
+        — a 4-anchor frame trips a cap of 3 (proving the cap reaches the
+        underlying scorer) and passes at 4 with identical output to the
+        default-cap run."""
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = self._toy(spark)
+        pos = spark.createDataFrame(
+            [(0, 1), (3, 4), (6, 7), (9, 8)], "anchor_id int, positive_id int"
+        )
+        with pytest.raises(ValueError, match="max_queries"):
+            mine_hard_negatives(pos, emb, n_neg=1, search_k=2, max_queries=3)
+        at_cap = mine_hard_negatives(pos, emb, n_neg=1, search_k=2, max_queries=4)
+        default = mine_hard_negatives(pos, emb, n_neg=1, search_k=2)
+        assert sorted(map(tuple, at_cap.collect())) == sorted(
+            map(tuple, default.collect())
+        )
+
 
 class TestHardNegativeAnchorsGuard:
     def test_missing_anchor_raises(self, spark):

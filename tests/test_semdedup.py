@@ -250,3 +250,34 @@ def test_semdedup_generic_string_ids(spark):
         "doc-c": False, "doc-d": True,
         "doc-e": True,
     }
+
+
+def test_id_pd_dtype_keys_match_simple_strings():
+    """ADVICE r9: the Arrow id-dtype map was keyed 'long'/'short'/'byte',
+    which DataType.simpleString() never produces ('bigint'/'smallint'/
+    'tinyint') — the common LongType id silently fell through to the
+    object-dtype elementwise path. Pin every integer type to its concrete
+    NumPy dtype and the non-numeric fallbacks to object."""
+    from pyspark.sql.types import (
+        ByteType,
+        DecimalType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+        StringType,
+    )
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        _id_pd_dtype,
+    )
+
+    assert _id_pd_dtype(LongType()) == "int64"
+    assert _id_pd_dtype(IntegerType()) == "int32"
+    assert _id_pd_dtype(ShortType()) == "int16"
+    assert _id_pd_dtype(ByteType()) == "int8"
+    assert _id_pd_dtype(FloatType()) == "float32"
+    assert _id_pd_dtype(DoubleType()) == "float64"
+    assert _id_pd_dtype(StringType()) == "object"
+    assert _id_pd_dtype(DecimalType(20, 0)) == "object"

@@ -56,9 +56,30 @@ from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_q
 from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
 
 
+USAGE = (
+    "usage: python tools/scale_sweep.py [--reps N] [--all] [name-substring ...]"
+)
+
+
 def main() -> None:
     args = sys.argv[1:]
-    reps_n = int(args[args.index("--reps") + 1]) if "--reps" in args else 10
+    reps_n = 10
+    if "--reps" in args:
+        i = args.index("--reps")
+        if i + 1 >= len(args):
+            raise SystemExit(f"--reps requires a value\n{USAGE}")
+        try:
+            reps_n = int(args[i + 1])
+        except ValueError:
+            raise SystemExit(f"--reps must be an integer, got {args[i+1]!r}\n{USAGE}")
+        if reps_n < 1:
+            raise SystemExit(f"--reps must be >= 1, got {reps_n}\n{USAGE}")
+    unknown = [
+        a for a in args
+        if a.startswith("-") and a not in ("--reps", "--all")
+    ]
+    if unknown:
+        raise SystemExit(f"unknown flag(s) {unknown}\n{USAGE}")
     run_all = "--all" in args
     filters = [
         a for i, a in enumerate(args)
