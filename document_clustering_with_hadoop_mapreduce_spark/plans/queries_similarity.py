@@ -95,8 +95,11 @@ def _planes_values_sql() -> str:
     ),
     rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
     SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
-    "ANN top-3 within LSH bucket (bucket self-join — candidate volume "
-    "bounded by bucket sizes, never O(n^2))",
+    "ANN top-3 within LSH bucket (sub-block pair tasks per bucket — "
+    "candidate volume bounded by bucket sizes, never O(n^2); since round "
+    "10 the sub-block count auto-sizes PER BUCKET from sampled occupancy, "
+    "so hot buckets spread to ~target_bucket_rows-per-side tasks and cold "
+    "buckets pay zero replication, with no caller-side skew knowledge)",
     tags=("similarity",),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
