@@ -388,19 +388,72 @@ SF1_QUERIES = [
 ]
 
 
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _copy_permutations(reps_n: int) -> list[str]:
+    """Per-copy bijective alphabet permutations, rep 0 = identity. Seeded
+    and deduplicated so every copy's substitution is distinct (two copies
+    sharing a permutation would be byte-identical corpora — cross-copy
+    duplicates that break the dedup-scales-linearly construction)."""
+    import random as _rnd
+
+    perms = [_ALPHABET]
+    seen = {_ALPHABET}
+    for r in range(1, reps_n):
+        rng = _rnd.Random(31_000 + r)
+        while True:
+            letters = list(_ALPHABET)
+            rng.shuffle(letters)
+            p = "".join(letters)
+            if p not in seen:
+                seen.add(p)
+                break
+        perms.append(p)
+    return perms
+
+
+def permuted_copy_text(text_col, rep_col, reps_n: int):
+    """Column expr: copy ``rep``'s text under its alphabet permutation.
+
+    Round 10 replacement for the per-copy ``rN`` token PREFIX: the prefix
+    made copy vocabularies disjoint but inserted identical glue chars at
+    every token boundary, collapsing within-copy distinct char k-grams
+    ~5x — char-gram familes (winnow fingerprints) measured a genuine ~85x
+    overlap blow-up at 10x data that was a GENERATOR artifact, not an
+    engine property (VERDICT r9 #3). A bijective per-copy character
+    substitution keeps token boundaries, lengths, counts and within-copy
+    k-gram DISTINCTNESS exactly equal to the base corpus (a bijection on
+    chars is a bijection on k-grams) while copies stay disjoint: a whole
+    shingle colliding across two different random permutations needs
+    every character of ~5 consecutive tokens to agree — vanishing.
+    Applied as a CASE chain of ``translate`` (from/to must be literals);
+    build-time-only cost, one branch taken per row."""
+    from pyspark.sql import functions as F
+
+    perms = _copy_permutations(reps_n)
+    expr = text_col
+    for r in range(1, reps_n):
+        expr = F.when(
+            rep_col == r, F.translate(text_col, _ALPHABET, perms[r])
+        ).otherwise(expr)
+    return expr
+
+
 def replicate_tables(
     spark, out: str, reps_n: int = 10, splits: int | None = None,
     emb_splits: int | None = None,
 ) -> float:
     """Independent-copies replication of the fact tables into ``out``:
-    document copies get a per-copy token prefix (disjoint vocabularies —
-    no cross-copy shingle/LSH matches, so dedup output scales linearly by
-    construction; NOTE the prefix glue densifies within-copy char
-    k-grams, see COVERAGE.md), event/lineitem/embedding copies get offset
-    keys, dimension tables ship unscaled. ONE recipe, shared by
-    ``bench_scale_growth`` (splits=None — the bench layout stays what
-    rounds have always compared) and ``tools/scale_sweep.py`` (re-split
-    so map-side ops parallelize at larger N). Returns build seconds."""
+    document copies get a per-copy bijective alphabet permutation
+    (disjoint vocabularies — no cross-copy shingle/LSH matches, so dedup
+    output scales linearly by construction — AND unperturbed within-copy
+    char-k-gram diversity; see ``permuted_copy_text``),
+    event/lineitem/embedding copies get offset keys, dimension tables
+    ship unscaled. ONE recipe, shared by ``bench_scale_growth``
+    (splits=None — the bench layout stays what rounds compare) and
+    ``tools/scale_sweep.py`` (re-split so map-side ops parallelize at
+    larger N). Returns build seconds."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -419,12 +472,7 @@ def replicate_tables(
     _w(
         docs.crossJoin(reps).select(
             (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
-            # prefix every token with r<rep>: copy vocabularies are disjoint
-            F.regexp_replace(
-                F.col("text"),
-                F.lit(r"(^|\s+)"),
-                F.concat(F.lit("$1r"), F.col("rep").cast("string")),
-            ).alias("text"),
+            permuted_copy_text(F.col("text"), F.col("rep"), reps_n).alias("text"),
             "lang", "source", "n_chars",
         ),
         "documents",
@@ -533,13 +581,7 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
                 F.col("rep") >= 8,
                 F.lit("common boilerplate header repeated on every page of the site"),
             )
-            .otherwise(
-                F.regexp_replace(
-                    F.col("text"),
-                    F.lit(r"(^|\s+)"),
-                    F.concat(F.lit("$1r"), F.col("rep").cast("string")),
-                )
-            )
+            .otherwise(permuted_copy_text(F.col("text"), F.col("rep"), 10))
             .alias("text"),
             "lang", "source", "n_chars",
         )

@@ -1,0 +1,113 @@
+"""The bench/sweep replication recipe must measure the ENGINE, not the
+generator (VERDICT r9 #3): the old per-copy ``rN`` token prefix inserted
+identical glue chars at every token boundary, collapsing within-copy
+distinct char k-grams ~5x and inflating char-gram-family 10x ratios
+(doc_fingerprints measured 15.2x from an 85x overlap blow-up that was
+pure generator). The round-10 scheme — a bijective per-copy alphabet
+permutation — is pinned here by its load-bearing invariants:
+
+1. DIVERSITY: each copy's distinct char-16-gram count equals the base
+   corpus's exactly (a bijection on chars is a bijection on k-grams);
+2. DISJOINTNESS: token-shingle sets are disjoint across copies, so dedup
+   output still scales linearly by construction;
+3. STRUCTURE: token boundaries, token counts and text lengths are
+   untouched (identity on whitespace; char-for-char substitution);
+4. IDENTITY: copy 0 is the base corpus byte-for-byte, so the 1x and Nx
+   corpora stay comparable.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from bench import _copy_permutations, permuted_copy_text
+
+REPS = 3
+
+
+@pytest.fixture(scope="module")
+def replicated(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reps = spark.range(REPS).select(F.col("id").alias("rep"))
+    out = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+        F.col("rep"),
+        permuted_copy_text(F.col("text"), F.col("rep"), REPS).alias("text"),
+    )
+    return docs.localCheckpoint(), out.localCheckpoint()
+
+
+def test_permutations_distinct_and_bijective():
+    perms = _copy_permutations(12)
+    assert perms[0] == "abcdefghijklmnopqrstuvwxyz"
+    assert len(set(perms)) == 12
+    for p in perms:
+        assert sorted(p) == sorted("abcdefghijklmnopqrstuvwxyz")
+
+
+def test_copy_zero_is_base_corpus(replicated):
+    docs, out = replicated
+    base = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    copy0 = {r["doc_id"]: r["text"] for r in out.filter("rep = 0").collect()}
+    assert copy0 == base
+
+
+def test_within_copy_char_kgram_diversity_equals_base(replicated):
+    """THE fix: under the old prefix scheme each copy's distinct char
+    16-gram count was ~5x LOWER than the base corpus's; under the
+    permutation scheme it is exactly equal for every copy."""
+    docs, out = replicated
+    n = 16
+
+    def distinct_grams_sql(df):
+        df.createOrReplaceTempView("t_grams")
+        return df.sparkSession.sql(
+            f"""
+            SELECT COUNT(DISTINCT g) AS c FROM (
+              SELECT explode(transform(sequence(1, greatest(length(text) - {n} + 1, 0)),
+                             i -> substring(text, i, {n}))) AS g
+              FROM t_grams
+            )"""
+        ).collect()[0]["c"]
+
+    base_count = distinct_grams_sql(docs.select("text"))
+    assert base_count > 0
+    for r in range(REPS):
+        copy_count = distinct_grams_sql(out.filter(F.col("rep") == r).select("text"))
+        assert copy_count == base_count, f"rep={r}"
+
+
+def test_cross_copy_shingles_disjoint_and_structure_preserved(replicated):
+    docs, out = replicated
+    # token-level 5-gram shingles per copy must not collide across copies
+    sh = out.select(
+        "rep",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text, ' ')) - 4, 0)),"
+                " i -> concat_ws(' ', slice(split(text, ' '), i, 5)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+    per_copy = {
+        r["rep"]: r["c"]
+        for r in sh.groupBy("rep").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    total_distinct = sh.select("shingle").distinct().count()
+    assert total_distinct == sum(per_copy.values())  # no cross-copy overlap
+    # structure: token counts and lengths untouched by the substitution
+    base_stats = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+        F.sum(F.length("text")).alias("chars"),
+    ).collect()[0]
+    for r in range(REPS):
+        s = out.filter(F.col("rep") == r).select(
+            F.sum(F.size(F.split("text", " "))).alias("toks"),
+            F.sum(F.length("text")).alias("chars"),
+        ).collect()[0]
+        assert (s["toks"], s["chars"]) == (base_stats["toks"], base_stats["chars"])

@@ -6,11 +6,13 @@ tool is the on-demand breadth/depth net behind it — round 9 ran it twice
 and both runs earned their keep:
 
 - FULL sweep at 10x (all 50 slots): surfaced ``doc_fingerprints`` at
-  15.2x, traced to a replication artifact (the per-copy token prefix that
-  makes copy vocabularies disjoint also inserts identical glue chars that
-  collapse within-copy distinct char k-grams ~5x, so winnow overlap output
-  genuinely grows ~85x while the df-cap guard holds) — documented in
-  COVERAGE.md rather than "fixed", because the engine behavior is correct;
+  15.2x, traced to a replication artifact (the then-current per-copy token
+  prefix inserted identical glue chars at every token boundary, collapsing
+  within-copy distinct char k-grams ~5x, so winnow overlap output genuinely
+  grew ~85x while the df-cap guard held). Round 10 replaced the prefix with
+  per-copy bijective alphabet permutations (``bench.permuted_copy_text``)
+  — within-copy k-gram diversity now equals the base corpus exactly, so
+  char-gram families measure the engine, not the generator;
 - family sweep at 100x: measured every ``sf1_ratio`` family sub-linear
   across a SECOND decade (text families ~9.5x per decade = core-saturated
   linear; scan-parallel families flat).
@@ -26,9 +28,7 @@ Interpretation notes (also in COVERAGE.md):
   block/cluster/plane parameters here, so Nx data means ~N^2 designed pair
   work — their scaled-parameter contract is measured by
   ``bench.bench_quadratic_family`` instead;
-- relational slots over the UNSCALED dimension tables stay ~1x by design;
-- char-k-gram slots see the replication artifact above; token-level slots
-  do not (the prefix preserves token distinctness).
+- relational slots over the UNSCALED dimension tables stay ~1x by design.
 
 Usage:
     python tools/scale_sweep.py                 # 10x, sf1_ratio families
