@@ -251,17 +251,40 @@ NPROBE = 2
       WHERE e.vec_id <> p.query_id
     ),
     rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
-    SELECT query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
-    "IVF ANN: coarse-quantizer cells (seeded deterministic centroids), "
-    "each query probes its 2 nearest cells — the inverted-file scale path "
-    "beside LSH (probe join on cell, candidate volume = probed cell sizes)",
+    SELECT 'direct' AS kind, query_id, vec_id, cos, rank FROM rk WHERE rank <= 3
+    UNION ALL
+    SELECT 'indexed' AS kind, query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
+    "IVF ANN, fused slot: kind='direct' rows run the in-memory inverted-"
+    "file path (coarse-quantizer cells from seeded deterministic "
+    "centroids, each query probes its 2 nearest cells — candidate volume "
+    "= probed cell sizes); kind='indexed' rows run the SAME probe against "
+    "a build_ivf_index table (the corpus written bucketed BY cell — at "
+    "100 TB the index IS the layout: the probe join reads corpus buckets "
+    "in place with no exchange, the scale path the in-memory cap errors "
+    "redirect to). Both slices are row-identical by contract; the oracle "
+    "pins each against the same SQL.",
     tags=("similarity",),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import ivf_topk
+    import re
+    import tempfile
+
+    from ..operators.similarity import build_ivf_index, ivf_probe_indexed, ivf_topk
 
     emb = _emb(spark, sf_dir)
-    return ivf_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES),
-        n_cells=N_CELLS, nprobe=NPROBE, k=3,
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    direct = ivf_topk(emb, queries, n_cells=N_CELLS, nprobe=NPROBE, k=3)
+    # indexed slice: same coarse quantizer (the N_CELLS lowest-id vectors),
+    # corpus materialized bucketed-by-cell once per (process, sf) at a
+    # stable temp path — mode=overwrite keeps repeat invocations (driver
+    # runs each query twice; sweeps re-run slots) idempotent.
+    cents_rows = emb.orderBy("vec_id").limit(N_CELLS).collect()
+    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
+    table = f"ann_ivf_idx_{tag}"
+    path = f"{tempfile.gettempdir()}/sparkgraft_ivf/{table}"
+    build_ivf_index(emb, cents, table, path, n_buckets=8)
+    indexed = ivf_probe_indexed(spark, table, queries, cents, nprobe=NPROBE, k=3)
+    return direct.select(F.lit("direct").alias("kind"), "*").unionByName(
+        indexed.select(F.lit("indexed").alias("kind"), "*")
     )
