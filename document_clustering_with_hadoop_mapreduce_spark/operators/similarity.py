@@ -63,16 +63,21 @@ def _round6(c):
     case, and the exact mismatch class is pinned here by name: the JVM
     rounds via BigDecimal HALF_UP on the SHORTEST DECIMAL REPRESENTATION
     of the double, while this floors the BINARY double scaled by 1e6.
-    The two can disagree when a double's shortest repr lands exactly on
-    a .5 boundary but its binary value sits just below it — e.g. a
-    double printing as '0.1234565' whose binary value is
-    0.12345649999999999: the JVM reads the decimal string and rounds up
-    to 0.123457; this path sees the binary value and rounds down to
-    0.123456. (This is a different class from float summation order,
-    which perturbs the ~1e-16 tail before rounding.) A boundary hit
-    could flip a top-k rank or a threshold edge vs the DuckDB oracle;
-    none has ever occurred across the 50-slot oracle gate at three SFs —
-    accepted, and named so a future mismatch has a diagnosis.
+    The two can disagree when a double's shortest repr reads at/above a
+    .5 boundary while its binary value times 1e6 lands strictly below it
+    — verified example: x = 0.0005045 (repr exactly '0.0005045', so the
+    decimal path rounds up to 0.000505) has x*1e6 = 504.4999..., so this
+    path floors down to 0.000504. Note printing at a boundary is NOT
+    sufficient: 0.1234565's binary x*1e6 rounds exactly onto 123456.5
+    and both paths round up together. (This is a different class from
+    float summation order, which perturbs the ~1e-16 tail before
+    rounding.) A straddle could flip a top-k rank or a threshold edge vs
+    the DuckDB oracle; none has ever occurred across the 50-slot oracle
+    gate at three SFs — accepted, named, and since round 10 MONITORED:
+    ``plans.round6_monitor`` recomputes every similarity slot's scores
+    unrounded and counts actual disagreements (asserted 0 in
+    tests/test_round6_boundary.py) plus a conservative near-boundary
+    early-warning count.
 
     Magnitude contract: exact only while |c|*1e6 < 2^52 — already at odd
     integers in [2^52, 2^53) the +0.5 is unrepresentable (ulp = 1) and

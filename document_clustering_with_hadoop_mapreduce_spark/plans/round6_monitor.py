@@ -1,0 +1,134 @@
+"""Tripwire for the ``_round6`` shortest-decimal vs binary-double HALF_UP
+mismatch class (VERDICT r9 #2).
+
+``operators.similarity._round6`` emulates Spark's ``F.round(col, 6)`` by
+flooring the BINARY double scaled by 1e6, while the JVM rounds the
+SHORTEST DECIMAL REPRESENTATION via BigDecimal HALF_UP — the two can
+disagree only when an unrounded score sits within ~1e-9 of an exact
+``n + 0.5`` boundary at the 6th decimal (see the ``_round6`` docstring
+for the worked example). No hit has ever occurred across the 50-slot
+oracle gate at three SFs; this module makes that claim MEASURED every
+round instead of remembered: for each similarity slot it recomputes the
+slot's output scores UNROUNDED (float64, same dot/(na*nb) zero-norm-
+guarded form) and counts (a) actual binary-floor vs shortest-decimal
+HALF_UP disagreements — asserted 0 by the test gate — and (b) the
+conservative near-boundary early-warning count (within 1e-9; reported,
+not asserted: such values both engines still round identically). A
+future nonzero disagreement count is the diagnosis that would otherwise
+take an archaeology session when a one-row hash mismatch first fires.
+
+Driver note: this is a DIAGNOSTIC (test/tool surface, not an operator) —
+it collects the slot outputs (top-k-bounded) and the embedding table
+(capped, raising past ``max_corpus_rows``) to recompute scores in NumPy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# |unrounded| * 1e6 within this distance of an exact n + 0.5 marks a score
+# as boundary-adjacent (1e-3 scaled units = 1e-9 in score units)
+BOUNDARY_TOL_SCALED = 1e-3
+
+# similarity slots whose float outputs flow through _round6 in an Arrow task
+SIMILARITY_SLOTS = (
+    "knn_bruteforce",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_top_pairs",
+)
+
+
+def boundary_hits(scores) -> int:
+    """Count scores within 1e-9 of a 0.5e-6 HALF_UP boundary — the
+    CONSERVATIVE early-warning count. Values here are ~8 orders of
+    magnitude more common than actual disagreements (a straddle needs the
+    binary double and its shortest decimal repr on OPPOSITE sides of the
+    boundary, a < 0.5-ulp window); the test SF corpus measures 2 such
+    near values with both engines agreeing. Reported, not asserted."""
+    import numpy as np
+
+    y = np.abs(np.asarray(scores, dtype=np.float64)) * 1e6
+    frac = y - np.floor(y)
+    return int((np.abs(frac - 0.5) < BOUNDARY_TOL_SCALED).sum())
+
+
+def halfup_disagreements(scores) -> int:
+    """Count scores where ``_round6`` (floor of the BINARY double + 0.5)
+    and decimal HALF_UP on the SHORTEST DECIMAL REPRESENTATION (what the
+    JVM's BigDecimal.valueOf and DuckDB effectively round) actually
+    DISAGREE — the exact mismatch class the ``_round6`` docstring names.
+    Python's ``repr`` is the same shortest-round-trip decimal as Java's
+    ``Double.toString``. Expected 0; a nonzero count is the engine-side
+    explanation for a similarity-slot hash mismatch."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators.similarity import _round6
+
+    n = 0
+    for x in scores:
+        x = float(x)
+        dec = float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+        if dec != float(_round6(x)):
+            n += 1
+    return n
+
+
+def _load_vectors(spark: SparkSession, sf_dir: str, max_corpus_rows: int) -> dict:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").limit(max_corpus_rows + 1).collect()
+    if len(rows) > max_corpus_rows:
+        raise ValueError(
+            f"round6 boundary scan collects the embedding table to recompute "
+            f"scores; {sf_dir} exceeds max_corpus_rows={max_corpus_rows} — "
+            "run the scan at a test SF or raise the cap explicitly."
+        )
+    return {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+
+
+def _raw_cos(a: list, b: list) -> float:
+    import numpy as np
+
+    va, vb = np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)
+    den = float(np.sqrt(va @ va) * np.sqrt(vb @ vb))
+    return 0.0 if den == 0.0 else float(va @ vb) / den
+
+
+def scan_slot(
+    spark: SparkSession, sf_dir: str, name: str, max_corpus_rows: int = 200_000
+) -> dict:
+    """{'rows': n, 'hits': m} for one similarity slot: recompute every
+    output score unrounded and count boundary-adjacent values."""
+    from .registry import all_queries
+
+    vecs = _load_vectors(spark, sf_dir, max_corpus_rows)
+    out = all_queries()[name].spark(spark, sf_dir).collect()
+    raw: list[float] = []
+    if name == "embedding_top_pairs":
+        from .queries_similarity import _sd_centroids
+
+        cents = _sd_centroids()
+        for r in out:
+            if r["kind"] in ("top", "sd_pair"):
+                raw.append(_raw_cos(vecs[r["id_a"]], vecs[r["id_b"]]))
+            else:  # sd_drop: value = cosine(vec, centroid[cluster])
+                raw.append(_raw_cos(vecs[r["id_a"]], cents[int(r["id_b"])]))
+    else:
+        for r in out:
+            raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))
+    return {
+        "rows": len(raw),
+        "disagreements": halfup_disagreements(raw),
+        "near_boundary": boundary_hits(raw),
+    }
+
+
+def scan_all(
+    spark: SparkSession, sf_dir: str, max_corpus_rows: int = 200_000
+) -> dict:
+    return {
+        name: scan_slot(spark, sf_dir, name, max_corpus_rows)
+        for name in SIMILARITY_SLOTS
+    }
