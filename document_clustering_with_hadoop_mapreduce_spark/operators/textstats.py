@@ -181,6 +181,31 @@ def doc_repetition(
     )
 
 
+def split_assignment(
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+    train: float = 0.9,
+    valid: float = 0.05,
+) -> tuple[Column, Column]:
+    """(bucket, split) column pair for the deterministic hash split.
+
+    Exposed separately from ``hash_split`` so fused plans (e.g. the
+    registered split+pack slot) can stamp the assignment onto an existing
+    frame map-side — it is a pure function of (salt, id), no join needed."""
+    from ..functions.hashing import md5_int60
+
+    bucket = F.pmod(
+        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
+    )
+    t, v = int(round(train * 10000)), int(round((train + valid) * 10000))
+    split = (
+        F.when(bucket < t, F.lit("train"))
+        .when(bucket < v, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return bucket, split
+
+
 def hash_split(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -196,17 +221,7 @@ def hash_split(
     documents cannot reshuffle existing assignments (the property a
     training-data pipeline needs for stable held-out sets). Map-side only:
     no shuffle, no RNG, no state."""
-    from ..functions.hashing import md5_int60
-
-    bucket = F.pmod(
-        md5_int60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(10000)
-    )
-    t, v = int(round(train * 10000)), int(round((train + valid) * 10000))
-    split = (
-        F.when(bucket < t, F.lit("train"))
-        .when(bucket < v, F.lit("valid"))
-        .otherwise(F.lit("test"))
-    )
+    bucket, split = split_assignment(id_col, salt, train, valid)
     return documents.select(
         F.col(id_col).alias("doc_id"), bucket.alias("bucket"), split.alias("split")
     )

@@ -425,30 +425,78 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_rows.unionByName(pair_rows).unionByName(span_rows)
 
 
+# Sequence-packing knobs for the fused split+pack slot. max_tokens is a
+# POWER OF TWO on purpose: Spark computes seq = floor(global_start /
+# max_tokens) through double division, which is exact for /2^k below 2^53
+# — the same boundary the oracle's integer division lands on. num_streams
+# is sized so the local fixtures put many docs in one stream (the cumsum
+# actually accumulates); at cluster scale the knob rises with the corpus
+# (parallelism = num_streams).
+_PACK_MAX_TOKENS = 256
+_PACK_STREAMS = 32
+
+
 @register(
     "hash_split",
-    """
-    WITH b AS (
+    f"""
+    WITH tk AS (
       SELECT doc_id,
-             CAST(('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10000 AS bucket
+             CAST(('0x' || substr(md5('split-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 10000 AS bucket,
+             CAST(('0x' || substr(md5('pack-v1:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % {_PACK_STREAMS} AS stream,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\r]+')) END AS BIGINT) AS n_tokens
       FROM documents
+    ),
+    p AS (
+      -- sum() OVER returns HUGEINT in DuckDB; pin every derived column
+      -- back to BIGINT so the frame round-trips to int64 like Spark's
+      SELECT doc_id, bucket, stream, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id) - n_tokens AS BIGINT) AS global_start
+      FROM tk
     )
     SELECT doc_id, bucket,
            CASE WHEN bucket < 9000 THEN 'train'
                 WHEN bucket < 9500 THEN 'valid'
-                ELSE 'test' END AS split
-    FROM b""",
-    "deterministic 90/5/5 train/valid/test split by salted id hash — "
-    "reproducible across runs/engines/corpus growth, map-side, no RNG "
-    "(the stable alternative to randomSplit)",
+                ELSE 'test' END AS split,
+           stream,
+           global_start // {_PACK_MAX_TOKENS} AS seq,
+           stream * 4294967296 + (global_start // {_PACK_MAX_TOKENS}) AS seq_id,
+           global_start % {_PACK_MAX_TOKENS} AS offset,
+           global_start, n_tokens
+    FROM p""",
+    "deterministic 90/5/5 train/valid/test split by salted id hash "
+    "(reproducible across runs/engines/corpus growth, no RNG — the stable "
+    "alternative to randomSplit), FUSED with GPT-style sequence packing: "
+    f"every doc also gets its (stream, seq, offset) position in a "
+    f"{_PACK_MAX_TOKENS}-token training sequence via {_PACK_STREAMS} "
+    "salted independent packing streams — one corpus scan, one "
+    "stream-partitioned window, split stamped map-side on top",
     tags=("textstats",),
 )
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import hash_split
+    from ..operators.textstats import sequence_pack, split_assignment
 
-    # pure map-side hash projection: a fan-out repartition would be the
-    # query's ONLY shuffle — skip it (plan-pinned shuffle-free in tests)
-    return hash_split(load_table(spark, sf_dir, "documents", fan_out=False))
+    # ONE corpus scan, ONE shuffle (the pack window's stream partitioning;
+    # plan-pinned in tests): the split columns are a pure function of
+    # doc_id, so they stamp onto the packed frame map-side — no join, no
+    # second scan, and no fan-out repartition on top.
+    pack = sequence_pack(
+        load_table(spark, sf_dir, "documents", fan_out=False),
+        max_tokens=_PACK_MAX_TOKENS,
+        num_streams=_PACK_STREAMS,
+    )
+    bucket, split = split_assignment()
+    return pack.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        split.alias("split"),
+        "stream",
+        "seq",
+        "seq_id",
+        "offset",
+        "global_start",
+        "n_tokens",
+    )
 
 
 @register(

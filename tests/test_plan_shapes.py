@@ -246,8 +246,13 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan
     assert "rand(" not in _optimized(df)
-    # the REGISTERED query must stay shuffle-free too (no fan-out creep)
-    assert "Exchange" not in _plan(all_queries()["hash_split"].spark(spark, sf_dir))
+    # the REGISTERED (split+pack fused) query pays exactly ONE shuffle —
+    # the pack window's stream partitioning; the split stamp must not add
+    # a join/exchange on top, and no fan-out creep
+    fused = _plan(all_queries()["hash_split"].spark(spark, sf_dir))
+    assert fused.count("Exchange") == 1, fused
+    assert "hashpartitioning(stream" in fused, fused
+    assert "Join" not in fused, fused
 
 
 def test_doc_features_is_one_shuffle_free_jvm_pass(spark, sf_dir):
