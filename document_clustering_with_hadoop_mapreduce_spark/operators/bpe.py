@@ -220,6 +220,55 @@ def bpe_encode_words(words: DataFrame, merges: list[tuple[str, str]]) -> DataFra
     return words.select("word", enc(F.col("word")).alias("bpe"))
 
 
+def doc_word_counts(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, word, k): the nnz-bounded word-count matrix WITHOUT the
+    stopword drop (a tokenizer trains on every word, unlike the term-doc
+    matrix). One corpus scan; everything BPE needs downstream — the
+    training vocab, the distinct-word encode set, and the per-doc weighted
+    sums — derives from this frame, so a fused plan scans the corpus once.
+    """
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+
+
+def bpe_token_counts_from_counts(
+    per_word: DataFrame,
+    merges: list[tuple[str, str]],
+    all_doc_ids: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_bpe_tokens) from a precomputed (doc_id, word, k) frame.
+
+    Vocab side: each DISTINCT word encodes once (Arrow batch UDF), then one
+    join + weighted sum. The vocab join carries NO broadcast hint (a
+    distinct-words frame is O(vocab), not "small"; AQE may still broadcast
+    when stats say it fits). Pass ``all_doc_ids`` (a one-column doc_id
+    frame) to keep 0 rows for docs with no tokens via left join + coalesce.
+    """
+    vocab = bpe_encode_words(
+        per_word.select("word").distinct(), merges
+    ).select("word", F.size("bpe").alias("n_toks"))
+    weighted = per_word.join(vocab, "word").groupBy("doc_id").agg(
+        F.sum(F.col("k") * F.col("n_toks")).alias("n_bpe_tokens")
+    )
+    if all_doc_ids is not None:
+        weighted = all_doc_ids.select("doc_id").join(weighted, "doc_id", "left")
+    return weighted.select(
+        "doc_id",
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def bpe_token_counts(
     documents: DataFrame,
     merges: list[tuple[str, str]],
@@ -230,31 +279,11 @@ def bpe_token_counts(
 
     Corpus side: one (doc_id, word) count aggregate (nnz-bounded — the
     term-matrix shape) joined to the encoded vocab's per-word token
-    length, then one weighted sum. The vocab join carries NO broadcast
-    hint (a distinct-words frame is O(vocab), not "small"; AQE may still
-    broadcast when stats say it fits). Docs with zero tokens keep a 0 row
+    length, then one weighted sum. Docs with zero tokens keep a 0 row
     via the left join + coalesce.
     """
-    per_word = (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("word"),
-        )
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("k"))
-    )
-    vocab = bpe_encode_words(
-        per_word.select("word").distinct(), merges
-    ).select("word", F.size("bpe").alias("n_toks"))
-    weighted = per_word.join(vocab, "word").groupBy("doc_id").agg(
-        F.sum(F.col("k") * F.col("n_toks")).alias("n_bpe_tokens")
-    )
-    return (
-        documents.select(F.col(id_col).alias("doc_id"))
-        .join(weighted, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
-        )
+    return bpe_token_counts_from_counts(
+        doc_word_counts(documents, text_col, id_col),
+        merges,
+        all_doc_ids=documents.select(F.col(id_col).alias("doc_id")),
     )

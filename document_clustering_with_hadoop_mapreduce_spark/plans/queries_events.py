@@ -124,6 +124,82 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text analysis
 # ---------------------------------------------------------------------------
 
+# BPE tokenizer-training knobs for the fused doc_quality slot. 12 merges
+# keeps the hash-gated surface real (the whole Sennrich'16 train loop +
+# the learned-tokenizer per-doc counts run end-to-end) while keeping the
+# unrolled-iteration DuckDB oracle tractable; min_frequency=2 matches the
+# operator default and the oracle's per-iteration WHERE guard, so an
+# early stop (best pair below threshold) freezes BOTH engines identically.
+_BPE_MERGES = 12
+_BPE_MIN_FREQ = 2
+
+
+def _bpe_ctes(n_merges: int, min_freq: int) -> str:
+    """Unrolled BPE training as a DuckDB CTE chain, one block per merge.
+
+    Independent SQL reimplementation of ``operators/bpe.py`` for the hash
+    gate: iteration i aggregates adjacent-pair mass over the symbol table
+    w{{i-1}}, picks top{{i}} by (n DESC, a, b), and rewrites the symbols with
+    the greedy left-to-right merge. The greedy pass is expressed with
+    window functions instead of Spark's array fold: for a != b adjacent
+    matches can never conflict, and for a == b (runs of the same symbol)
+    greedy keeps alternating positions from each run's head — computed via
+    the run-group (j - row_number) trick + offset parity. ``AS
+    MATERIALIZED`` on every w{{i}} is load-bearing: DuckDB inlines
+    single-reference CTEs, and each w{{i}} has two consumers, so the
+    un-materialized chain re-expands EXPONENTIALLY (2^merges corpus scans).
+
+    Assumes CTEs named ``tc``(doc_id, w, c) — the per-doc cleaned word
+    counts (no stopword drop) — are already in scope.
+    """
+    parts = [
+        """w0 AS MATERIALIZED (
+      SELECT w AS word, CAST(sum(c) AS BIGINT) AS cnt,
+             list_append(string_split(w, ''), '</w>') AS syms
+      FROM tc GROUP BY w
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""pc{i} AS (
+      SELECT p.a AS a, p.b AS b, CAST(sum(cnt) AS BIGINT) AS n
+      FROM (SELECT cnt, unnest(list_transform(generate_series(1, len(syms)-1),
+             j -> struct_pack(a := syms[j], b := syms[j+1]))) AS p FROM w{p})
+      GROUP BY 1, 2
+    ),
+    top{i} AS (SELECT a, b FROM pc{i} WHERE n >= {min_freq} ORDER BY n DESC, a ASC, b ASC LIMIT 1),
+    e{i} AS (SELECT word, cnt, t.j AS j, syms[t.j] AS s
+             FROM w{p}, UNNEST(generate_series(1, len(syms))) AS t(j)),
+    m{i} AS (
+      SELECT word, cnt, j, s, lead(s) OVER win AS nxt,
+             coalesce(s = (SELECT a FROM top{i}) AND lead(s) OVER win = (SELECT b FROM top{i}), FALSE) AS hit
+      FROM e{i} WINDOW win AS (PARTITION BY word ORDER BY j)
+    ),
+    g{i} AS (
+      SELECT *, CASE WHEN hit THEN j - row_number() OVER (PARTITION BY word, hit ORDER BY j) END AS grp
+      FROM m{i}
+    ),
+    k{i} AS (
+      SELECT *, hit AND ((j - min(j) OVER (PARTITION BY word, grp)) % 2 = 0) AS keep
+      FROM g{i}
+    ),
+    r{i} AS (
+      SELECT word, cnt, j, CASE WHEN keep THEN s || nxt ELSE s END AS s,
+             coalesce(lag(keep) OVER (PARTITION BY word ORDER BY j), FALSE) AS dropped
+      FROM k{i}
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word, any_value(cnt) AS cnt, list(s ORDER BY j) AS syms
+      FROM r{i} WHERE NOT dropped GROUP BY word
+    )""")
+    merge_rows = "\n      UNION ALL ".join(
+        f"SELECT CAST({i - 1} AS BIGINT) AS merge_rank, a, b FROM top{i}"
+        for i in range(1, n_merges + 1)
+    )
+    parts.append(f"bpe_merges AS (\n      {merge_rows}\n    )")
+    return ",\n    ".join(parts)
+
+
 # One registry slot carries the WHOLE per-doc feature projection —
 # doc_quality ratios + BPE-ish lexer count + Gopher repetition signals —
 # because (a) a 100 TB pipeline computes them in one corpus scan, not one
@@ -131,7 +207,11 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side projections over the same row must share a slot. The standalone
 # operators (doc_quality / bpe_ish_token_counts / doc_repetition) remain
 # in operators/textstats.py with their own pytest gates; their expressions
-# are the ones this fused query runs.
+# are the ones this fused query runs. FUSED in (kind rows, the established
+# pattern): the LEARNED BPE tokenizer — kind='merge' rows are the ordered
+# merge table trained on this corpus's word counts (Sennrich'16), and
+# every kind='doc' row gains n_bpe_learned, the doc's token count under
+# that trained tokenizer (vs bpe_tokens, the FIXED regex lexer's count).
 @register(
     "doc_quality",
     f"""
@@ -144,7 +224,7 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
-    tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+    tc AS MATERIALIZED (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
     tstat AS (SELECT doc_id, max(c) AS maxc FROM tc GROUP BY doc_id),
     grams AS (
       SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
@@ -154,7 +234,13 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
     gstat AS (SELECT doc_id, max(c) AS maxc,
                      CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dups
-              FROM gc GROUP BY doc_id)
+              FROM gc GROUP BY doc_id),
+    {_bpe_ctes(_BPE_MERGES, _BPE_MIN_FREQ)},
+    bagg AS (
+      SELECT tc.doc_id, CAST(sum(tc.c * len(w{_BPE_MERGES}.syms)) AS BIGINT) AS n_bpe
+      FROM tc JOIN w{_BPE_MERGES} ON tc.w = w{_BPE_MERGES}.word GROUP BY tc.doc_id
+    ),
+    dq AS (
     SELECT t.doc_id, t.n_tokens, t.n_chars,
            round(CASE WHEN t.n_tokens > 0 THEN
              length(replace(array_to_string(t.toks, ''), ' ', ''))::DOUBLE / t.n_tokens ELSE 0 END, 6) AS avg_token_len,
@@ -169,18 +255,71 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(gstat.dups::DOUBLE / nullif(len(t.toks) - 1, 0), 0), 6) AS dup_ngram_frac
     FROM t
     LEFT JOIN tstat USING (doc_id)
-    LEFT JOIN gstat USING (doc_id)""",
+    LEFT JOIN gstat USING (doc_id))
+    SELECT 'doc' AS kind, dq.*, coalesce(bagg.n_bpe, 0) AS n_bpe_learned,
+           NULL::BIGINT AS merge_rank, NULL::VARCHAR AS a, NULL::VARCHAR AS b
+    FROM dq LEFT JOIN bagg USING (doc_id)
+    UNION ALL
+    SELECT 'merge', NULL::BIGINT, NULL::INT, NULL::INT, NULL::DOUBLE, NULL::DOUBLE,
+           NULL::DOUBLE, NULL::BIGINT, NULL::INT, NULL::INT, NULL::DOUBLE,
+           NULL::DOUBLE, NULL::DOUBLE, NULL::BIGINT, merge_rank, a, b
+    FROM bpe_merges""",
     "fused per-doc quality features in ONE map-side pass: token/char "
     "counts, avg token length, stopword + punctuation ratios, BPE-ish "
     "lexer token count, and Gopher-style repetition signals "
     "(top-token/top-bigram/duplicated-bigram fractions via a zero-shuffle "
-    "array fold)",
+    f"array fold); FUSED in: a {_BPE_MERGES}-merge BPE tokenizer TRAINED "
+    "on this corpus (kind='merge' rows = the ordered merge table; one "
+    "vocab-bounded agg + top-1 per merge, never a corpus re-scan) and "
+    "each doc's learned-tokenizer token count (n_bpe_learned; distinct "
+    "words encode once via an Arrow batch UDF)",
     tags=("textstats",),
 )
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.bpe import bpe_token_counts_from_counts, bpe_train, doc_word_counts
     from ..operators.textstats import doc_features
 
-    return doc_features(load_table(spark, sf_dir, "documents"), n=2)
+    docs = load_table(spark, sf_dir, "documents")
+    feats = doc_features(docs, n=2)
+    # ONE corpus scan for the whole BPE side: training vocab, the distinct-
+    # word encode set, and the per-doc weighted sums all derive from the
+    # nnz-bounded (doc_id, word, k) frame — three consumers, so cut the
+    # lineage once (the tokenize-lambda subtrees never unify in Catalyst).
+    per_word = doc_word_counts(docs).localCheckpoint(eager=False)
+    wc = per_word.groupBy("word").agg(F.sum("k").cast("long").alias("cnt"))
+    merges = bpe_train(wc, num_merges=_BPE_MERGES, min_frequency=_BPE_MIN_FREQ)
+    ntok = bpe_token_counts_from_counts(per_word, merges)
+    feat_cols = [
+        "n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "punct_ratio",
+        "bpe_tokens", "n_clean_tokens", "n_ngrams", "max_token_frac",
+        "top_ngram_frac", "dup_ngram_frac",
+    ]
+    doc_rows = feats.join(ntok, "doc_id", "left").select(
+        F.lit("doc").alias("kind"),
+        "doc_id",
+        *feat_cols,
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_learned"),
+        F.lit(None).cast("long").alias("merge_rank"),
+        F.lit(None).cast("string").alias("a"),
+        F.lit(None).cast("string").alias("b"),
+    )
+    int_cols = {"n_tokens", "n_chars", "bpe_tokens", "n_clean_tokens", "n_ngrams"}
+    merge_rows = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_rank long, a string, b string",
+    ).select(
+        F.lit("merge").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        *[
+            F.lit(None).cast("int" if c in int_cols else "double").alias(c)
+            for c in feat_cols
+        ],
+        F.lit(None).cast("long").alias("n_bpe_learned"),
+        "merge_rank", "a", "b",
+    )
+    return doc_rows.unionByName(merge_rows)
 
 
 # Jelinek-Mercer weight for the fused language_id slot. 0.75 so the

@@ -305,3 +305,85 @@ class TestMixtureFusion:
                 # expectation-level check: within 3x of the budget (hash
                 # sampling variance at small strata), never wildly over
                 assert got[lang] <= 3 * budget, (lang, got[lang], budget)
+
+
+class TestBpeFusion:
+    """Round-10 fusion: the trained BPE merge table (kind='merge') and the
+    learned-tokenizer per-doc counts (n_bpe_learned on kind='doc' rows)
+    inside the doc_quality slot."""
+
+    @pytest.fixture(scope="class")
+    def dq_fused(self, spark, sf_dir):
+        return all_queries()["doc_quality"].spark(spark, sf_dir).cache()
+
+    def test_doc_rows_cover_the_corpus(self, dq_fused, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert dq_fused.where(F.col("kind") == "doc").count() == n_docs
+
+    def test_merge_rows_are_a_dense_ordered_table(self, dq_fused):
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_events import (
+            _BPE_MERGES,
+        )
+
+        merges = (
+            dq_fused.where(F.col("kind") == "merge")
+            .select("merge_rank", "a", "b")
+            .collect()
+        )
+        ranks = sorted(r["merge_rank"] for r in merges)
+        # dense 0..k-1 (k == _BPE_MERGES unless the corpus ran dry early)
+        assert ranks == list(range(len(ranks)))
+        assert len(ranks) <= _BPE_MERGES
+        for r in merges:
+            assert r["a"] and r["b"], r
+
+    def test_merge_rows_match_direct_training(self, dq_fused, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bpe import (
+            bpe_train,
+            word_counts,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_events import (
+            _BPE_MERGES,
+            _BPE_MIN_FREQ,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        expect = bpe_train(
+            word_counts(docs), num_merges=_BPE_MERGES, min_frequency=_BPE_MIN_FREQ
+        )
+        got = {
+            r["merge_rank"]: (r["a"], r["b"])
+            for r in dq_fused.where(F.col("kind") == "merge").collect()
+        }
+        assert got == dict(enumerate(expect))
+
+    def test_learned_counts_match_pure_python_encode(self, dq_fused, spark, sf_dir):
+        """Spot-check n_bpe_learned against a driver-side re-encode of the
+        doc's tokens with the trained ranks (the non-distributed oracle)."""
+        from document_clustering_with_hadoop_mapreduce_spark.operators.bpe import encode_word
+        from document_clustering_with_hadoop_mapreduce_spark.functions.text import (
+            CLEAN_RE_SPARK,
+        )
+        import re
+
+        ranks = {
+            (r["a"], r["b"]): r["merge_rank"]
+            for r in dq_fused.where(F.col("kind") == "merge").collect()
+        }
+        rows = (
+            dq_fused.where(F.col("kind") == "doc")
+            .select("doc_id", "n_bpe_learned")
+            .limit(50)
+            .collect()
+        )
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where(F.col("doc_id").isin([r["doc_id"] for r in rows]))
+            .collect()
+        }
+        clean = re.compile(CLEAN_RE_SPARK)
+        for r in rows:
+            toks = [t for t in re.split(r"[ \t\n\r]+", clean.sub("", texts[r["doc_id"]].lower())) if t]
+            expect = sum(len(encode_word(w, ranks)) for w in toks)
+            assert r["n_bpe_learned"] == expect, r["doc_id"]
