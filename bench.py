@@ -388,24 +388,46 @@ SF1_QUERIES = [
 ]
 
 
-_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+# Both token character classes (tokens() keeps [a-z0-9]) are permuted —
+# letters among letters, digits among digits, so token boundaries, class
+# membership and lengths are preserved. Leaving digits out would make
+# every digit a GLOBAL fixed point: a digit-heavy corpus generation would
+# replicate numeric shingles byte-identically across copies and the
+# dedup-scales-linearly construction would silently break.
+_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+_N_LETTERS = 26
+
+
+def _deranged(chars: list, rng) -> list:
+    """Seeded random permutation with NO fixed points (derangement), so
+    every substituted character differs from copy 0's — a copy can never
+    share a shingle with the base corpus, whatever the text."""
+    while True:
+        p = chars[:]
+        rng.shuffle(p)
+        if all(a != b for a, b in zip(p, chars)):
+            return p
 
 
 def _copy_permutations(reps_n: int) -> list[str]:
-    """Per-copy bijective alphabet permutations, rep 0 = identity. Seeded
-    and deduplicated so every copy's substitution is distinct (two copies
-    sharing a permutation would be byte-identical corpora — cross-copy
-    duplicates that break the dedup-scales-linearly construction)."""
+    """Per-copy bijective alphabet permutations, rep 0 = identity; every
+    rep > 0 is a DERANGEMENT of both classes (zero fixed points vs the
+    base — see _deranged) and deduplicated so every copy's substitution
+    is distinct (two copies sharing a permutation would be byte-identical
+    corpora — cross-copy duplicates that break the dedup-scales-linearly
+    construction). Base-vs-copy disjointness is by construction; copy-vs-
+    copy collisions need every char of a shingle to agree between two
+    independent derangements — vanishing, and measured zero by
+    tests/test_replication.py's cross-copy shingle check."""
     import random as _rnd
 
+    letters, digits = list(_ALPHABET[:_N_LETTERS]), list(_ALPHABET[_N_LETTERS:])
     perms = [_ALPHABET]
     seen = {_ALPHABET}
     for r in range(1, reps_n):
         rng = _rnd.Random(31_000 + r)
         while True:
-            letters = list(_ALPHABET)
-            rng.shuffle(letters)
-            p = "".join(letters)
+            p = "".join(_deranged(letters, rng) + _deranged(digits, rng))
             if p not in seen:
                 seen.add(p)
                 break
@@ -445,9 +467,10 @@ def replicate_tables(
     emb_splits: int | None = None,
 ) -> float:
     """Independent-copies replication of the fact tables into ``out``:
-    document copies get a per-copy bijective alphabet permutation
-    (disjoint vocabularies — no cross-copy shingle/LSH matches, so dedup
-    output scales linearly by construction — AND unperturbed within-copy
+    document copies get a per-copy bijective DERANGED alphabet permutation
+    over [a-z0-9] (base-vs-copy shingle disjointness by construction,
+    copy-vs-copy measured zero — no cross-copy shingle/LSH matches, so
+    dedup output scales linearly — AND unperturbed within-copy
     char-k-gram diversity; see ``permuted_copy_text``),
     event/lineitem/embedding copies get offset keys, dimension tables
     ship unscaled. ONE recipe, shared by ``bench_scale_growth``

@@ -290,8 +290,12 @@ def _auto_sizing(
         )
     except Exception:  # plan hashing unavailable -> recompute, still correct
         plan_key = None
+    # vec_col is part of the key: the same frame can carry two embedding
+    # columns with different bucket distributions, and a sizing computed
+    # from the wrong column would hand a hot bucket S=1
     key = (
         plan_key,
+        vec_col,
         tuple(tuple(p) for p in planes),
         target_bucket_rows,
         OCCUPANCY_SAMPLE,
@@ -641,6 +645,21 @@ def _probe_cells(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The deterministic seeded coarse quantizer shared by EVERY IVF
+    surface (``ivf_topk``, ``build_ivf_index`` callers, the fused slot):
+    the ``n_cells`` lowest-id vectors, cell id = position. One definition
+    so the direct and indexed paths can never drift; production swaps a
+    k-means fit in here without touching the probes."""
+    cents_rows = embeddings.orderBy(id_col).limit(n_cells).collect()
+    return [[float(x) for x in r[vec_col]] for r in cents_rows]
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -650,6 +669,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 8192,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize into cells, probe few.
 
@@ -665,9 +685,11 @@ def ivf_topk(
     """
     from .kmeans import assign_nearest
 
-    # n_cells LOWEST ids (no contiguous-id assumption); cell id = position
-    cents_rows = embeddings.orderBy(id_col).limit(n_cells).collect()
-    centroids = [[float(x) for x in r[vec_col]] for r in cents_rows]
+    # n_cells LOWEST ids (no contiguous-id assumption); cell id = position.
+    # Callers that also build an index pass the SAME centroids in so the
+    # two paths share one derivation (and one collect).
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
 
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")

