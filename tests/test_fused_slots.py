@@ -387,3 +387,50 @@ class TestBpeFusion:
             toks = [t for t in re.split(r"[ \t\n\r]+", clean.sub("", texts[r["doc_id"]].lower())) if t]
             expect = sum(len(encode_word(w, ranks)) for w in toks)
             assert r["n_bpe_learned"] == expect, r["doc_id"]
+
+
+class TestSplitPackFusion:
+    """Round-10 fusion: sequence packing columns on the hash_split slot —
+    structural invariants that must hold at ANY scale factor."""
+
+    @pytest.fixture(scope="class")
+    def sp_fused(self, spark, sf_dir):
+        return all_queries()["hash_split"].spark(spark, sf_dir).cache()
+
+    def test_one_row_per_doc(self, sp_fused, spark, sf_dir):
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sp_fused.count() == n_docs
+        assert sp_fused.select("doc_id").distinct().count() == n_docs
+
+    def test_pack_positions_are_a_prefix_sum(self, sp_fused):
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_events import (
+            _PACK_MAX_TOKENS,
+        )
+
+        rows = sp_fused.select(
+            "doc_id", "stream", "seq", "seq_id", "offset", "global_start", "n_tokens"
+        ).collect()
+        by_stream: dict[int, list] = {}
+        for r in rows:
+            by_stream.setdefault(r["stream"], []).append(r)
+        for stream, members in by_stream.items():
+            members.sort(key=lambda r: r["doc_id"])
+            cum = 0
+            for r in members:
+                # the packed position IS the running token sum in doc_id order
+                assert r["global_start"] == cum, (stream, r["doc_id"])
+                assert r["seq"] == cum // _PACK_MAX_TOKENS
+                assert r["offset"] == cum % _PACK_MAX_TOKENS
+                assert r["seq_id"] == r["stream"] * (1 << 32) + r["seq"]
+                assert r["n_tokens"] >= 0
+                cum += r["n_tokens"]
+
+    def test_split_matches_standalone_operator(self, sp_fused, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+            hash_split,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        base = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(docs).collect()}
+        for r in sp_fused.select("doc_id", "bucket", "split").collect():
+            assert base[r["doc_id"]] == (r["bucket"], r["split"]), r["doc_id"]
