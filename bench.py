@@ -450,14 +450,23 @@ def permuted_copy_text(text_col, rep_col, reps_n: int):
     shingle colliding across two different random permutations needs
     every character of ~5 consecutive tokens to agree — vanishing.
     Applied as a CASE chain of ``translate`` (from/to must be literals);
-    build-time-only cost, one branch taken per row."""
+    build-time-only cost, one branch taken per row.
+
+    Copies are LOWERCASED before the substitution: every downstream
+    shingle/token pipeline lowercases first (functions.text.clean_text),
+    so an uppercase char left raw would lowercase onto the SAME char as
+    the base corpus — a fixed point reappearing through the back door
+    (the digit story again). The derangement guarantee is therefore on
+    the normalized alphabet the engines actually shingle; current
+    fixtures are all-lowercase, so copy text is byte-unchanged by the
+    lower()."""
     from pyspark.sql import functions as F
 
     perms = _copy_permutations(reps_n)
     expr = text_col
     for r in range(1, reps_n):
         expr = F.when(
-            rep_col == r, F.translate(text_col, _ALPHABET, perms[r])
+            rep_col == r, F.translate(F.lower(text_col), _ALPHABET, perms[r])
         ).otherwise(expr)
     return expr
 

@@ -690,6 +690,13 @@ def ivf_topk(
     # two paths share one derivation (and one collect).
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
+    elif len(centroids) != n_cells:
+        # a silent mismatch would probe a different cell space than the
+        # caller believes the n_cells contract defines
+        raise ValueError(
+            f"centroids has {len(centroids)} cells but n_cells={n_cells}; "
+            "pass consistent values (or omit centroids to derive them)"
+        )
 
     e = embeddings.select(
         F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("vec")

@@ -293,6 +293,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
     key = (spark.sparkContext.applicationId, tag)
     if key not in _IVF_INDEX_CACHE:
+        import atexit
+        import shutil
+
         # ONE centroid derivation for both slices (ivf_centroids is the
         # shared quantizer rule — the direct path below receives the same
         # list, so the slices cannot drift and the collect happens once)
@@ -300,6 +303,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         table = f"ann_ivf_idx_{tag}_{os.getpid()}"
         path = f"{tempfile.gettempdir()}/sparkgraft_ivf/{table}"
         build_ivf_index(emb, cents, table, path, n_buckets=8)
+        # the PID suffix isolates concurrent processes; it also means no
+        # later run overwrites this dir, so remove it on exit or every
+        # process leaks a corpus-sized bucketed copy into the tempdir
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         _IVF_INDEX_CACHE[key] = (table, cents)
     table, cents = _IVF_INDEX_CACHE[key]
     direct = ivf_topk(emb, queries, n_cells=N_CELLS, nprobe=NPROBE, k=3, centroids=cents)

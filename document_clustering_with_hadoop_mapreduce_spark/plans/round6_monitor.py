@@ -120,8 +120,11 @@ def _raw_cos(a: list, b: list) -> float:
 def scan_slot(
     spark: SparkSession, sf_dir: str, name: str, max_corpus_rows: int = 200_000
 ) -> dict:
-    """{'rows': n, 'hits': m} for one similarity slot: recompute every
-    output score unrounded and count boundary-adjacent values."""
+    """{'rows', 'disagreements', 'near_boundary'} for one similarity slot:
+    recompute the slot's ``_round6``-rounded slices unrounded (ONLY those
+    — see the module docstring's SCOPE note) and count actual
+    floor-vs-decimal disagreements plus boundary-adjacent values.
+    ``rows`` counts the scanned slice, not the slot's full output."""
     from .registry import all_queries
 
     vecs = _load_vectors(spark, sf_dir, max_corpus_rows)
