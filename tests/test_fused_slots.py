@@ -314,7 +314,11 @@ class TestBpeFusion:
 
     @pytest.fixture(scope="class")
     def dq_fused(self, spark, sf_dir):
-        return all_queries()["doc_quality"].spark(spark, sf_dir).cache()
+        df = all_queries()["doc_quality"].spark(spark, sf_dir).cache()
+        yield df
+        # unpersist so later plan-shape tests don't match the cached
+        # InMemoryRelation instead of the real plan
+        df.unpersist()
 
     def test_doc_rows_cover_the_corpus(self, dq_fused, spark, sf_dir):
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
@@ -395,7 +399,11 @@ class TestSplitPackFusion:
 
     @pytest.fixture(scope="class")
     def sp_fused(self, spark, sf_dir):
-        return all_queries()["hash_split"].spark(spark, sf_dir).cache()
+        df = all_queries()["hash_split"].spark(spark, sf_dir).cache()
+        yield df
+        # unpersist so the plan-shape pin on this slot sees the real plan,
+        # not an InMemoryTableScan over this fixture's cache
+        df.unpersist()
 
     def test_one_row_per_doc(self, sp_fused, spark, sf_dir):
         n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
