@@ -52,6 +52,15 @@ def min_of_runs(fn, n: int = 2) -> float:
     return round(min(runs), 3)
 
 
+def parse_sf(sf_dir: str):
+    """The ONE sf-tag parse ("/root/testdata/sf0.1" -> 0.1) shared by
+    bench.py and every tool that emits an {"sf": ...} JSON field — a
+    naming-convention change must not desync the four emitters."""
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return float(sf) if sf.replace(".", "").isdigit() else sf
+
+
+
 def bench_reference_workload(spark) -> float | None:
     """Time the reference's OWN workload end-to-end: the BBC corpus
     (2,225 docs) through task 1.1's full pipeline (scan -> tokenize ->
@@ -423,15 +432,26 @@ def _copy_permutations(reps_n: int) -> list[str]:
 
     letters, digits = list(_ALPHABET[:_N_LETTERS]), list(_ALPHABET[_N_LETTERS:])
     perms = [_ALPHABET]
-    seen = {_ALPHABET}
+    # dedupe the letter and digit blocks INDEPENDENTLY: a whole-string
+    # check would let two copies share an identical digit derangement
+    # (only ~1.3M digit derangements exist — likely at sweep-scale rep
+    # counts), and digit-only shingles would then collide between those
+    # copies, the exact generator-artifact class this scheme closes
+    seen_l = {_ALPHABET[:_N_LETTERS]}
+    seen_d = {_ALPHABET[_N_LETTERS:]}
     for r in range(1, reps_n):
         rng = _rnd.Random(31_000 + r)
         while True:
-            p = "".join(_deranged(letters, rng) + _deranged(digits, rng))
-            if p not in seen:
-                seen.add(p)
+            lp = "".join(_deranged(letters, rng))
+            if lp not in seen_l:
+                seen_l.add(lp)
                 break
-        perms.append(p)
+        while True:
+            dp = "".join(_deranged(digits, rng))
+            if dp not in seen_d:
+                seen_d.add(dp)
+                break
+        perms.append(lp + dp)
     return perms
 
 
@@ -720,8 +740,7 @@ def main() -> None:
     # composes many headline stages; keeping the total comparable
     # round-over-round matters more than double-counting them)
     cur_sec = min_of_runs(lambda: registry["corpus_curation"].spark(spark, SF_DIR).count())
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    sf_val = parse_sf(SF_DIR)
     cold_fused = {k: v for k, v in cold.items() if k.startswith("fused_")}
     cold_core = {k: v for k, v in cold.items() if not k.startswith("fused_")}
     # TWO JSON lines: all diagnostics first, then the compact driver

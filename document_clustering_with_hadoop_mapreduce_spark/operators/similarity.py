@@ -690,12 +690,14 @@ def ivf_topk(
     # two paths share one derivation (and one collect).
     if centroids is None:
         centroids = ivf_centroids(embeddings, n_cells, id_col, vec_col)
-    elif len(centroids) != n_cells:
-        # a silent mismatch would probe a different cell space than the
-        # caller believes the n_cells contract defines
+    elif len(centroids) > n_cells:
+        # over-supplying cells would silently probe a LARGER cell space
+        # than the caller's n_cells contract defines; FEWER is legitimate
+        # (the derivation rule itself yields < n_cells on a corpus with
+        # fewer rows — limit(n) on a short table), so only excess is loud
         raise ValueError(
             f"centroids has {len(centroids)} cells but n_cells={n_cells}; "
-            "pass consistent values (or omit centroids to derive them)"
+            "pass at most n_cells centroids (or omit them to derive)"
         )
 
     e = embeddings.select(

@@ -291,7 +291,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
-    key = (spark.sparkContext.applicationId, tag)
+    # key on the RAW sf_dir: the sanitized tag is lossy (two dirs
+    # differing only in punctuation collapse to one tag), and a shared
+    # entry would silently probe the wrong corpus's index — the tag is
+    # only a filesystem/table NAME, never an identity
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_INDEX_CACHE:
         import atexit
         import shutil
@@ -300,7 +304,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shared quantizer rule — the direct path below receives the same
         # list, so the slices cannot drift and the collect happens once)
         cents = ivf_centroids(emb, N_CELLS)
-        table = f"ann_ivf_idx_{tag}_{os.getpid()}"
+        # cache-size suffix: two RAW dirs can collapse to one tag, and a
+        # shared table/path would overwrite the first entry's live index
+        table = f"ann_ivf_idx_{tag}_{os.getpid()}_{len(_IVF_INDEX_CACHE)}"
         path = f"{tempfile.gettempdir()}/sparkgraft_ivf/{table}"
         build_ivf_index(emb, cents, table, path, n_buckets=8)
         # the PID suffix isolates concurrent processes; it also means no

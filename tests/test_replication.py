@@ -50,6 +50,10 @@ def test_permutations_distinct_bijective_and_deranged():
     perms = _copy_permutations(100)
     assert perms[0] == _ALPHABET
     assert len(set(perms)) == 100
+    # per-CLASS distinctness: two copies sharing just the digit block
+    # would collide on digit-only shingles even with distinct full strings
+    assert len({p[:_N_LETTERS] for p in perms}) == 100
+    assert len({p[_N_LETTERS:] for p in perms}) == 100
     for p in perms:
         # bijective within each class: letters permute among letters,
         # digits among digits (token charset [a-z0-9] is preserved)

@@ -23,6 +23,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import parse_sf
 from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_queries
 from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
 
@@ -52,11 +53,10 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
         print(f"  {name}: {timings[name]}", file=sys.stderr, flush=True)
     ordered = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "slots": ordered,
         "total": round(sum(timings.values()), 3),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": parse_sf(SF_DIR),
     }))
     spark.stop()
 

@@ -25,6 +25,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from bench import parse_sf
 from document_clustering_with_hadoop_mapreduce_spark.plans.round6_monitor import scan_all
 from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
 
@@ -36,10 +37,9 @@ def main() -> None:
     spark = get_spark("round6-scan", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
     slots = scan_all(spark, SF_DIR)
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "slots": slots,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": parse_sf(SF_DIR),
     }))
     spark.stop()
 

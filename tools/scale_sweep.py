@@ -51,7 +51,7 @@ import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import CPUS, SF_DIR, SF1_QUERIES, min_of_runs, replicate_tables
+from bench import CPUS, SF_DIR, SF1_QUERIES, min_of_runs, parse_sf, replicate_tables
 from document_clustering_with_hadoop_mapreduce_spark.plans.registry import all_queries
 from document_clustering_with_hadoop_mapreduce_spark.session import get_spark
 
@@ -114,14 +114,14 @@ def main() -> None:
             q.spark(spark, SF_DIR).count()  # compile
             base[name] = min_of_runs(lambda: q.spark(spark, SF_DIR).count())
             scaled[name] = min_of_runs(lambda: q.spark(spark, out).count())
-        sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
         print(json.dumps({
             "reps": reps_n,
             "build_sec": build_sec,
             "base": base,
             "scaled": scaled,
             "ratio": {n: round(scaled[n] / base[n], 2) for n in names if base[n]},
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": parse_sf(SF_DIR),
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
