@@ -164,6 +164,131 @@ def bpe_train(
     return merges
 
 
+def train_merges_py(
+    wc: dict[str, int], num_merges: int, min_frequency: int = 2
+) -> tuple[list[tuple[str, str]], dict[str, list[str]]]:
+    """Pure-Python BPE trainer over a materialized (word -> cnt) vocab —
+    the in-task twin of ``bpe_train`` (same pair mass, same
+    (n desc, a, b) top-1, same greedy all-occurrences rewrite, same
+    early stop), returning (ordered merges, final symbols per word).
+
+    Runs wherever the vocab dict fits — an executor task for
+    ``bpe_train_plan``, the driver for tests. Symbols are ASCII
+    ([a-z0-9]+ tokens + the EOW marker), so Python string comparison
+    equals Spark's binary UTF-8 string ordering on the tie-break.
+    Precondition: no empty words (``word_counts``/``doc_word_counts``
+    both filter them; ``list('') == []`` would otherwise diverge from
+    Spark's ``split('', '') == ['']``).
+    """
+
+    def greedy(s: list[str], a: str, b: str) -> list[str]:
+        out: list[str] = []
+        j = 0
+        while j < len(s):
+            if j < len(s) - 1 and s[j] == a and s[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(s[j])
+                j += 1
+        return out
+
+    syms = {w: list(w) + [EOW] for w in wc}
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, s in syms.items():
+            c = wc[w]
+            for j in range(len(s) - 1):
+                p = (s[j], s[j + 1])
+                counts[p] = counts.get(p, 0) + c
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if n < min_frequency:
+            break
+        merges.append((a, b))
+        for w in syms:
+            syms[w] = greedy(syms[w], a, b)
+    return merges, syms
+
+
+def bpe_train_plan(
+    words: DataFrame, num_merges: int, min_frequency: int = 2
+) -> tuple[DataFrame, DataFrame]:
+    """LAZY twin of ``bpe_train``: training as ONE deferred plan that runs
+    ZERO Spark jobs until an action touches it — where ``bpe_train`` pays
+    ``num_merges`` sequential driver-blocking top-1 collects at CALL time
+    (i.e. at plan construction for any caller embedding it in a larger
+    plan; VERDICT r10 #1). Returns ``(word_sizes, merges)``:
+    ``word_sizes`` = (word, n_toks) — every training word's token count
+    under the trained tokenizer (the encode-set == training-vocab case,
+    which is doc_quality's); ``merges`` = (merge_rank, a, b).
+
+    The merge loop executes as ONE task over the aggregated (word, cnt)
+    vocab (coalesce(1) + mapInPandas + ``train_merges_py``) — the
+    standard shape for BPE training: the count aggregation is the
+    distributed part, the merge loop is inherently global-sequential and
+    the weighted vocab is orders of magnitude smaller than the corpus
+    (bound it with ``word_counts(max_words=...)`` if needed).
+    ``bpe_train`` remains the path for vocabs too large for one task.
+
+    The combined output frame is cut with a DEFERRED localCheckpoint so
+    its two consumers (sizes, merges) share one training run. The cut is
+    created under a scoped AQE-off toggle: building a checkpoint RDD
+    under adaptive execution materializes its shuffle query stages — the
+    very jobs this function exists to defer. The sub-plan loses nothing:
+    it is vocab-bounded and deliberately single-partition.
+    """
+    schema = "kind string, word string, n_toks int, merge_rank long, a string, b string"
+    nm, mf = int(num_merges), int(min_frequency)
+
+    def train(batches):
+        import pandas as pd
+
+        wc: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in zip(pdf["word"], pdf["cnt"]):
+                wc[w] = wc.get(w, 0) + int(c)
+        merges, syms = train_merges_py(wc, nm, mf)
+        words_out = list(syms)
+        yield pd.DataFrame(
+            {
+                "kind": ["w"] * len(words_out),
+                "word": words_out,
+                "n_toks": [len(syms[w]) for w in words_out],
+                "merge_rank": pd.array([None] * len(words_out), dtype="Int64"),
+                "a": [None] * len(words_out),
+                "b": [None] * len(words_out),
+            }
+        )
+        yield pd.DataFrame(
+            {
+                "kind": ["m"] * len(merges),
+                "word": [None] * len(merges),
+                "n_toks": pd.array([None] * len(merges), dtype="Int32"),
+                "merge_rank": pd.array(range(len(merges)), dtype="Int64"),
+                "a": [a for a, _ in merges],
+                "b": [b for _, b in merges],
+            }
+        )
+
+    combined = (
+        words.select("word", F.col("cnt").cast("long").alias("cnt"))
+        .coalesce(1)
+        .mapInPandas(train, schema)
+    )
+    from ..session import aqe_off
+
+    with aqe_off(words.sparkSession):
+        combined = combined.localCheckpoint(eager=False)
+    sizes = combined.filter(F.col("kind") == "w").select("word", "n_toks")
+    merges = combined.filter(F.col("kind") == "m").select("merge_rank", "a", "b")
+    return sizes, merges
+
+
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     """Pure-Python rank-based BPE encode of one word (chars+EOW start).
 

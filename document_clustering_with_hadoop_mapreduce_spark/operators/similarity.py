@@ -870,6 +870,28 @@ def dequantize(qcodes: Column, mins: list[float], scales: list[float]) -> Column
     )
 
 
+def requantize_point(
+    vec, mins: list[float], scales: list[float], bits: int = 8
+) -> list[float]:
+    """Driver-side quantize->dequantize of ONE vector — bit-identical to
+    ``quantize_embeddings`` + ``dequantize`` (same IEEE-double ops:
+    floor(+0.5), int clamp, mn + code*sc). Lets a caller with cached
+    float-space centroids derive their reconstructed-space twins without
+    a Spark job (the fused int8 slot's case)."""
+    import math
+
+    levels = (1 << bits) - 1
+    out: list[float] = []
+    for x, mn, sc in zip(vec, mins, scales):
+        code = (
+            0
+            if sc == 0.0
+            else min(levels, max(0, math.floor((float(x) - mn) / sc + 0.5)))
+        )
+        out.append(mn + code * sc)
+    return out
+
+
 def quantized_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -878,12 +900,17 @@ def quantized_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 8192,
+    params: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """``cosine_topk`` over the QUANTIZED corpus: corpus and queries share
     one parameter set, scoring runs on dequantized codes (same broadcast-
     probe plan as the exact scorer — only the vector bytes shrink).
-    Recall vs the exact float top-k is pinned by the tests."""
-    mins, scales = quantization_params(embeddings, bits, vec_col)
+    Recall vs the exact float top-k is pinned by the tests. Pass
+    ``params=(mins, scales)`` to reuse a cached parameter set (skips the
+    dim-sized stats collect)."""
+    mins, scales = (
+        params if params is not None else quantization_params(embeddings, bits, vec_col)
+    )
     corpus = quantize_embeddings(embeddings, mins, scales, bits, id_col, vec_col).select(
         "vec_id", dequantize(F.col("qcodes"), mins, scales).alias(vec_col)
     )
@@ -905,6 +932,8 @@ def quantized_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_queries: int = 8192,
+    params: tuple[list[float], list[float]] | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF over the int-quantized corpus — the configuration a 100 TB
     vector store actually runs: the coarse index bounds WHICH vectors are
@@ -915,8 +944,15 @@ def quantized_ivf_topk(
     what a code-only store can do. With nprobe == n_cells this equals
     ``quantized_topk`` (exhaustive over reconstructions, pinned in
     tests); recall vs the exact float top-k is measured, not assumed.
+
+    ``params=(mins, scales)`` reuses a cached parameter set (skips the
+    stats collect). ``centroids`` must already live in RECONSTRUCTED
+    space (``requantize_point`` of float-space cells) — the coarse
+    quantizer a code-only store owns is itself built from codes.
     """
-    mins, scales = quantization_params(embeddings, bits, vec_col)
+    mins, scales = (
+        params if params is not None else quantization_params(embeddings, bits, vec_col)
+    )
 
     def recon(df: DataFrame) -> DataFrame:
         return quantize_embeddings(df, mins, scales, bits, id_col, vec_col).select(
@@ -925,7 +961,7 @@ def quantized_ivf_topk(
 
     return ivf_topk(
         recon(embeddings), recon(queries), n_cells, nprobe, k, "vec_id", vec_col,
-        max_queries=max_queries,
+        max_queries=max_queries, centroids=centroids,
     )
 
 

@@ -476,6 +476,26 @@ def sample_to_temperature_budget(
     )
 
 
+def _seq_overflow_guard(max_tokens: int):
+    """``seq``, unless it exceeds the 2^32-per-stream encoding capacity —
+    then raise in-plan (one comparison per row) instead of letting
+    ``seq_id = stream * 2^32 + seq`` silently collide into the next
+    stream's id space. Expects ``seq`` and ``stream`` columns in scope."""
+    return F.when(F.col("seq") < F.lit(1 << 32), F.col("seq")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "sequence_pack: a stream exceeded 2^32 sequences "
+                    f"(per-stream capacity = 2^32 * max_tokens = "
+                    f"{(1 << 32) * max_tokens} tokens); raise num_streams. "
+                    "stream="
+                ),
+                F.col("stream").cast("string"),
+            )
+        )
+    )
+
+
 def sequence_pack(
     documents: DataFrame,
     max_tokens: int = 2048,
@@ -506,6 +526,16 @@ def sequence_pack(
     its members by ``doc_id`` order. Streams pack independently ->
     parallelism = ``num_streams``; size the knob so one stream's docs fit a
     task sort (corpus_tokens / num_streams partitions comfortably).
+
+    ``seq_id`` capacity: the stream*2^32+seq encoding gives each stream
+    2^32 sequences = ``2^32 * max_tokens`` tokens of capacity — size
+    ``num_streams`` so corpus_tokens / num_streams sits WELL below that
+    (at the defaults, ~8.8e15 tokens/stream; at the registered slot's 32
+    streams x 256 tokens, ~1.1e12 — within ~1.4x of a 100 TB corpus, so
+    the knob matters there). A stream that DOES overflow fails loudly:
+    seq_id carries an in-plan guard that raises instead of silently
+    colliding into the next stream's id space (one comparison per row —
+    free next to the window sort).
     Determinism: assignment is a pure function of (salt, the stream's
     member ids, their token counts) — reordering input rows or changing
     partitioning never moves a doc; unlike ``hash_split``, corpus GROWTH
@@ -536,7 +566,9 @@ def sequence_pack(
             "doc_id",
             "stream",
             "seq",
-            (F.col("stream") * F.lit(1 << 32) + F.col("seq")).alias("seq_id"),
+            (F.col("stream") * F.lit(1 << 32) + _seq_overflow_guard(max_tokens)).alias(
+                "seq_id"
+            ),
             F.pmod(F.col("global_start"), F.lit(max_tokens)).alias("offset"),
             "global_start",
             "n_tokens",

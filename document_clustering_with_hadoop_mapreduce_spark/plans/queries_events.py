@@ -133,13 +133,18 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 12
 _BPE_MIN_FREQ = 2
 
-# One training run per (process, sf): merges are a pure function of the
-# corpus, and the fixture parquet is immutable within a process lifetime
-# (the registry._n_docs precedent) — without this, every slot invocation
-# (driver double-run, sweeps, plan-shape tests that never execute the
-# frame) pays _BPE_MERGES sequential driver-blocking trainer jobs at
-# plan-CONSTRUCTION time. Maps sf_dir -> ordered merge list.
-_BPE_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+# One LAZY training plan per (app, fixture): the trained frames are a pure
+# function of the corpus, and the fixture parquet is immutable within a
+# process lifetime (the registry._n_docs precedent; caches.clear_caches()
+# is the escape hatch). Since round 11 the cached values are DEFERRED
+# DataFrames (bpe_train_plan) — constructing the doc_quality plan runs
+# ZERO Spark jobs; the 12-merge loop materializes at first EXECUTION, and
+# the deferred localCheckpoints inside make repeat invocations (driver
+# double-run, bench min-of-N, sweeps) reuse the materialized symbol
+# tables instead of retraining. Keyed on the application id too, because
+# session-bound DataFrames cannot outlive their Spark app. Maps
+# (app_id, realpath(sf_dir)) -> (per_word, symbols, merges) frames.
+_BPE_MERGE_CACHE: dict[tuple[str, str], tuple] = {}
 
 
 def _bpe_ctes(n_merges: int, min_freq: int) -> str:
@@ -161,10 +166,16 @@ def _bpe_ctes(n_merges: int, min_freq: int) -> str:
     counts (no stopword drop) — are already in scope.
     """
     parts = [
+        # WHERE w <> '' mirrors bpe.doc_word_counts' empty-token filter:
+        # tokens() yields [''] for empty/punct-only text, and a corpus with
+        # >= min_frequency such docs would otherwise grow a phantom
+        # ('', '</w>') vocab entry here that the Spark trainer never sees.
+        # tc itself stays unfiltered — tstat (max_token_frac) counts the
+        # empty token exactly as the Spark textstats side does.
         """w0 AS MATERIALIZED (
       SELECT w AS word, CAST(sum(c) AS BIGINT) AS cnt,
              list_append(string_split(w, ''), '</w>') AS syms
-      FROM tc GROUP BY w
+      FROM tc WHERE w <> '' GROUP BY w
     )"""
     ]
     for i in range(1, n_merges + 1):
@@ -246,7 +257,8 @@ def _bpe_ctes(n_merges: int, min_freq: int) -> str:
     {_bpe_ctes(_BPE_MERGES, _BPE_MIN_FREQ)},
     bagg AS (
       SELECT tc.doc_id, CAST(sum(tc.c * len(w{_BPE_MERGES}.syms)) AS BIGINT) AS n_bpe
-      FROM tc JOIN w{_BPE_MERGES} ON tc.w = w{_BPE_MERGES}.word GROUP BY tc.doc_id
+      FROM tc JOIN w{_BPE_MERGES} ON tc.w = w{_BPE_MERGES}.word
+      WHERE tc.w <> '' GROUP BY tc.doc_id
     ),
     dq AS (
     SELECT t.doc_id, t.n_tokens, t.n_chars,
@@ -286,23 +298,41 @@ def _bpe_ctes(n_merges: int, min_freq: int) -> str:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ..operators.bpe import bpe_token_counts_from_counts, bpe_train, doc_word_counts
+    from ..caches import sf_key
+    from ..operators.bpe import bpe_train_plan, doc_word_counts
     from ..operators.textstats import doc_features
 
     docs = load_table(spark, sf_dir, "documents")
     feats = doc_features(docs, n=2)
-    # ONE corpus scan for the whole BPE side: training vocab, the distinct-
-    # word encode set, and the per-doc weighted sums all derive from the
-    # nnz-bounded (doc_id, word, k) frame — three consumers, so cut the
-    # lineage once (the tokenize-lambda subtrees never unify in Catalyst).
-    per_word = doc_word_counts(docs).localCheckpoint(eager=False)
-    if sf_dir not in _BPE_MERGE_CACHE:
+    # ONE corpus scan for the whole BPE side: training vocab, the encode
+    # set, and the per-doc weighted sums all derive from the nnz-bounded
+    # (doc_id, word, k) frame — multiple consumers, so cut the lineage
+    # once (the tokenize-lambda subtrees never unify in Catalyst). All of
+    # it DEFERRED: nothing below runs a Spark job until the caller
+    # executes the returned frame (VERDICT r10 #1 — a cold caller
+    # constructing the plan used to pay 12 driver-blocking trainer jobs).
+    key = (spark.sparkContext.applicationId, sf_key(sf_dir))
+    if key not in _BPE_MERGE_CACHE:
+        from ..session import aqe_off
+
+        with aqe_off(spark):
+            per_word = doc_word_counts(docs).localCheckpoint(eager=False)
         wc = per_word.groupBy("word").agg(F.sum("k").cast("long").alias("cnt"))
-        _BPE_MERGE_CACHE[sf_dir] = bpe_train(
-            wc, num_merges=_BPE_MERGES, min_frequency=_BPE_MIN_FREQ
+        _BPE_MERGE_CACHE[key] = (
+            per_word,
+            *bpe_train_plan(wc, num_merges=_BPE_MERGES, min_frequency=_BPE_MIN_FREQ),
         )
-    merges = _BPE_MERGE_CACHE[sf_dir]
-    ntok = bpe_token_counts_from_counts(per_word, merges)
+    per_word, word_sizes, merges_df = _BPE_MERGE_CACHE[key]
+    # n_bpe_learned via the TRAINING symbol sizes: the encode set here IS
+    # the training vocab (both derive from per_word), so the trained
+    # per-word n_toks is the doc's token contribution — no rank-based
+    # re-encode UDF, and structurally the same derivation as the oracle's
+    # bagg-over-w{N} CTE.
+    ntok = (
+        per_word.join(word_sizes, "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("k") * F.col("n_toks")).alias("n_bpe_tokens"))
+    )
     feat_cols = [
         "n_tokens", "n_chars", "avg_token_len", "stopword_ratio", "punct_ratio",
         "bpe_tokens", "n_clean_tokens", "n_ngrams", "max_token_frac",
@@ -318,10 +348,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("b"),
     )
     int_cols = {"n_tokens", "n_chars", "bpe_tokens", "n_clean_tokens", "n_ngrams"}
-    merge_rows = spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
-        "merge_rank long, a string, b string",
-    ).select(
+    merge_rows = merges_df.select(
         F.lit("merge").alias("kind"),
         F.lit(None).cast("long").alias("doc_id"),
         *[

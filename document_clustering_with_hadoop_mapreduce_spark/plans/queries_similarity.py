@@ -214,6 +214,65 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 8
 NPROBE = 2
+Q_BITS = 8
+Q_LEVELS = (1 << Q_BITS) - 1
+
+
+def _int8_oracle_ctes() -> str:
+    """The quantized slice's oracle: re-derive the per-dimension affine
+    params IN SQL (round(min/max, 6); scale = round((mx-mn)/levels, 6) —
+    Python round() and DuckDB round() agree on every fixture value,
+    verified at 3 SFs), quantize-reconstruct every vector with the
+    floor(+0.5)+clamp form both engines evaluate identically under IEEE
+    doubles, then run the SAME IVF pipeline over reconstructions —
+    centroids = the n_cells lowest-id RECONSTRUCTED vectors."""
+    return f"""
+    dims AS (SELECT unnest(generate_series(1, {DIM})) AS i),
+    qs AS (
+      SELECT i, round(min(v[i]), 6) AS mn, round(max(v[i]), 6) AS mx
+      FROM e CROSS JOIN dims GROUP BY i
+    ),
+    qp AS (SELECT i, mn, round((mx - mn) / {Q_LEVELS}, 6) AS sc FROM qs),
+    pm AS (SELECT list(mn ORDER BY i) AS mns, list(sc ORDER BY i) AS scs FROM qp),
+    er AS (
+      SELECT vec_id, list_transform(generate_series(1, {DIM}), i ->
+        mns[i] + least({Q_LEVELS}, greatest(0,
+          CASE WHEN scs[i] = 0 THEN 0
+               ELSE CAST(floor((v[i] - mns[i]) / scs[i] + 0.5) AS BIGINT) END)) * scs[i]
+      ) AS v
+      FROM e CROSS JOIN pm
+    ),
+    icents AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+      FROM (SELECT vec_id, v FROM er ORDER BY vec_id LIMIT {N_CELLS})
+    ),
+    icell_d AS (
+      SELECT er.vec_id, c.cell, round({_sqd_sql('er.v', 'c.cv')}, 6) AS d
+      FROM er CROSS JOIN icents c
+    ),
+    icells AS (
+      SELECT vec_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS rn
+        FROM icell_d
+      ) WHERE rn = 1
+    ),
+    iq AS (SELECT vec_id AS query_id, v AS qv FROM er WHERE vec_id < {N_QUERIES}),
+    iprobe_d AS (
+      SELECT q.query_id, c.cell, round({_sqd_sql('q.qv', 'c.cv')}, 6) AS d, q.qv
+      FROM iq q CROSS JOIN icents c
+    ),
+    iprobes AS (
+      SELECT query_id, cell, qv FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY d ASC, cell ASC) AS rn
+        FROM iprobe_d
+      ) WHERE rn <= {NPROBE}
+    ),
+    iscored AS (
+      SELECT p.query_id, er.vec_id, round({_cos_sql('p.qv', 'er.v')}, 6) AS cos
+      FROM iprobes p JOIN icells cl USING (cell) JOIN er ON er.vec_id = cl.vec_id
+      WHERE er.vec_id <> p.query_id
+    ),
+    irk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM iscored)"""
 
 # One index build per (Spark app, sf): the fixture parquet is immutable
 # within a process lifetime (the _n_docs precedent), and the build is a
@@ -288,14 +347,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk,
     )
 
+    from ..caches import sf_key
+
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir.rstrip("/")).strip("_")
-    # key on the RAW sf_dir: the sanitized tag is lossy (two dirs
-    # differing only in punctuation collapse to one tag), and a shared
-    # entry would silently probe the wrong corpus's index — the tag is
-    # only a filesystem/table NAME, never an identity
-    key = (spark.sparkContext.applicationId, sf_dir)
+    # key on the CANONICAL realpath (caches.sf_key), never the sanitized
+    # tag: the tag is lossy (two dirs differing only in punctuation
+    # collapse to one tag) and a tag-shared entry would silently probe
+    # the wrong corpus's index — the tag is only a filesystem/table NAME.
+    # realpath (vs the round-10 raw string) folds spelling variants of
+    # ONE directory into one entry, so '/x/sf0.1' vs '/x/sf0.1/' no
+    # longer rebuilds and leaks a second bucketed corpus copy (ADVICE r10)
+    key = (spark.sparkContext.applicationId, sf_key(sf_dir))
     if key not in _IVF_INDEX_CACHE:
         import atexit
         import shutil

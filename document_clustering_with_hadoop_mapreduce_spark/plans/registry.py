@@ -79,15 +79,20 @@ def _n_docs(spark: SparkSession, sf_dir: str) -> int:
     single-consumer inside ``tfidf`` — no checkpoint, no second scan.
     Cached per sf_dir: the fixture parquet is immutable within a process
     lifetime, and repeat invocations (bench runs, the driver gate) should
-    not pay a count job each time.
+    not pay a count job each time. Keyed on the canonical realpath
+    (``caches.sf_key``) so spelling variants of one directory share the
+    entry; ``caches.clear_caches()`` is the staleness escape hatch.
     """
-    if sf_dir not in _N_DOCS_CACHE:
+    from ..caches import sf_key
+
+    key = sf_key(sf_dir)
+    if key not in _N_DOCS_CACHE:
         # fan_out=False: a count needs no repartition — with the fan-out the
         # "footer count" would schedule a scan + exchange for nothing
-        _N_DOCS_CACHE[sf_dir] = load_table(
+        _N_DOCS_CACHE[key] = load_table(
             spark, sf_dir, "documents", fan_out=False
         ).count()
-    return _N_DOCS_CACHE[sf_dir]
+    return _N_DOCS_CACHE[key]
 
 
 # --------------------------------------------------------------------------

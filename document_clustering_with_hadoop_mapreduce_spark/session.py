@@ -8,10 +8,29 @@ to keep dimension tables map-side, Arrow on for the few pandas-UDF paths.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = "32"
+
+
+@contextmanager
+def aqe_off(spark: SparkSession):
+    """Scoped adaptive-execution toggle for PLAN-CONSTRUCTION-time RDD
+    creation (``localCheckpoint(eager=False)``): under AQE, building a
+    checkpoint RDD materializes the plan's shuffle query stages (and any
+    broadcast) RIGHT THEN — real Spark jobs at what should be a lazy
+    construction step. Scope is construction only: the frozen physical
+    plan executes later without AQE, which costs nothing on the
+    small/bounded sub-plans this is used for."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def get_spark(app_name: str = "document-clustering-spark", master: str | None = None) -> SparkSession:

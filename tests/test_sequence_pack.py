@@ -116,3 +116,25 @@ def test_sequence_pack_validation(spark):
         sequence_pack(docs, max_tokens=0)
     with pytest.raises(ValueError, match="num_streams"):
         sequence_pack(docs, num_streams=0)
+
+
+def test_seq_id_overflow_guard_raises_loudly(spark):
+    """ADVICE r10: a stream past 2^32 sequences must FAIL, not silently
+    collide seq_ids into the next stream's id space. The guard is an
+    in-plan raise — exercised here on a synthetic (stream, seq) frame
+    (a real overflow needs 2^32 * max_tokens tokens in one stream)."""
+    from py4j.protocol import Py4JJavaError
+    from document_clustering_with_hadoop_mapreduce_spark.operators.textstats import (
+        _seq_overflow_guard,
+    )
+
+    ok = spark.createDataFrame([(0, (1 << 32) - 1)], "stream long, seq long")
+    assert ok.select(
+        (F.col("stream") * F.lit(1 << 32) + _seq_overflow_guard(256)).alias("seq_id")
+    ).collect()[0]["seq_id"] == (1 << 32) - 1
+
+    bad = spark.createDataFrame([(0, 1 << 32)], "stream long, seq long")
+    with pytest.raises(Exception, match="exceeded 2\\^32 sequences"):
+        bad.select(
+            (F.col("stream") * F.lit(1 << 32) + _seq_overflow_guard(256)).alias("x")
+        ).collect()
