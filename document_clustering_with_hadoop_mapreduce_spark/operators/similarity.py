@@ -34,12 +34,35 @@ def _as_double(col: Column) -> Column:
 # to force the chunked path on small fixtures.
 SCORE_BUFFER_DOUBLES = 4_194_304
 
-# ceiling on the per-bucket auto-sized sub_blocks in lsh_bucketed_topk:
-# replication cost is |bucket| x S rows and task count S(S+1)/2 per bucket,
-# so an unbounded S on a degenerate everything-in-one-bucket corpus would
-# trade the pair-work win back for shuffle volume. 64 spreads a bucket to
-# ~2,080 tasks and caps replication at 64x for that bucket only.
+# ceiling on ONE level of the per-bucket auto-sized sub_blocks in
+# lsh_bucketed_topk: replication cost is |bucket| x S rows and task count
+# S(S+1)/2 per bucket, so an unbounded S on a degenerate everything-in-
+# one-bucket corpus would trade the pair-work win back for shuffle volume.
+# 64 spreads a bucket to ~2,080 tasks and caps replication at 64x for that
+# bucket. A bucket needing MORE spread gets a second capped factor
+# (_spread_for — the round-11 residual split), bounding the product at
+# 64^2 = 4,096 and per-side width at ~target for buckets up to
+# LSH_MAX_SUB_BLOCKS^2 * target_bucket_rows (~8.4M rows at defaults).
 LSH_MAX_SUB_BLOCKS = 64
+
+
+def _spread_for(occ: float, target_bucket_rows: int) -> int:
+    """Task-spread factor S for a bucket of (estimated) ``occ`` rows:
+    ``ceil(occ / target)`` capped at LSH_MAX_SUB_BLOCKS — and past the
+    cap, a SECOND capped factor multiplies in (the residual re-split: one
+    more uniform pmod level over the same key, expressed as the composite
+    modulus S1*S2 — pmod(hash(id), S1*S2) partitions exactly as the
+    two-level re-hash would), keeping per-side width ~target for buckets
+    up to LSH_MAX_SUB_BLOCKS^2 * target rows. Replication is occ x S rows
+    — inherent to block-pair covering (the quadratic-by-contract class)
+    — which is why the product is still capped: a bucket past the square
+    cap degrades gracefully (wider sides; ``row_chunk`` still bounds
+    every score buffer)."""
+    need = max(1, -(-int(occ) // target_bucket_rows))
+    if need <= LSH_MAX_SUB_BLOCKS:
+        return need
+    second = -(-need // LSH_MAX_SUB_BLOCKS)
+    return LSH_MAX_SUB_BLOCKS * min(second, LSH_MAX_SUB_BLOCKS)
 
 # seeded sampling fraction for the auto-sizing occupancy pre-pass in
 # lsh_bucketed_topk: the pre-pass only needs bucket counts accurate enough
@@ -304,9 +327,7 @@ def _auto_sizing(
         return _LSH_SIZING_CACHE[key]
 
     def s_of(occ_scaled: float) -> int:
-        return max(
-            1, min(LSH_MAX_SUB_BLOCKS, -(-int(occ_scaled) // target_bucket_rows))
-        )
+        return _spread_for(occ_scaled, target_bucket_rows)
 
     hot = (
         embeddings.sample(fraction=OCCUPANCY_SAMPLE, seed=7)
@@ -358,7 +379,11 @@ def lsh_bucketed_topk(
 
     Round 10 (closing the VERDICT-r9 headroom item): ``sub_blocks=None``
     (the default) sizes S PER BUCKET from sampled occupancy —
-    ``S_b = clamp(ceil(|b| / target_bucket_rows), 1, LSH_MAX_SUB_BLOCKS)``.
+    ``S_b = _spread_for(|b|, target_bucket_rows)``: ceil(|b|/target)
+    capped at LSH_MAX_SUB_BLOCKS, with a SECOND capped factor past the
+    cap (round 11 — the residual re-split as a composite modulus), so
+    per-side width stays ~target for buckets up to
+    LSH_MAX_SUB_BLOCKS^2 * target rows.
     A slim seeded-sample pre-pass counts buckets, only the HOT entries
     (estimated |b| > target) come back to the driver — a collect bounded
     by LSH_MAX_HOT_BUCKETS BY ENFORCEMENT, falling back to one global S

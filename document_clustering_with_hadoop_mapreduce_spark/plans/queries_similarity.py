@@ -320,10 +320,13 @@ _IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
       FROM probes p JOIN cells cl USING (cell) JOIN e ON e.vec_id = cl.vec_id
       WHERE e.vec_id <> p.query_id
     ),
-    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored)
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)::INT AS rank FROM scored),
+    {_int8_oracle_ctes()}
     SELECT 'direct' AS kind, query_id, vec_id, cos, rank FROM rk WHERE rank <= 3
     UNION ALL
-    SELECT 'indexed' AS kind, query_id, vec_id, cos, rank FROM rk WHERE rank <= 3""",
+    SELECT 'indexed' AS kind, query_id, vec_id, cos, rank FROM rk WHERE rank <= 3
+    UNION ALL
+    SELECT 'int8' AS kind, query_id, vec_id, cos, rank FROM irk WHERE rank <= 3""",
     "IVF ANN, fused slot: kind='direct' rows run the in-memory inverted-"
     "file path (coarse-quantizer cells from seeded deterministic "
     "centroids, each query probes its 2 nearest cells — candidate volume "
@@ -331,8 +334,12 @@ _IVF_INDEX_CACHE: dict[tuple[str, str], tuple[str, list[list[float]]]] = {}
     "a build_ivf_index table (the corpus written bucketed BY cell — at "
     "100 TB the index IS the layout: the probe join reads corpus buckets "
     "in place with no exchange, the scale path the in-memory cap errors "
-    "redirect to). Both slices are row-identical by contract; the oracle "
-    "pins each against the same SQL.",
+    "redirect to); kind='int8' rows run the same IVF over the symmetric-"
+    "int8-QUANTIZED corpus (per-dim affine params derived from the corpus "
+    "and re-derived independently in the oracle SQL; cells assigned over "
+    "reconstructions — what a code-only store can do; 4x scan/shuffle "
+    "bytes cut at 100 TB). direct and indexed slices are row-identical "
+    "by contract; the oracle pins every slice.",
     tags=("similarity",),
 )
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -345,6 +352,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_centroids,
         ivf_probe_indexed,
         ivf_topk,
+        quantization_params,
+        quantized_ivf_topk,
+        requantize_point,
     )
 
     from ..caches import sf_key
@@ -364,10 +374,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         import atexit
         import shutil
 
-        # ONE centroid derivation for both slices (ivf_centroids is the
+        # ONE centroid derivation for all slices (ivf_centroids is the
         # shared quantizer rule — the direct path below receives the same
-        # list, so the slices cannot drift and the collect happens once)
+        # list and the int8 slice its driver-side requantization, so the
+        # slices cannot drift and the collect happens once)
         cents = ivf_centroids(emb, N_CELLS)
+        qparams = quantization_params(emb, Q_BITS)
         # cache-size suffix: two RAW dirs can collapse to one tag, and a
         # shared table/path would overwrite the first entry's live index
         table = f"ann_ivf_idx_{tag}_{os.getpid()}_{len(_IVF_INDEX_CACHE)}"
@@ -377,10 +389,26 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # later run overwrites this dir, so remove it on exit or every
         # process leaks a corpus-sized bucketed copy into the tempdir
         atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _IVF_INDEX_CACHE[key] = (table, cents)
-    table, cents = _IVF_INDEX_CACHE[key]
+        _IVF_INDEX_CACHE[key] = (table, cents, qparams)
+    table, cents, qparams = _IVF_INDEX_CACHE[key]
     direct = ivf_topk(emb, queries, n_cells=N_CELLS, nprobe=NPROBE, k=3, centroids=cents)
     indexed = ivf_probe_indexed(spark, table, queries, cents, nprobe=NPROBE, k=3)
-    return direct.select(F.lit("direct").alias("kind"), "*").unionByName(
-        indexed.select(F.lit("indexed").alias("kind"), "*")
+    # int8 slice: same IVF geometry over the quantize->reconstruct corpus.
+    # Cells come from the SAME seeded centroid rule, requantized driver-
+    # side (bit-identical to reconstructing them through the quantize
+    # plan) — no extra collect beyond the cached params.
+    int8 = quantized_ivf_topk(
+        emb,
+        queries,
+        n_cells=N_CELLS,
+        nprobe=NPROBE,
+        k=3,
+        bits=Q_BITS,
+        params=qparams,
+        centroids=[requantize_point(c, *qparams, bits=Q_BITS) for c in cents],
+    )
+    return (
+        direct.select(F.lit("direct").alias("kind"), "*")
+        .unionByName(indexed.select(F.lit("indexed").alias("kind"), "*"))
+        .unionByName(int8.select(F.lit("int8").alias("kind"), "*"))
     )

@@ -171,3 +171,43 @@ def test_quantized_wrappers_forward_max_queries(spark):
         quantized_ivf_topk(emb, q, n_cells=2, nprobe=1, k=3, max_queries=11)
     assert quantized_topk(emb, q, k=3, max_queries=12).count() > 0
     assert quantized_ivf_topk(emb, q, n_cells=2, nprobe=1, k=3, max_queries=12).count() > 0
+
+
+def test_fused_int8_slice_matches_standalone(spark, sf_dir):
+    """The ann_ivf_topk kind='int8' slice (cached params + driver-side
+    requantized centroids) must be ROW-IDENTICAL to the standalone
+    quantized_ivf_topk, which derives its own params and its own
+    reconstructed-space centroids — proving requantize_point is
+    bit-identical to reconstructing the cells through the quantize plan."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        quantized_ivf_topk,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.plans.registry import (
+        all_queries,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.plans.queries_similarity import (
+        N_CELLS,
+        N_QUERIES,
+        NPROBE,
+        Q_BITS,
+    )
+
+    fused = all_queries()["ann_ivf_topk"].spark(spark, sf_dir)
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        for r in fused.collect()
+        if r["kind"] == "int8"
+    )
+    emb = _emb(spark, sf_dir)
+    expect = sorted(
+        (r["query_id"], r["vec_id"], r["cos"], r["rank"])
+        for r in quantized_ivf_topk(
+            emb,
+            emb.filter(F.col("vec_id") < N_QUERIES),
+            n_cells=N_CELLS,
+            nprobe=NPROBE,
+            k=3,
+            bits=Q_BITS,
+        ).collect()
+    )
+    assert got and got == expect
