@@ -121,6 +121,14 @@ def _sqd_sql(a: str, b: str) -> str:
 SD_K = 8
 SD_THRESH = 0.35
 
+# Hard-negative slice knobs (round 11): anchors = the HN_ANCHORS lowest
+# ids; each anchor's declared positive is its exact top-1 cosine neighbor
+# (so the anti join provably bites — the hardest candidate IS a positive
+# and must be excluded); over-fetch HN_SEARCH_K, keep HN_NEG hardest.
+HN_ANCHORS = 8
+HN_SEARCH_K = 10
+HN_NEG = 3
+
 
 def _sd_centroids() -> list[list[float]]:
     rng = random.Random(21)
@@ -166,13 +174,34 @@ def _semdedup_fused_oracle() -> str:
     dropped AS (
       SELECT DISTINCT CASE WHEN cos_b >= cos_a THEN vec_b ELSE vec_a END AS vec_id
       FROM hits
+    ),
+    hn_scored AS (
+      SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+             round({_cos_sql('a.v', 'b.v')}, 6) AS cos
+      FROM e a JOIN e b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {HN_ANCHORS}
+    ),
+    hn_ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id ASC) AS rn
+      FROM hn_scored
+    ),
+    hn_pos AS (SELECT anchor_id, cand_id AS positive_id FROM hn_ranked WHERE rn = 1),
+    hn AS (
+      SELECT anchor_id, cand_id, cos,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, cand_id ASC) AS neg_rank
+      FROM hn_ranked t
+      WHERE rn <= {HN_SEARCH_K}
+        AND NOT EXISTS (SELECT 1 FROM hn_pos p
+                        WHERE p.anchor_id = t.anchor_id AND p.positive_id = t.cand_id)
     )
     SELECT 'top' AS kind, vec_a AS id_a, vec_b AS id_b, cos AS value FROM top
     UNION ALL
     SELECT 'sd_pair' AS kind, vec_a, vec_b, cos FROM hits
     UNION ALL
     SELECT 'sd_drop' AS kind, b.vec_id, b.cluster::BIGINT, b.centroid_cos
-    FROM base b JOIN dropped d ON b.vec_id = d.vec_id"""
+    FROM base b JOIN dropped d ON b.vec_id = d.vec_id
+    UNION ALL
+    SELECT 'hardneg' AS kind, anchor_id, cand_id, cos FROM hn WHERE neg_rank <= {HN_NEG}"""
 
 
 @register(
@@ -184,13 +213,28 @@ def _semdedup_fused_oracle() -> str:
     "isotropic data — see operators.similarity.block_topk_pairs); "
     "kind='sd_pair'/'sd_drop' rows are SemDeDup (Abbas et al. 2023): "
     "within-cluster near-dup edges over seeded centroids and the dropped "
-    "(higher-centroid-sim) member of each, cluster-bounded candidate volume",
+    "(higher-centroid-sim) member of each, cluster-bounded candidate "
+    "volume; kind='hardneg' rows (round 11) are DPR-style hard-negative "
+    "mining (mine_hard_negatives): each anchor's exact top-1 neighbor is "
+    "its declared positive, removed by the pair-sized anti join, and the "
+    "3 hardest surviving candidates re-rank densely — broadcast-probe "
+    "scan, positives never corpus-sized",
     tags=("similarity", "dedup"),
 )
 def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import mine_hard_negatives
+
     emb = _emb(spark, sf_dir)
     top = block_topk_pairs(emb, k=20, n_blocks=16)
     docs, sd_pairs = semdedup(emb, _sd_centroids(), threshold=SD_THRESH)
+    anchors = emb.filter(F.col("vec_id") < HN_ANCHORS)
+    positives = cosine_topk(emb, anchors, k=1).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id").alias("positive_id"),
+    )
+    hardneg = mine_hard_negatives(
+        positives, emb, n_neg=HN_NEG, search_k=HN_SEARCH_K
+    )
     top_rows = top.select(
         F.lit("top").alias("kind"),
         F.col("vec_a").alias("id_a"),
@@ -209,7 +253,17 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("id_b"),
         F.col("centroid_cos").alias("value"),
     )
-    return top_rows.unionByName(pair_rows).unionByName(drop_rows)
+    hn_rows = hardneg.select(
+        F.lit("hardneg").alias("kind"),
+        F.col("anchor_id").alias("id_a"),
+        F.col("negative_id").alias("id_b"),
+        F.col("cos").alias("value"),
+    )
+    return (
+        top_rows.unionByName(pair_rows)
+        .unionByName(drop_rows)
+        .unionByName(hn_rows)
+    )
 
 
 N_CELLS = 8

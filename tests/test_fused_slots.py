@@ -442,3 +442,78 @@ class TestSplitPackFusion:
         base = {r["doc_id"]: (r["bucket"], r["split"]) for r in hash_split(docs).collect()}
         for r in sp_fused.select("doc_id", "bucket", "split").collect():
             assert base[r["doc_id"]] == (r["bucket"], r["split"]), r["doc_id"]
+
+
+class TestHardNegativeFusion:
+    """Round-11 fusion: kind='hardneg' rows on embedding_top_pairs must be
+    exactly mine_hard_negatives over the slot's declared positives (each
+    anchor's exact top-1 neighbor), and the anti join must provably bite:
+    no anchor's positive may appear among its negatives."""
+
+    @pytest.fixture(scope="class")
+    def etp_fused(self, spark, sf_dir):
+        df = all_queries()["embedding_top_pairs"].spark(spark, sf_dir).cache()
+        yield df
+        df.unpersist()
+
+    def test_hardneg_slice_matches_standalone(self, etp_fused, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            cosine_topk,
+            mine_hard_negatives,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_similarity import (
+            HN_ANCHORS,
+            HN_NEG,
+            HN_SEARCH_K,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.sources.tables import (
+            load_table,
+        )
+
+        got = sorted(
+            (r["id_a"], r["id_b"], r["value"])
+            for r in etp_fused.collect()
+            if r["kind"] == "hardneg"
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        positives = cosine_topk(
+            emb, emb.filter(F.col("vec_id") < HN_ANCHORS), k=1
+        ).select(
+            F.col("query_id").alias("anchor_id"),
+            F.col("vec_id").alias("positive_id"),
+        )
+        expect = sorted(
+            (r["anchor_id"], r["negative_id"], r["cos"])
+            for r in mine_hard_negatives(
+                positives, emb, n_neg=HN_NEG, search_k=HN_SEARCH_K
+            ).collect()
+        )
+        assert got and got == expect
+
+    def test_positives_never_appear_as_negatives(self, etp_fused, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            cosine_topk,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.plans.queries_similarity import (
+            HN_ANCHORS,
+        )
+        from document_clustering_with_hadoop_mapreduce_spark.sources.tables import (
+            load_table,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        pos = {
+            (r["query_id"], r["vec_id"])
+            for r in cosine_topk(
+                emb, emb.filter(F.col("vec_id") < HN_ANCHORS), k=1
+            ).collect()
+        }
+        negs = {
+            (r["id_a"], r["id_b"])
+            for r in etp_fused.collect()
+            if r["kind"] == "hardneg"
+        }
+        # the top-1 neighbor is by construction the hardest candidate, so
+        # without the anti join it WOULD rank first — its absence is the
+        # fusion's load-bearing check
+        assert negs and not (pos & negs)
