@@ -19,9 +19,14 @@ take an archaeology session when a one-row hash mismatch first fires.
 
 SCOPE — only the slices that actually flow through ``_round6`` are
 scanned: knn_bruteforce and ann_lsh_topk entirely, ann_ivf_topk's
-kind='direct' slice, and embedding_top_pairs' kind='sd_pair' slice. The
-other slices (ivf kind='indexed', pairs kind='top'/'sd_drop') round via
-JVM ``F.round`` — BigDecimal HALF_UP on the shortest decimal, i.e. the
+kind='direct' and kind='int8' slices (round 11 — the int8 slice's
+scores are ``_round6`` cosines of the quantize->RECONSTRUCT vectors,
+so the recompute reconstructs through ``requantize_point`` with the
+slot's own param rule first), and embedding_top_pairs' kind='sd_pair'
+and kind='hardneg' slices (round 11 — hardneg scores are ``_round6``
+cosines of the original vectors via ``cosine_topk``). The other slices
+(ivf kind='indexed', pairs kind='top'/'sd_drop') round via JVM
+``F.round`` — BigDecimal HALF_UP on the shortest decimal, i.e. the
 SAME rule the DuckDB oracle applies — so the _round6 mismatch class
 cannot exist there by construction, and counting a floor-vs-decimal
 disagreement against them would claim the exact inverse of reality.
@@ -136,12 +141,31 @@ def scan_slot(
     # misattribute any straddle AND double-count ivf's row-identical twin
     if name == "embedding_top_pairs":
         for r in out:
-            if r["kind"] == "sd_pair":
+            # sd_pair and hardneg both score through _round6 over the
+            # ORIGINAL vectors (semdedup's Arrow task / cosine_topk)
+            if r["kind"] in ("sd_pair", "hardneg"):
                 raw.append(_raw_cos(vecs[r["id_a"]], vecs[r["id_b"]]))
     elif name == "ann_ivf_topk":
+        # int8 slice: _round6 cosines of the quantize->RECONSTRUCT
+        # vectors, so recompute over requantize_point twins derived with
+        # the slot's own param rule (quantization_params over the same
+        # frame) — reconstructing only the ids the slice references
+        from ..operators.similarity import quantization_params, requantize_point
+        from .queries_similarity import Q_BITS, _emb
+
+        qp = quantization_params(_emb(spark, sf_dir), Q_BITS)
+        rvecs: dict = {}
+
+        def _recon(vid):
+            if vid not in rvecs:
+                rvecs[vid] = requantize_point(vecs[vid], *qp, bits=Q_BITS)
+            return rvecs[vid]
+
         for r in out:
             if r["kind"] == "direct":
                 raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))
+            elif r["kind"] == "int8":
+                raw.append(_raw_cos(_recon(r["query_id"]), _recon(r["vec_id"])))
     else:
         for r in out:
             raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))

@@ -58,13 +58,11 @@ def test_halfup_disagreement_counter():
 @pytest.mark.parametrize("name", SIMILARITY_SLOTS)
 def test_no_halfup_disagreements(name, spark, sf_dir):
     got = scan_slot(spark, sf_dir, name)
-    if name == "embedding_top_pairs" and got["rows"] == 0:
-        # the scanned slice is kind='sd_pair' only (the 'top' slice is
-        # JVM-rounded, out of scope) — its size is threshold-dependent, so
-        # an SF/generation with zero same-cluster pairs >= SD_THRESH is a
-        # healthy empty slice, not a broken scan (current SFs measure
-        # hundreds of pairs; top-k slots below stay structurally nonempty)
-        pytest.skip("no sd_pair rows at this SF — threshold-dependent slice")
+    # every slot's scanned slice set is structurally nonempty: since
+    # round 11 embedding_top_pairs includes kind='hardneg' (HN_ANCHORS
+    # anchors x HN_NEG negatives by construction) alongside the
+    # threshold-dependent sd_pair slice, and ann_ivf_topk includes
+    # kind='int8' alongside 'direct' — an empty scan is a broken scan
     assert got["rows"] > 0, f"{name}: scan saw no rows — slot or scan broken"
     assert got["disagreements"] == 0, (
         f"{name}: {got['disagreements']}/{got['rows']} unrounded scores "
