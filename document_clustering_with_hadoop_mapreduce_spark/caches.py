@@ -7,8 +7,8 @@ immutable fixture directory (the ``registry._n_docs`` precedent):
 - ``plans.queries_events._BPE_MERGE_CACHE`` — the trained merge table
   (12 driver-blocking Spark jobs to rebuild).
 - ``plans.queries_similarity._IVF_INDEX_CACHE`` — the registered
-  bucketed-index table name + coarse centroids (a corpus shuffle + write
-  to rebuild).
+  bucketed-index table name + coarse centroids + the int8 slice's
+  quantization params (a corpus shuffle + write to rebuild).
 - ``operators.similarity._LSH_SIZING_CACHE`` — sampled per-bucket
   occupancy sizing (performance-only; a stale entry changes replication
   cost, never output values).

@@ -23,7 +23,11 @@ def aqe_off(spark: SparkSession):
     broadcast) RIGHT THEN — real Spark jobs at what should be a lazy
     construction step. Scope is construction only: the frozen physical
     plan executes later without AQE, which costs nothing on the
-    small/bounded sub-plans this is used for."""
+    small/bounded sub-plans this is used for. The toggle mutates the
+    SESSION conf, so a concurrent plan-construction on another driver
+    thread would briefly see AQE off (plans built then still execute
+    correctly — AQE is an optimization, never semantics); the driver
+    contract and every tool here construct single-threaded."""
     key = "spark.sql.adaptive.enabled"
     old = spark.conf.get(key, "true")
     spark.conf.set(key, "false")
