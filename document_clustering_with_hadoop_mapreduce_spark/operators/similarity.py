@@ -871,6 +871,14 @@ def quantize_embeddings(
     """
     levels = (1 << bits) - 1
     mn, sc = F.lit(mins), F.lit(scales)
+    # clamp in LONG, cast to int AFTER: floor() returns LONG, and an
+    # int-cast inside the clamp wraps for out-of-range inputs (a
+    # near-constant dim whose rounded scale is ~1e-6 plus a query value
+    # ~2^31*scale past the corpus min overflows int32 BEFORE greatest/
+    # least sees it — code 0 instead of `levels`, reconstructing min
+    # instead of max). Clamp-then-cast is the order the DuckDB oracle
+    # (CAST AS BIGINT inside least/greatest) and requantize_point
+    # (Python arbitrary-precision min/max) both already use.
     code = F.transform(
         _as_double(F.col(vec_col)),
         lambda x, i: F.least(
@@ -879,9 +887,9 @@ def quantize_embeddings(
                 F.lit(0),
                 F.when(F.element_at(sc, i + 1) == 0.0, F.lit(0)).otherwise(
                     F.floor((x - F.element_at(mn, i + 1)) / F.element_at(sc, i + 1) + 0.5)
-                ).cast("int"),
+                ),
             ),
-        ),
+        ).cast("int"),
     )
     return embeddings.select(F.col(id_col).alias("vec_id"), code.alias("qcodes"))
 

@@ -211,3 +211,51 @@ def test_fused_int8_slice_matches_standalone(spark, sf_dir):
         ).collect()
     )
     assert got and got == expect
+
+
+def test_requantize_point_bit_identical_incl_wrap_regression(spark):
+    """Elementwise pin: the Spark quantize->dequantize plan and the
+    driver-side requantize_point must agree BIT-FOR-BIT on adversarial
+    inputs, not just fixture data. The wrap case is the round-11
+    regression: with a degenerate rounded scale (1e-6), an input
+    ~2^31*scale past the min used to overflow the int cast INSIDE the
+    clamp (code wraps negative -> clamped to 0, reconstructing min
+    instead of max); clamp-in-LONG-then-cast keeps it at `levels`,
+    matching Python's arbitrary-precision min/max and the oracle's
+    CAST-inside-least/greatest form."""
+    import random
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        requantize_point,
+    )
+
+    mins = [0.0, -1.0, 0.5, 0.0]
+    scales = [1e-6, 0.01, 0.0, 123.456789]
+    rng = random.Random(11)
+    vecs = [
+        # the int32-wrap regression: (x - mn)/sc + 0.5 ~ 2^31 + 1000 on dim 0
+        [(2**31 + 1000) * 1e-6, 0.0, 0.5, 0.0],
+        # far past even that (floor saturates LONG on neither side; both clamp)
+        [1e12, 5e3, -7.0, 1e9],
+        # below-min negatives (clamp at 0 from the other side)
+        [-5.0, -100.0, 0.5, -1e9],
+        # exact boundaries and half-steps
+        [0.0, -1.0 + 127.5 * 0.01, 0.5, 255 * 123.456789],
+    ] + [
+        [rng.uniform(-2.0, 2.0) * 10 ** rng.randint(-6, 6) for _ in range(4)]
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: list(r["recon"])
+        for r in quantize_embeddings(df, mins, scales, bits=BITS)
+        .select("vec_id", dequantize(F.col("qcodes"), mins, scales).alias("recon"))
+        .collect()
+    }
+    for i, v in enumerate(vecs):
+        expect = requantize_point(v, mins, scales, bits=BITS)
+        assert got[i] == expect, (i, v, got[i], expect)
+    # the wrap row's degenerate dim must land at the TOP code's value
+    assert got[0][0] == mins[0] + 255 * scales[0]
