@@ -259,3 +259,50 @@ def test_requantize_point_bit_identical_incl_wrap_regression(spark):
         assert got[i] == expect, (i, v, got[i], expect)
     # the wrap row's degenerate dim must land at the TOP code's value
     assert got[0][0] == mins[0] + 255 * scales[0]
+
+
+def test_param_rounding_agrees_with_duckdb_on_tie_adjacent_inputs(spark, sf_dir):
+    """Continuous measurement for the int8 oracle's round() agreement
+    claim: quantization_params rounds raw min/max/scale with Python
+    round(x, 6) while the oracle uses DuckDB round() over DOUBLE — the
+    two can only disagree when a raw value sits essentially ON a 0.5e-6
+    decimal tie (Python ties-to-even on the dyadic cases, DuckDB
+    half-away-from-zero). The fused int8 gate verifies agreement on
+    TODAY's fixture end-to-end; this tripwire keeps the claim measured
+    as fixtures regenerate, the _round6 monitor philosophy: find every
+    tie-ADJACENT raw value (conservative 1e-9 band — sf0.01 measures
+    one such min today) and assert Python and DuckDB round those to the
+    SAME double. The DuckDB side must cast to DOUBLE: a bare Python
+    float repr parses as DECIMAL, whose round() returns Decimal — a
+    different (and irrelevant) code path from the oracle's parquet
+    DOUBLE columns."""
+    import duckdb
+
+    from document_clustering_with_hadoop_mapreduce_spark.plans.round6_monitor import (
+        boundary_hits,
+    )
+
+    levels = (1 << BITS) - 1
+    stats = (
+        _emb(spark, sf_dir)
+        .select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    raw = [r["mn"] for r in stats] + [r["mx"] for r in stats]
+    # the scale inputs: (rounded mx - rounded mn) / levels, pre-round
+    raw += [
+        (round(r["mx"], 6) - round(r["mn"], 6)) / levels for r in stats
+    ]
+    near = [x for x in raw if boundary_hits([x])]
+    con = duckdb.connect()
+    for x in near:
+        dk = con.execute(f"SELECT round(CAST({x!r} AS DOUBLE), 6)").fetchone()[0]
+        assert round(x, 6) == dk, (
+            f"raw param value {x!r} rounds differently under Python "
+            f"round() ({round(x, 6)!r}) vs DuckDB round() ({dk!r}) — the "
+            "ann_ivf_topk int8 oracle's param derivation diverges on this "
+            "fixture; a hash mismatch there is this class, not an engine "
+            "defect"
+        )
