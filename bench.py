@@ -617,6 +617,12 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
       all carry ONE planted vector -> one LSH hyperplane bucket holds
       them all; ann_lsh_topk must ride the sub-block spread (a plain
       bucket self-join would serialize ~8e6 pair scores on one task).
+      Since round 11 the same fixture also times ann_ivf_topk (all 3
+      slices): the planted mass lands in ONE coarse cell, exercising
+      the direct path's partition-independent cell scoring, the
+      bucketed index's hot bucket, and the int8 reconstruct under
+      constant-vector compression (measured 0.48x — skew makes it
+      CHEAPER: fewer probe-cell intersections and compressed scans).
     """
     import shutil
     import tempfile
@@ -671,6 +677,7 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
         "dedup_components": "documents",
         "events_sessionized": "events",
         "ann_lsh_topk": "embeddings",
+        "ann_ivf_topk": "embeddings",
     }
     uniform: dict[str, float] = {}
     skewed: dict[str, float] = {}
