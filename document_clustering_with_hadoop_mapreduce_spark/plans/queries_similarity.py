@@ -232,8 +232,14 @@ def q_embedding_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("query_id").alias("anchor_id"),
         F.col("vec_id").alias("positive_id"),
     )
+    # anchor_vectors: the slot HOLDS the anchor frame (positives derive
+    # from it), so don't let the operator re-derive anchors from the
+    # positives plan — those validation counts + the probe collect would
+    # re-execute the top-1 corpus scan ~4x at every PLAN CONSTRUCTION
+    # (the VERDICT-r10-#1 cost class; construction-jobs test pins it)
     hardneg = mine_hard_negatives(
-        positives, emb, n_neg=HN_NEG, search_k=HN_SEARCH_K
+        positives, emb, n_neg=HN_NEG, search_k=HN_SEARCH_K,
+        anchor_vectors=anchors,
     )
     top_rows = top.select(
         F.lit("top").alias("kind"),
