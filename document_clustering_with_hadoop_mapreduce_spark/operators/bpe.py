@@ -280,10 +280,9 @@ def bpe_train_plan(
         .coalesce(1)
         .mapInPandas(train, schema)
     )
-    from ..session import aqe_off
+    from ..session import lazy_cut
 
-    with aqe_off(words.sparkSession):
-        combined = combined.localCheckpoint(eager=False)
+    combined = lazy_cut(combined)
     sizes = combined.filter(F.col("kind") == "w").select("word", "n_toks")
     merges = combined.filter(F.col("kind") == "m").select("merge_rank", "a", "b")
     return sizes, merges

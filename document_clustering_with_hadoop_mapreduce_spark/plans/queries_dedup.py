@@ -27,6 +27,7 @@ from ..operators.dedup import (
 )
 from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
+from ..session import lazy_cut
 from ..sources.tables import load_table
 from .oracles import MATRIX_CTE, TFIDF_CTE, TOKENS_CTE
 from .registry import _n_docs, register
@@ -145,9 +146,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
     # two consumers (pair rows + the pagerank edge list) — materialize once
-    pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2).localCheckpoint(
-        eager=False
-    )
+    pairs = lazy_cut(lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2))
     ranks = pagerank(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         damping=_PR_DAMPING,

@@ -313,10 +313,9 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # constructing the plan used to pay 12 driver-blocking trainer jobs).
     key = (spark.sparkContext.applicationId, sf_key(sf_dir))
     if key not in _BPE_MERGE_CACHE:
-        from ..session import aqe_off
+        from ..session import lazy_cut
 
-        with aqe_off(spark):
-            per_word = doc_word_counts(docs).localCheckpoint(eager=False)
+        per_word = lazy_cut(doc_word_counts(docs))
         wc = per_word.groupBy("word").agg(F.sum("k").cast("long").alias("cnt"))
         _BPE_MERGE_CACHE[key] = (
             per_word,

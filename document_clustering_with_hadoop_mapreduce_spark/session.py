@@ -37,6 +37,22 @@ def aqe_off(spark: SparkSession):
         spark.conf.set(key, old)
 
 
+def lazy_cut(df):
+    """``localCheckpoint(eager=False)`` created under ``aqe_off``: the
+    lineage cut for multi-consumer sub-plans that must cost ZERO jobs at
+    plan-construction time. Under AQE, building the checkpoint RDD
+    materializes the sub-plan's shuffle stages right then (measured 46
+    jobs / ~11 s per lsh_candidate_pairs construction before pagerank
+    and the plan-module cuts adopted this); with the scoped toggle the
+    cut is free and the checkpoint materializes at first ACTION, exactly
+    once, shared by every consumer. Cost: the frozen sub-plan executes
+    without AQE (static shuffle partitions — nothing for the bounded
+    frames this guards; prefer a plain checkpoint for sub-plans that
+    want AQE skew handling at execution)."""
+    with aqe_off(df.sparkSession):
+        return df.localCheckpoint(eager=False)
+
+
 def get_spark(app_name: str = "document-clustering-spark", master: str | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-aware defaults.
 

@@ -191,3 +191,75 @@ class TestHITS:
         df = spark.createDataFrame([(1, 2)], "src int, dst int")
         with pytest.raises(ValueError):
             hits(df, max_iter=0)
+
+
+class TestLazyFixedUndirected:
+    """Round 11: fixed-iteration + undirected runs as ONE fully-lazy
+    composed plan (no counts, no checkpoints) — zero Spark jobs at call
+    time, values bit-identical to the eager path."""
+
+    def test_bit_identical_to_eager_on_presymmetrized_edges(self, spark):
+        from pyspark.sql import functions as F
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1), (6, 6), (7, 3)],
+            "src long, dst long",
+        )
+        lazy = sorted(
+            tuple(r) for r in pagerank(edges, max_iter=5, tol=0.0, undirected=True).collect()
+        )
+        # manually symmetrized + undirected=False takes the EAGER path
+        # (counts + per-round checkpoints) over the same logical graph —
+        # the two must agree bit-for-bit, not just approximately
+        sym = edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        eager = sorted(
+            tuple(r) for r in pagerank(sym, max_iter=5, tol=0.0, undirected=False).collect()
+        )
+        assert lazy and lazy == eager
+
+    def test_call_runs_zero_jobs(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import (
+            pagerank,
+        )
+
+        edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        edges.count()  # materialize the local frame's first pass
+        tracker = spark.sparkContext.statusTracker()
+        n0 = len(tracker.getJobIdsForGroup(None))
+        pagerank(edges, max_iter=5, tol=0.0, undirected=True)
+        assert len(tracker.getJobIdsForGroup(None)) == n0
+
+    def test_empty_edge_list_yields_empty_frame(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.graph import (
+            pagerank,
+        )
+
+        empty = spark.createDataFrame([], "src long, dst long")
+        out = pagerank(empty, max_iter=3, tol=0.0, undirected=True)
+        assert out.columns == ["node", "rank"] and out.count() == 0
+
+    def test_lsh_slot_construction_job_ceiling(self, spark, sf_dir):
+        """The fused lsh_candidate_pairs slot used to run 46 jobs / ~11 s
+        per plan construction (eager pagerank counts + AQE materializing
+        every checkpoint's stages). With lazy pagerank + the lazy_cut
+        pairs frame it is the LSH operator's internal cuts only."""
+        from document_clustering_with_hadoop_mapreduce_spark.plans.registry import (
+            all_queries,
+        )
+
+        q = all_queries()["lsh_candidate_pairs"].spark
+        q(spark, sf_dir)  # prime
+        tracker = spark.sparkContext.statusTracker()
+        n0 = len(tracker.getJobIdsForGroup(None))
+        q(spark, sf_dir)
+        delta = len(tracker.getJobIdsForGroup(None)) - n0
+        assert delta <= 8, (
+            f"lsh_candidate_pairs construction ran {delta} jobs — eager "
+            "derivation leaked back into plan-construction time"
+        )

@@ -329,6 +329,10 @@ def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
         # fused round 8: bigram_cross_entropy's unigram model carries the
         # same 1-ROW token-mass scalar crossJoin (textstats.py::bigram_lm)
         "language_id",
+        # round 11: lazy fixed-undirected pagerank defers n as a 1-ROW
+        # node-count scalar crossJoin(broadcast(...)) (graph.py::pagerank)
+        # — same bounded scalar-attach class as the two entries above
+        "lsh_candidate_pairs",
     }
     for name, q in sorted(all_queries().items()):
         plan = _plan(q.spark(spark, sf_dir))
