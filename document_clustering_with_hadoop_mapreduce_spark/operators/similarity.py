@@ -1394,6 +1394,7 @@ def mine_hard_negatives(
     vec_col: str = "embedding",
     max_queries: int = 8192,
     anchor_vectors: DataFrame | None = None,
+    validate_anchors: bool = True,
 ) -> DataFrame:
     """(anchor_id, negative_id, cos, neg_rank): the ``n_neg`` most-similar
     corpus items to each anchor that are NOT among its positives — hard
@@ -1412,6 +1413,20 @@ def mine_hard_negatives(
     it) passes it here; a caller with only a positives table (the
     operator's standalone shape — pair files on disk, cheap lineage)
     omits it and keeps the loud missing-anchor validation.
+
+    ``validate_anchors`` (ADVICE r11): with ``anchor_vectors`` given, an
+    anchor in ``positives`` that has no row in ``anchor_vectors`` would
+    SILENTLY vanish from the output — the exact failure mode the derived
+    path's count check makes loud — so by default the fast path keeps
+    the contract with a pair-sized anti join (positives' distinct
+    anchors LEFT ANTI anchor_vectors; both sides anchor-sized, never
+    corpus-sized) and raises naming the missing count. The check's one
+    action executes the ``positives`` lineage once, so a caller whose
+    positives ARE a corpus-scan plan AND whose coverage holds by
+    construction (the fused slot: anchors and positives derive from the
+    same frame) passes ``validate_anchors=False``; doing so means a
+    coverage violation yields silent anchor disappearance — only disable
+    it when coverage is guaranteed by construction.
 
     Composition, not new machinery: anchors' vectors probe the corpus via
     ``cosine_topk`` (broadcast probes, self excluded), the positive pairs
@@ -1433,6 +1448,24 @@ def mine_hard_negatives(
         )
     if anchor_vectors is not None:
         probes = anchor_vectors.select(F.col(id_col), F.col(vec_col))
+        if validate_anchors:
+            # same contract as the derived path below, made cheap: both
+            # join sides are anchor-sized (positives' distinct anchors vs
+            # the caller's anchor frame), one count action — no corpus
+            # lineage beyond whatever produced `positives` itself
+            missing = (
+                positives.select(F.col(anchor_col).alias(id_col))
+                .distinct()
+                .join(anchor_vectors.select(id_col), id_col, "left_anti")
+                .count()
+            )
+            if missing:
+                raise ValueError(
+                    f"{missing} anchors in positives.{anchor_col} have no "
+                    f"row in anchor_vectors.{id_col}; cover every anchor "
+                    "or pass validate_anchors=False only when coverage is "
+                    "guaranteed by construction"
+                )
     else:
         anchors = positives.select(F.col(anchor_col).alias("__aid")).distinct()
         probes = anchors.join(

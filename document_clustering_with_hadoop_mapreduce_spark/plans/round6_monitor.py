@@ -134,6 +134,22 @@ def scan_slot(
 
     vecs = _load_vectors(spark, sf_dir, max_corpus_rows)
     out = all_queries()[name].spark(spark, sf_dir).collect()
+
+    def _vec(vid):
+        # a slot row referencing an id absent from the loaded window would
+        # otherwise KeyError with no context (ADVICE r11) — name the cap
+        # so the operator (raise max_corpus_rows / fix the fixture) is
+        # obvious from the diagnostic alone
+        try:
+            return vecs[vid]
+        except KeyError:
+            raise KeyError(
+                f"slot '{name}' references vec_id {vid!r} which is not in "
+                f"the loaded embedding window ({len(vecs)} rows, "
+                f"max_corpus_rows={max_corpus_rows}) — raise the cap or "
+                f"check the fixture for id drift"
+            ) from None
+
     raw: list[float] = []
     # ONLY the _round6-rounded slices (see module docstring): the JVM
     # F.round slices (ivf 'indexed', pairs 'top'/'sd_drop') already round
@@ -144,31 +160,41 @@ def scan_slot(
             # sd_pair and hardneg both score through _round6 over the
             # ORIGINAL vectors (semdedup's Arrow task / cosine_topk)
             if r["kind"] in ("sd_pair", "hardneg"):
-                raw.append(_raw_cos(vecs[r["id_a"]], vecs[r["id_b"]]))
+                raw.append(_raw_cos(_vec(r["id_a"]), _vec(r["id_b"])))
     elif name == "ann_ivf_topk":
         # int8 slice: _round6 cosines of the quantize->RECONSTRUCT
-        # vectors, so recompute over requantize_point twins derived with
-        # the slot's own param rule (quantization_params over the same
-        # frame) — reconstructing only the ids the slice references
+        # vectors, over requantize_point twins derived with the affine
+        # params THE SLOT ACTUALLY SCORED WITH: the q() call above
+        # populated _IVF_INDEX_CACHE, so read the cached (mins, scales)
+        # rather than re-aggregating the corpus (ADVICE r11 — the
+        # recompute is an extra full-corpus pass AND could silently
+        # diverge if the fixture dir were regenerated within one
+        # application, since the cache keys on app id + realpath).
+        # Recompute only on a cache miss (a future slot refactor that
+        # stops caching would land here, not on a KeyError).
+        from ..caches import sf_key
         from ..operators.similarity import quantization_params, requantize_point
-        from .queries_similarity import Q_BITS, _emb
+        from .queries_similarity import _IVF_INDEX_CACHE, Q_BITS, _emb
 
-        qp = quantization_params(_emb(spark, sf_dir), Q_BITS)
+        cached = _IVF_INDEX_CACHE.get(
+            (spark.sparkContext.applicationId, sf_key(sf_dir))
+        )
+        qp = cached[2] if cached else quantization_params(_emb(spark, sf_dir), Q_BITS)
         rvecs: dict = {}
 
         def _recon(vid):
             if vid not in rvecs:
-                rvecs[vid] = requantize_point(vecs[vid], *qp, bits=Q_BITS)
+                rvecs[vid] = requantize_point(_vec(vid), *qp, bits=Q_BITS)
             return rvecs[vid]
 
         for r in out:
             if r["kind"] == "direct":
-                raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))
+                raw.append(_raw_cos(_vec(r["query_id"]), _vec(r["vec_id"])))
             elif r["kind"] == "int8":
                 raw.append(_raw_cos(_recon(r["query_id"]), _recon(r["vec_id"])))
     else:
         for r in out:
-            raw.append(_raw_cos(vecs[r["query_id"]], vecs[r["vec_id"]]))
+            raw.append(_raw_cos(_vec(r["query_id"]), _vec(r["vec_id"])))
     return {
         "rows": len(raw),
         "disagreements": halfup_disagreements(raw),

@@ -346,3 +346,45 @@ class TestHardNegativeAnchorsGuard:
         )
         with pytest.raises(ValueError, match="have no row in embeddings"):
             mine_hard_negatives(pos, emb, n_neg=1, search_k=3)
+
+    def test_anchor_vectors_fast_path_keeps_contract(self, spark):
+        """ADVICE r11: the anchor_vectors fast path must keep the
+        missing-anchor contract by default — a positives frame whose
+        anchor 999 has no row in anchor_vectors raises (naming the
+        count), while the explicit validate_anchors=False opt-out yields
+        the documented silent drop, and a COVERING anchor_vectors frame
+        produces output identical to the derived path."""
+        import math
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [math.cos(i * 0.2), math.sin(i * 0.2)]) for i in range(6)],
+            "vec_id int, embedding array<double>",
+        )
+        pos = spark.createDataFrame(
+            [(0, 1), (999, 2)], "anchor_id int, positive_id int"
+        )
+        partial = emb.filter(F.col("vec_id") == 0)
+        with pytest.raises(ValueError, match="1 anchors .* anchor_vectors"):
+            mine_hard_negatives(pos, emb, n_neg=1, search_k=3, anchor_vectors=partial)
+        # documented opt-out: anchor 999 silently vanishes, anchor 0 intact
+        dropped = mine_hard_negatives(
+            pos, emb, n_neg=1, search_k=3, anchor_vectors=partial,
+            validate_anchors=False,
+        ).collect()
+        assert {r.anchor_id for r in dropped} == {0}
+        # covering frame: fast path == derived path, row for row
+        ok_pos = spark.createDataFrame(
+            [(0, 1), (3, 2)], "anchor_id int, positive_id int"
+        )
+        cover = emb.filter(F.col("vec_id").isin(0, 3))
+        fast = mine_hard_negatives(
+            ok_pos, emb, n_neg=2, search_k=4, anchor_vectors=cover
+        )
+        derived = mine_hard_negatives(ok_pos, emb, n_neg=2, search_k=4)
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, derived.collect())
+        )
