@@ -34,35 +34,34 @@ def _as_double(col: Column) -> Column:
 # to force the chunked path on small fixtures.
 SCORE_BUFFER_DOUBLES = 4_194_304
 
-# ceiling on ONE level of the per-bucket auto-sized sub_blocks in
+# soft ceiling on the per-bucket auto-sized sub_blocks in
 # lsh_bucketed_topk: replication cost is |bucket| x S rows and task count
 # S(S+1)/2 per bucket, so an unbounded S on a degenerate everything-in-
 # one-bucket corpus would trade the pair-work win back for shuffle volume.
-# 64 spreads a bucket to ~2,080 tasks and caps replication at 64x for that
-# bucket. A bucket needing MORE spread gets a second capped factor
-# (_spread_for — the round-11 residual split), bounding the product at
-# 64^2 = 4,096 and per-side width at ~target for buckets up to
-# LSH_MAX_SUB_BLOCKS^2 * target_bucket_rows (~8.4M rows at defaults).
+# 64 spreads a bucket to ~2,080 tasks and caps replication at 64x up to
+# buckets of 64 x target rows; past that the EXACT need is used up to a
+# hard cap of 64^2 = 4,096 (_spread_for), keeping per-side width ~target
+# for buckets up to LSH_MAX_SUB_BLOCKS^2 * target_bucket_rows (~8.4M rows
+# at defaults).
 LSH_MAX_SUB_BLOCKS = 64
 
 
 def _spread_for(occ: float, target_bucket_rows: int) -> int:
     """Task-spread factor S for a bucket of (estimated) ``occ`` rows:
-    ``ceil(occ / target)`` capped at LSH_MAX_SUB_BLOCKS — and past the
-    cap, a SECOND capped factor multiplies in (the residual re-split: one
-    more uniform pmod level over the same key, expressed as the composite
-    modulus S1*S2 — pmod(hash(id), S1*S2) partitions exactly as the
-    two-level re-hash would), keeping per-side width ~target for buckets
-    up to LSH_MAX_SUB_BLOCKS^2 * target rows. Replication is occ x S rows
-    — inherent to block-pair covering (the quadratic-by-contract class)
-    — which is why the product is still capped: a bucket past the square
+    ``ceil(occ / target)``, hard-capped at LSH_MAX_SUB_BLOCKS^2. S enters
+    the plan only as the modulus of pmod(hash(id), S) plus the explode
+    range, so ANY integer partitions uniformly — the round-11 form
+    (rounding S up to the next multiple of LSH_MAX_SUB_BLOCKS past the
+    cap, a literal two-level S1*S2 re-hash) paid up to 2x extra
+    replication and ~4x extra tasks right past the boundary for no
+    better width (A/B at need=75 on the 100x hot-bucket fixture: S 75 vs
+    128, identical rows, see round-12 COVERAGE). Replication is occ x S
+    rows — inherent to block-pair covering (the quadratic-by-contract
+    class) — which is why S is still capped: a bucket past the square
     cap degrades gracefully (wider sides; ``row_chunk`` still bounds
     every score buffer)."""
     need = max(1, -(-int(occ) // target_bucket_rows))
-    if need <= LSH_MAX_SUB_BLOCKS:
-        return need
-    second = -(-need // LSH_MAX_SUB_BLOCKS)
-    return LSH_MAX_SUB_BLOCKS * min(second, LSH_MAX_SUB_BLOCKS)
+    return min(need, LSH_MAX_SUB_BLOCKS * LSH_MAX_SUB_BLOCKS)
 
 # seeded sampling fraction for the auto-sizing occupancy pre-pass in
 # lsh_bucketed_topk: the pre-pass only needs bucket counts accurate enough

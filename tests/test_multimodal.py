@@ -84,7 +84,10 @@ def test_media_histogram_pairs_matches_bruteforce_and_planted_dups(spark, sf_dir
         top_similar_pairs,
     )
 
-    docs = load_table(spark, sf_dir, "documents").limit(100)
+    # deterministic subset — limit(100) under a parallel scan takes an
+    # ARBITRARY 100 rows, so doc 0 (the planted pair's source) may not
+    # even be in the sample (seen once at sf0.01 after a fixture regen)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     # plant a "re-encoded" copy: doc 0's bytes shuffled (identical
     # histogram) under a fresh id
     planted = docs.filter(F.col("doc_id") == 0).select(
@@ -105,7 +108,10 @@ def test_media_histogram_pairs_matches_bruteforce_and_planted_dups(spark, sf_dir
     assert [(r["media_a"], r["media_b"], r["cos"]) for r in got] == [
         (r["vec_a"], r["vec_b"], r["cos"]) for r in want
     ]
-    # the planted byte-permuted copy is a perfect histogram match for doc 0
-    top = got[0]
-    assert (top["media_a"], top["media_b"]) == (0, 900_000)
-    assert top["cos"] == 1.0
+    # the planted byte-permuted copy is a perfect histogram match for
+    # doc 0 — assert MEMBERSHIP in the cos==1.0 tier, not position 0:
+    # a regenerated corpus can legitimately hold exact-duplicate doc
+    # pairs inside doc_id < 100 that tie at 1.0 (the tie-break
+    # (cos desc, a asc, b asc) still keeps the a=0 pair inside top-k)
+    perfect = {(r["media_a"], r["media_b"]) for r in got if r["cos"] == 1.0}
+    assert (0, 900_000) in perfect, got[:3]

@@ -328,12 +328,15 @@ class TestRound9Hardening:
 
 
 class TestRound11SecondLevelSplit:
-    """Round-11 verdict item: a bucket whose needed spread exceeds
-    LSH_MAX_SUB_BLOCKS gets a second capped factor (the residual
-    re-split), so per-side task width stays ~target_bucket_rows instead
-    of growing linearly past the cap — output pinned identical."""
+    """Round-11 verdict item, round-12 refinement: a bucket whose needed
+    spread exceeds LSH_MAX_SUB_BLOCKS keeps spreading — with the EXACT
+    ceil(occ/target) up to the hard CAP^2 ceiling (round 12: S is only a
+    pmod modulus, so the round-11 multiple-of-CAP form paid up to 2x
+    extra replication past the boundary for no better width) — so
+    per-side task width stays ~target_bucket_rows instead of growing
+    linearly past the cap; output pinned identical."""
 
-    def test_spread_factorization(self):
+    def test_spread_exact_with_square_cap(self):
         from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
             LSH_MAX_SUB_BLOCKS as CAP,
             _spread_for,
@@ -344,12 +347,12 @@ class TestRound11SecondLevelSplit:
         assert _spread_for(t, t) == 1
         assert _spread_for(t + 1, t) == 2
         assert _spread_for(50 * t, t) == 50
-        assert _spread_for(CAP * t, t) == CAP  # exactly at the cap
-        # one row past the cap: second level kicks in as a product
-        assert _spread_for(CAP * t + 1, t) == 2 * CAP
-        assert _spread_for(100 * t, t) == 2 * CAP  # need=100 -> 2*64
+        assert _spread_for(CAP * t, t) == CAP  # exactly at the old cap
+        # past the old one-level cap: EXACT need, not the next multiple
+        assert _spread_for(CAP * t + 1, t) == CAP + 1
+        assert _spread_for(100 * t, t) == 100
         assert _spread_for(CAP * CAP * t, t) == CAP * CAP
-        # degenerate mega-bucket: product stays capped at CAP^2
+        # degenerate mega-bucket: hard ceiling at CAP^2
         assert _spread_for(10 * CAP * CAP * t, t) == CAP * CAP
 
     def _mega_hot(self, spark, n_hot=1200):
@@ -365,8 +368,8 @@ class TestRound11SecondLevelSplit:
 
     def test_second_level_sizing_reaches_the_map(self, spark):
         """With target=16 the 1200-row hot bucket needs ceil(1200/16)=75
-        sub-blocks > 64, so the sizing must carry the two-factor product
-        (128), not the round-10 cap (64)."""
+        sub-blocks > 64, so the sizing must carry a spread past the
+        round-10 one-level cap (the exact sampled need, <= CAP^2)."""
         from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
             LSH_MAX_SUB_BLOCKS as CAP,
             _auto_sizing,
@@ -376,7 +379,7 @@ class TestRound11SecondLevelSplit:
         kind, val = _auto_sizing(emb, PLANES, "embedding", 16)
         hot_s = val if kind == "global" else max(val.values())
         assert hot_s > CAP, (kind, val)
-        assert hot_s % CAP == 0 and hot_s <= CAP * CAP
+        assert hot_s <= CAP * CAP
 
     def test_second_level_output_identical_and_width_bounded(self, spark):
         """10x-the-cap regime (done-criterion): auto sizing with the
@@ -408,7 +411,7 @@ class TestRound11SecondLevelSplit:
         # realized side width: replicate the sub assignment and count the
         # biggest (bucket, __sub) side the hot bucket produces
         s_eff = _spread_for(1200, target)
-        assert s_eff == 2 * CAP
+        assert s_eff == 75  # exact need, not the round-11 multiple (128)
         widths = (
             emb.select(
                 lsh_bucket(_as_double(F.col("embedding")), PLANES).alias("bucket"),
