@@ -650,3 +650,33 @@ def test_winnow_span_cap_matches_pair_cap(spark, docs, max_df):
         for r in winnow_overlap_spans(fps, min_shared=1, max_df=max_df).collect()
     }
     assert pairs == spans
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    occ=st.one_of(
+        st.integers(min_value=0, max_value=10**9),
+        st.floats(min_value=0, max_value=1e9, allow_nan=False),
+    ),
+    target=st.integers(min_value=1, max_value=10**6),
+)
+def test_spread_for_width_bound_and_cap(occ, target):
+    """Pure-Python invariants of the round-12 exact LSH spread: S is the
+    exact ceil(occ/target) whenever that fits the CAP^2 ceiling (so the
+    per-side width bound occ <= S*target holds EXACTLY below the cap),
+    S is always in [1, CAP^2], and S never decreases in occ."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        LSH_MAX_SUB_BLOCKS as CAP,
+        _spread_for,
+    )
+
+    s = _spread_for(occ, target)
+    assert 1 <= s <= CAP * CAP
+    need = max(1, -(-int(occ) // target))
+    if need <= CAP * CAP:
+        assert s == need          # exact: no rounding overshoot anywhere
+        assert int(occ) <= s * target or int(occ) <= target  # width bound
+    else:
+        assert s == CAP * CAP     # hard ceiling, graceful degradation
+    # monotone: more rows never get LESS spread
+    assert _spread_for(int(occ) + target, target) >= s
