@@ -32,6 +32,21 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
+def _row_salt(n_salts: int) -> Column:
+    """Uniform per-row salt in [0, n_salts): hash of
+    ``monotonically_increasing_id`` — a row-POSITION term, not row
+    content. A content hash (the first-cut form) sends every copy of an
+    identical row to ONE salt, i.e. zero spread exactly for the
+    motivating hot keys (the empty document, a default category), whose
+    rows are frequently byte-identical. Position-derived salts vary with
+    partitioning/retries, which is safe BY CONSTRUCTION here: the salt
+    only routes rows between phase-1 tasks, every (keys, salt) partial is
+    merged in phase 2, and a retried map task regenerates its whole
+    shuffle output atomically — results never see the salt (the equality
+    + property tests pin this)."""
+    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -43,12 +58,10 @@ def salted_agg(
     ``aggs`` maps output column -> (phase1_agg, phase2_merge) over the
     same column name, e.g. ``{"total": (lambda c: F.sum(c), lambda c:
     F.sum(c))}`` for sums, ``(F.count, F.sum)`` for counts. The salt is
-    derived from a hash of the full row (deterministic, uniform), so the
-    result is independent of partitioning.
+    position-derived (``_row_salt``) so even byte-identical hot rows
+    spread; the RESULT is independent of the salt by construction.
     """
-    salted = df.withColumn(
-        SALT, F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(n_salts))
-    )
+    salted = df.withColumn(SALT, _row_salt(n_salts))
     phase1 = salted.groupBy(*keys, SALT).agg(
         *[fn1(F.col(out)).alias(out) for out, (fn1, _) in aggs.items()]
     )
@@ -88,7 +101,5 @@ def salted_broadcast_join(
     small_rep = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    big_salted = big.withColumn(
-        SALT, F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(n_salts))
-    )
+    big_salted = big.withColumn(SALT, _row_salt(n_salts))
     return big_salted.join(small_rep, [on, SALT]).drop(SALT)

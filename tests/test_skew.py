@@ -48,3 +48,25 @@ def test_salted_join_equals_direct(spark):
     d = {r["k"]: (r["n"], r["sw"]) for r in direct.collect()}
     s = {r["k"]: (r["n"], r["sw"]) for r in salted.collect()}
     assert d == s
+
+
+def test_identical_rows_still_spread(spark):
+    """The hot keys salting exists for (the empty document, a default
+    category) are frequently BYTE-IDENTICAL rows — a content-hash salt
+    (the first-cut form) sent all of them to ONE salt, i.e. zero spread
+    exactly where spread matters. The position-derived salt must fan
+    identical rows over many salts while results stay equal."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.skew import (
+        _row_salt,
+    )
+
+    # 5,000 byte-identical rows (one hot key, one constant value)
+    df = spark.range(5000).select(F.lit(0).alias("k"), F.lit(1.0).alias("v"))
+    n_distinct = (
+        df.withColumn("s", _row_salt(16)).select("s").distinct().count()
+    )
+    assert n_distinct > 8, f"identical rows landed on {n_distinct} salt(s)"
+    got = {r["k"]: r["total"] for r in salted_sum(df, ["k"], "v", "total").collect()}
+    assert got == {0: 5000.0}
+    cnt = {r["k"]: r["n"] for r in salted_count(df, ["k"]).collect()}
+    assert cnt == {0: 5000}
