@@ -40,7 +40,14 @@ def funnel_report(df: DataFrame, stages: Mapping[str, Column]) -> DataFrame:
     kept: Column | None = None
     for i, name in enumerate(names):
         kept = stages[name] if kept is None else (kept & stages[name])
-        counters.append(F.sum(kept.cast("long")).alias(f"__n{i + 1}"))
+        # coalesce: sum() over ZERO rows is NULL, so an empty snapshot
+        # (a realistic monitoring input) would report n_kept/n_dropped
+        # NULL instead of 0
+        counters.append(
+            F.coalesce(F.sum(kept.cast("long")), F.lit(0).cast("long")).alias(
+                f"__n{i + 1}"
+            )
+        )
     row = df.agg(*counters)
     out_rows = F.array(
         F.struct(

@@ -119,8 +119,17 @@ def blocked_matches(
     pairs = a.join(b, "block")
     if right is None:
         pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    # THRESHOLDED levenshtein (Spark 3.5+): the banded DP early-exits at
+    # max_dist+1 — O(max_dist * len) per pair instead of O(len^2) — and
+    # returns -1 past the threshold, so the filter form is identical to
+    # `dist <= max_dist` on the unbounded distance (exact dist kept for
+    # every surviving pair). On the blocked candidate stream the verifier
+    # IS the hot loop, so the band is the scale lever here.
     return (
-        pairs.withColumn("dist", F.levenshtein(F.col("__norm_a"), F.col("__norm_b")))
-        .where(F.col("dist") <= max_dist)
+        pairs.withColumn(
+            "dist",
+            F.levenshtein(F.col("__norm_a"), F.col("__norm_b"), int(max_dist)),
+        )
+        .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
     )

@@ -108,3 +108,16 @@ def test_curation_funnel_matches_capstone_survivors(spark, sf_dir):
     order = ["input", "quality", "decontaminate", "dedup_representative"]
     kept = [rows[s]["n_kept"] for s in order]
     assert kept == sorted(kept, reverse=True)
+
+
+def test_empty_input_reports_zeros_not_nulls(spark):
+    """An empty source snapshot (a realistic monitoring input) must report
+    0 at every stage — sum() over zero rows is NULL without the coalesce."""
+    df = spark.createDataFrame([], "a boolean, b boolean")
+    rows = {
+        r["stage"]: r
+        for r in funnel_report(df, {"a": F.col("a"), "b": F.col("b")}).collect()
+    }
+    assert rows["input"]["n_in"] == 0
+    for st in ("a", "b"):
+        assert (rows[st]["n_in"], rows[st]["n_kept"], rows[st]["n_dropped"]) == (0, 0, 0)
