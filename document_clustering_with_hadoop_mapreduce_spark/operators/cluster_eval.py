@@ -90,11 +90,21 @@ def clustering_metrics(
         F.broadcast(colm), label_col
     ).crossJoin(F.broadcast(n_tot))
     dec = "decimal(38,12)"
+    # a_i::double BEFORE the multiply (matching the oracle's
+    # a_i::DOUBLE * b_j form): the margin product of a 100 TB contingency
+    # table passes int64 (~9.2e18) at margins the module's own _comb2
+    # bound already contemplates — a LONG multiply raises under ANSI mode
+    # and silently wraps otherwise. Exact-equal to the LONG product while
+    # it fits 2^53, so every gate value is unchanged.
     mi = with_margins.agg(
         F.sum(
             F.round(
                 (F.col("n_ij") / F.col("n"))
-                * F.log(F.col("n_ij").cast("double") * F.col("n") / (F.col("a_i") * F.col("b_j"))),
+                * F.log(
+                    F.col("n_ij").cast("double")
+                    * F.col("n")
+                    / (F.col("a_i").cast("double") * F.col("b_j"))
+                ),
                 12,
             ).cast(dec)
         ).alias("mi")
@@ -118,7 +128,12 @@ def clustering_metrics(
     # n = 1 has zero possible pairs (s_n = 0): every pair index is 0, so
     # guard the expected-index division (ANSI mode raises on /0) — the
     # max_index == expected arm below then yields the degenerate ARI 1.0
-    expected = F.when(s_n > 0, F.col("s_a") * F.col("s_b") / s_n).otherwise(F.lit(0.0))
+    # s_a::double BEFORE the multiply (the oracle's s_a::DOUBLE * s_b
+    # form): pair-count sums grow ~n^2/2, so the LONG product passes
+    # int64 at ~4e9 rows per side — same hazard class as the mi fix above
+    expected = F.when(
+        s_n > 0, F.col("s_a").cast("double") * F.col("s_b") / s_n
+    ).otherwise(F.lit(0.0))
     max_index = (F.col("s_a") + F.col("s_b")) / F.lit(2)
     ari = F.when(max_index == expected, F.lit(1.0)).otherwise(
         (F.col("s_ij") - expected) / (max_index - expected)
