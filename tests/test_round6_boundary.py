@@ -71,3 +71,30 @@ def test_no_halfup_disagreements(name, spark, sf_dir):
         "an engine defect (see operators/similarity.py::_round6; "
         f"near-boundary count {got['near_boundary']})."
     )
+
+
+def test_cached_qparams_equal_recompute(spark, sf_dir):
+    """ADVICE r11: scan_slot reads the int8 slice's affine params from
+    _IVF_INDEX_CACHE (populated by the slot run it just made) and only
+    recomputes on a miss. That is sound ONLY while cached == recomputed
+    over an immutable fixture — pin the equivalence the fallback relies
+    on, so a future divergence of the slot's param rule from
+    quantization_params fails HERE, not as a silent monitor drift."""
+    from document_clustering_with_hadoop_mapreduce_spark.caches import sf_key
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        quantization_params,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.plans.queries_similarity import (
+        _IVF_INDEX_CACHE,
+        Q_BITS,
+        _emb,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.plans.registry import (
+        all_queries,
+    )
+
+    all_queries()["ann_ivf_topk"].spark(spark, sf_dir)  # populates the cache
+    key = (spark.sparkContext.applicationId, sf_key(sf_dir))
+    assert key in _IVF_INDEX_CACHE, "slot construction no longer caches"
+    cached = _IVF_INDEX_CACHE[key][2]
+    assert cached == quantization_params(_emb(spark, sf_dir), Q_BITS)
