@@ -1,0 +1,86 @@
+"""sessionize_chunked == sessionize, row for row — the bounded-hot-task
+form must be an exact twin of the gated one-pass operator (which the
+events_sessionized oracle pins value-level), including across chunk
+boundaries and on a planted viral user."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_clustering_with_hadoop_mapreduce_spark.operators.events import (
+    sessionize,
+    sessionize_chunked,
+)
+from document_clustering_with_hadoop_mapreduce_spark.sources.tables import load_table
+
+
+def _rows(df):
+    return sorted(
+        (r["user_id"], r["session_idx"], r["n_events"], r["duration_sec"], r["sum_value"])
+        for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("chunk", ["day", "hour"])
+def test_matches_one_pass_on_fixture(spark, sf_dir, chunk):
+    ev = load_table(spark, sf_dir, "events")
+    assert _rows(sessionize_chunked(ev, chunk=chunk)) == _rows(sessionize(ev))
+
+
+def test_sessions_spanning_chunk_boundaries_merge_exactly(spark):
+    """A session of 10-min-spaced events crossing midnight (and, for
+    chunk='hour', eleven hour boundaries) must come back as ONE session
+    with the same stats the one-pass form computes; a >gap silence inside
+    one chunk must still split."""
+    base = dt.datetime(2024, 3, 1, 22, 0, 0)
+    rows = []
+    # user 1: 18 events every 10 min from 22:00 -> 00:50 next day (one
+    # session crossing the day boundary), then a 2h silence, then 3 more
+    for i in range(18):
+        rows.append((i, base + dt.timedelta(minutes=10 * i), 1, "click", 1.5))
+    tail = base + dt.timedelta(minutes=10 * 17 + 120)
+    for j in range(3):
+        rows.append((100 + j, tail + dt.timedelta(minutes=10 * j), 1, "click", 2.0))
+    # user 2: two single-event sessions inside one hour, 40 min apart
+    rows.append((200, base, 2, "view", 0.25))
+    rows.append((201, base + dt.timedelta(minutes=40), 2, "view", 0.25))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    want = _rows(sessionize(ev))
+    assert _rows(sessionize_chunked(ev, chunk="day")) == want
+    assert _rows(sessionize_chunked(ev, chunk="hour")) == want
+    # shape sanity on the constructed truth: user 1 has exactly 2 sessions
+    # (18 + 3 events), user 2 exactly 2 (the 40-min gap > the 30-min gap)
+    by_user = {}
+    for u, _idx, n, _d, _s in want:
+        by_user.setdefault(u, []).append(n)
+    assert sorted(by_user[1]) == [3, 18]
+    assert by_user[2] == [1, 1]
+
+
+def test_viral_user_identical_and_chunk_bounded(spark):
+    """The planted hot case this operator exists for: one user with 4,000
+    events over ~28 days (dense -> few sessions) among 50 normal users.
+    Output identical to one-pass; the per-(user, chunk) group the sort
+    task sees is a small fraction of the user's total events."""
+    base = dt.datetime(2024, 5, 1, 0, 0, 0)
+    rows = []
+    for i in range(4000):
+        rows.append((i, base + dt.timedelta(minutes=10 * i), 7, "click", 0.5))
+    for u in range(50):
+        rows.append((10_000 + u, base + dt.timedelta(hours=u), 100 + u, "view", 1.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert _rows(sessionize_chunked(ev, chunk="day")) == _rows(sessionize(ev))
+    widest = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts"))
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert widest <= 145  # 24h of 10-min events: the bounded sort width
