@@ -36,7 +36,13 @@ def events_hourly(events: DataFrame) -> DataFrame:
 
 def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks after a
-    ``gap_minutes`` silence. Per-session stats, exact micros arithmetic."""
+    ``gap_minutes`` silence. Per-session stats, exact micros arithmetic.
+
+    Hot-key bound: the per-user window sorts ALL of a user's events in
+    one task. For corpora with viral users, ``sessionize_chunked`` is the
+    row-identical escape that bounds the task at events-per-(user, chunk)
+    (one extra session-row exchange — measured +40% at fixture scale with
+    no hot key, 3.5x faster on a planted 3M-event user)."""
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
