@@ -84,3 +84,27 @@ def test_viral_user_identical_and_chunk_bounded(spark):
         .collect()[0][0]
     )
     assert widest <= 145  # 24h of 10-min events: the bounded sort width
+
+
+def test_min_freq_join_escape_matches_window_form(spark, sf_dir):
+    """filter_min_corpus_freq_joined (the AQE-splittable skew escape) must
+    return exactly the window form's rows on the real matrix, at a
+    threshold that actually drops terms."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        filter_min_corpus_freq,
+        filter_min_corpus_freq_joined,
+        term_doc_counts,
+    )
+
+    m = term_doc_counts(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    # a data-derived threshold that PROVABLY drops terms: the max per-term
+    # corpus total (everything below it goes) — plus the slot's 3
+    max_total = (
+        m.groupBy("term").agg(F.sum("cnt").alias("t")).agg(F.max("t")).collect()[0][0]
+    )
+    full = m.count()
+    for min_total in (3, int(max_total)):
+        a = sorted(map(tuple, filter_min_corpus_freq(m, min_total).collect()))
+        b = sorted(map(tuple, filter_min_corpus_freq_joined(m, min_total).collect()))
+        assert a and a == b
+    assert len(a) < full, "max-total threshold dropped nothing — vacuous check"
