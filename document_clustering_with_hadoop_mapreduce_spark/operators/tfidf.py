@@ -29,6 +29,7 @@ def tfidf(
     n_docs: int | None = None,
     compat_n1: bool = False,
     materialize: bool = True,
+    df_via_join: bool = False,
 ) -> DataFrame:
     """(doc_id, term, cnt, tf, idf, tfidf).
 
@@ -47,6 +48,16 @@ def tfidf(
     in executor storage for no benefit. NB: each materialization lives
     until its RDD is GC'd (ContextCleaner); long-lived sessions re-running
     matrix queries should prefer a driver-known ``n_docs``.
+
+    ``df_via_join`` (standard idf only): compute the per-term df through
+    a vocab-bounded aggregate + equi-join instead of the count window.
+    The window buffers EVERY row of a term in one task and AQE cannot
+    split a window partition — a term present in most of a 100 TB corpus
+    serializes its df rows with no memory bound — where the join's hot
+    partition AQE's skew-join handling CAN split (the
+    ``filter_min_corpus_freq_joined`` rationale; row-identical, pinned).
+    Default stays the single-exchange window — optimal when no term is
+    hot, which the fixture corpora and most real vocabularies are.
     """
     if compat_n1:
         # N1: "df" is the number of distinct terms in the same DOCUMENT.
@@ -69,9 +80,15 @@ def tfidf(
         n_df = matrix.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
         with_n = with_tf.crossJoin(F.broadcast(n_df))
         n_col = F.col("__n_docs")
+    if df_via_join and not compat_n1:
+        # (doc, term) rows are unique, so count-rows-per-term over the
+        # matrix equals the window's per-partition count exactly
+        dfreq = matrix.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        with_df = with_n.join(dfreq, "term").select(*with_n.columns, "df")
+    else:
+        with_df = with_n.withColumn("df", F.count(F.lit(1)).over(w))
     return (
-        with_n.withColumn("df", F.count(F.lit(1)).over(w))
-        .withColumn("idf", F.log(n_col / F.col("df")))
+        with_df.withColumn("idf", F.log(n_col / F.col("df")))
         .withColumn("tfidf", F.col("tf") * F.col("idf"))
         .drop("df", "__n_docs")
     )

@@ -1,7 +1,8 @@
-"""sessionize_chunked == sessionize, row for row — the bounded-hot-task
-form must be an exact twin of the gated one-pass operator (which the
-events_sessionized oracle pins value-level), including across chunk
-boundaries and on a planted viral user."""
+"""Hot-key skew escapes are EXACT twins of their gated defaults:
+sessionize_chunked == sessionize (incl. chunk-boundary sessions and a
+planted viral user), filter_min_corpus_freq_joined == the window form,
+and tfidf(df_via_join=True) == the window form — each bounds a task AQE
+cannot split (a window partition) by a shape it can (a skewed join)."""
 
 from __future__ import annotations
 
@@ -108,3 +109,26 @@ def test_min_freq_join_escape_matches_window_form(spark, sf_dir):
         b = sorted(map(tuple, filter_min_corpus_freq_joined(m, min_total).collect()))
         assert a and a == b
     assert len(a) < full, "max-total threshold dropped nothing — vacuous check"
+
+
+def test_tfidf_df_via_join_matches_window_form(spark, sf_dir):
+    """tfidf(df_via_join=True) — the AQE-splittable hot-term escape — is
+    row-identical to the window form, with n_docs driver-known AND
+    derived."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.term_matrix import (
+        term_doc_counts,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.tfidf import tfidf
+
+    m = term_doc_counts(load_table(spark, sf_dir, "documents")).localCheckpoint()
+    n = m.select("doc_id").distinct().count()
+    for kwargs in ({"n_docs": n}, {}):
+        a = sorted(map(tuple, tfidf(m, **kwargs).collect()))
+        b = sorted(map(tuple, tfidf(m, df_via_join=True, **kwargs).collect()))
+        assert a and a == b
+    # compat_n1 ignores the knob (doc-keyed window is doc-bounded)
+    c = sorted(map(tuple, tfidf(m, n_docs=n, compat_n1=True).collect()))
+    d = sorted(
+        map(tuple, tfidf(m, n_docs=n, compat_n1=True, df_via_join=True).collect())
+    )
+    assert c == d
