@@ -685,6 +685,26 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
         q = registry[name]
         uniform[name] = min_of_runs(lambda: q.spark(spark, uniform_dir).count())
         skewed[name] = min_of_runs(lambda: q.spark(spark, out).count())
+    # round 12: time the chunked hot-key ESCAPE on the same planted-hot-
+    # user fixture next to the slot's one-pass default, so the escape
+    # carries a per-round number. At THIS fixture's hot-user size (~75k
+    # rows) the one-pass window is still cheap and the escape's extra
+    # session-row exchange costs more (measured 1.50 vs 1.04 s) — the
+    # crossover is in the millions (3M hot events: 1.6 vs 5.7 s, see
+    # tests/test_skew_escapes.py provenance in COVERAGE) — so this
+    # number documents the default's headroom, not a regression.
+    from document_clustering_with_hadoop_mapreduce_spark.operators.events import (
+        sessionize_chunked,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.sources.tables import (
+        load_table,
+    )
+
+    # through load_table like the slot path: the fixture's ts column is
+    # TIMESTAMP_NTZ on disk and the loader owns the session-tz cast
+    # (a raw parquet read fails unix_micros with a type mismatch)
+    ev_hot = load_table(spark, out, "events")
+    escape_hot = min_of_runs(lambda: sessionize_chunked(ev_hot).count())
     shutil.rmtree(out, ignore_errors=True)
     return {
         "skew_build_sec": build_sec,
@@ -693,6 +713,7 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
         "skew_ratio": {
             n: round(skewed[n] / uniform[n], 2) for n in skew_q
         },
+        "sessionize_chunked_hot_10x": escape_hot,
     }
 
 
