@@ -1420,12 +1420,16 @@ def mine_hard_negatives(
     the contract with a pair-sized anti join (positives' distinct
     anchors LEFT ANTI anchor_vectors; both sides anchor-sized, never
     corpus-sized) and raises naming the missing count. The check's one
-    action executes the ``positives`` lineage once, so a caller whose
-    positives ARE a corpus-scan plan AND whose coverage holds by
-    construction (the fused slot: anchors and positives derive from the
-    same frame) passes ``validate_anchors=False``; doing so means a
-    coverage violation yields silent anchor disappearance — only disable
-    it when coverage is guaranteed by construction.
+    action executes the ``positives`` lineage once AT CONSTRUCTION, so
+    a caller whose positives ARE a corpus-scan plan has two outs:
+    ``validate_anchors="deferred"`` keeps the loud contract but moves
+    the check into the returned plan (a 0-row guard branch; fires on
+    the FIRST ACTION over the result — even an empty one — as a Spark
+    runtime error instead of a construction-time ValueError);
+    ``validate_anchors=False`` drops the check entirely — a coverage
+    violation then yields silent anchor disappearance, so only disable
+    it when coverage is guaranteed by construction (the fused slot:
+    anchors and positives derive from the same frame).
 
     Composition, not new machinery: anchors' vectors probe the corpus via
     ``cosine_topk`` (broadcast probes, self excluded), the positive pairs
@@ -1445,9 +1449,15 @@ def mine_hard_negatives(
         raise ValueError(
             f"need 1 <= n_neg <= search_k, got n_neg={n_neg}, search_k={search_k}"
         )
+    if validate_anchors not in (True, False, "deferred"):
+        raise ValueError(
+            f"validate_anchors must be True, False, or 'deferred', "
+            f"got {validate_anchors!r}"
+        )
+    deferred_miss = None
     if anchor_vectors is not None:
         probes = anchor_vectors.select(F.col(id_col), F.col(vec_col))
-        if validate_anchors:
+        if validate_anchors is True:
             # same contract as the derived path below, made cheap: both
             # join sides are anchor-sized (positives' distinct anchors vs
             # the caller's anchor frame), one count action — no corpus
@@ -1465,6 +1475,26 @@ def mine_hard_negatives(
                     "or pass validate_anchors=False only when coverage is "
                     "guaranteed by construction"
                 )
+        elif validate_anchors == "deferred":
+            # ADVICE r12: the eager check is one construction-time job
+            # (it executes the positives lineage once) — this mode rides
+            # the SAME anchor-sized anti join as a 1-row scalar whose
+            # assertion lives in a FILTER condition on a 0-row guard
+            # branch unioned into the output (not the probes, which
+            # cosine_topk collects at construction), so the contract
+            # stays loud but fires at FIRST EXECUTION of the result
+            # (error type: Spark runtime error, not ValueError). The
+            # filter placement matters: an asserted column that is then
+            # dropped gets PRUNED by Catalyst (check elided), and a
+            # guard keyed off the output's own rows never fires when
+            # the output is empty — the unioned 1-row-input filter
+            # evaluates on every action regardless.
+            deferred_miss = (
+                positives.select(F.col(anchor_col).alias(id_col))
+                .distinct()
+                .join(anchor_vectors.select(id_col), id_col, "left_anti")
+                .agg(F.count(F.lit(1)).alias("__missing"))
+            )
     else:
         anchors = positives.select(F.col(anchor_col).alias("__aid")).distinct()
         probes = anchors.join(
@@ -1493,7 +1523,7 @@ def mine_hard_negatives(
     )
     negs = topk.join(pos_pairs, ["query_id", "vec_id"], "left_anti")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    out = (
         negs.withColumn("neg_rank", F.row_number().over(w))
         .where(F.col("neg_rank") <= n_neg)
         .select(
@@ -1503,6 +1533,28 @@ def mine_hard_negatives(
             "neg_rank",
         )
     )
+    if deferred_miss is not None:
+        # assert inside the filter CONDITION (returns null -> isNotNull
+        # is false -> 0 rows on success; raises naming the count before
+        # the filter can answer otherwise)
+        guard = deferred_miss.filter(
+            F.assert_true(
+                F.col("__missing") == 0,
+                F.concat(
+                    F.col("__missing").cast("string"),
+                    F.lit(
+                        f" anchors in positives.{anchor_col} have no"
+                        f" row in anchor_vectors.{id_col}; cover every"
+                        " anchor or pass validate_anchors=False only"
+                        " when coverage is guaranteed by construction"
+                    ),
+                ),
+            ).isNotNull()
+        ).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in out.schema]
+        )
+        out = out.unionByName(guard)
+    return out
 
 
 def embedding_outliers(

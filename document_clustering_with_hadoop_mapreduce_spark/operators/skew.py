@@ -20,11 +20,32 @@ helpers pre-spread hot keys explicitly:
 
 Salting changes WHERE rows meet, never results: tests assert equality
 with the direct plan.
+
+Salt determinism (the 100 TB retry hazard): the salt is a SHUFFLE KEY,
+so it must be a deterministic function of row DATA. A position-derived
+salt (``monotonically_increasing_id`` — a prior round's form) is not:
+on a fetch failure Spark reruns only the failed map tasks, completed
+reducers keep the partials they already fetched, and the recomputed map
+task's mono-ids shift whenever upstream partition order/content differs
+(post-shuffle input, executor loss) — the same rows then route to
+DIFFERENT (keys, salt) partitions and phase-2 sums silently double-count
+or lose rows. Spark's indeterminate-stage rollback covers its own
+round-robin repartition, not user-level nondeterministic shuffle keys,
+so nothing catches it. Hence:
+
+- Pass ``id_cols`` (any columns unique-ish per row: a doc id, an event
+  id) and the salt is ``hash(id_cols) % n`` — deterministic AND spread
+  even for otherwise-identical hot rows. This is the path to prefer.
+- Without ``id_cols`` the salt falls back to a hash of ALL columns —
+  deterministic, but byte-identical rows share one salt, i.e. zero
+  spread exactly for hot keys whose rows are all identical (the empty
+  document, a default category). If that is your shape and no id
+  exists, materialize one first with ``with_stable_row_id`` below.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -32,19 +53,37 @@ from pyspark.sql import functions as F
 SALT = "__salt"
 
 
-def _row_salt(n_salts: int) -> Column:
-    """Uniform per-row salt in [0, n_salts): hash of
-    ``monotonically_increasing_id`` — a row-POSITION term, not row
-    content. A content hash (the first-cut form) sends every copy of an
-    identical row to ONE salt, i.e. zero spread exactly for the
-    motivating hot keys (the empty document, a default category), whose
-    rows are frequently byte-identical. Position-derived salts vary with
-    partitioning/retries, which is safe BY CONSTRUCTION here: the salt
-    only routes rows between phase-1 tasks, every (keys, salt) partial is
-    merged in phase 2, and a retried map task regenerates its whole
-    shuffle output atomically — results never see the salt (the equality
-    + property tests pin this)."""
-    return F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts))
+def _row_salt(
+    n_salts: int,
+    *,
+    id_cols: Sequence[str] | None,
+    fallback_cols: Sequence[str],
+) -> Column:
+    """Deterministic per-row salt in [0, n_salts): ``hash(id_cols) % n``
+    when the caller names stable id columns, else ``hash(all columns) %
+    n``. Both forms are pure functions of row data, so a retried map
+    task routes every row to the SAME (keys, salt) partition it did the
+    first time — see the module docstring for why a position-derived
+    salt (mono-id) is unsafe under stage retry. The content-hash
+    fallback's known limitation: byte-identical rows share one salt
+    (no spread); use ``with_stable_row_id`` + ``id_cols`` for that
+    shape."""
+    cols = list(id_cols) if id_cols else list(fallback_cols)
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
+def with_stable_row_id(df: DataFrame, col: str = "__row_id") -> DataFrame:
+    """Attach a unique row id and PIN it by eager ``localCheckpoint`` so
+    it becomes stable DATA rather than a recomputed expression. Use when
+    hot-key rows are byte-identical and no natural id exists: pass the
+    result plus ``id_cols=[col]`` to the salted helpers. The checkpoint
+    truncates lineage — if a stored block is later lost (executor
+    death), Spark FAILS the job instead of silently recomputing ids
+    with different values, which is the safe failure mode for a value
+    used as a shuffle key. Costs one materialization of ``df``."""
+    return df.withColumn(col, F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
 
 
 def salted_agg(
@@ -52,16 +91,21 @@ def salted_agg(
     keys: list[str],
     aggs: dict[str, tuple[Callable[[Column], Column], Callable[[Column], Column]]],
     n_salts: int = 16,
+    id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-resistant aggregation.
 
     ``aggs`` maps output column -> (phase1_agg, phase2_merge) over the
     same column name, e.g. ``{"total": (lambda c: F.sum(c), lambda c:
     F.sum(c))}`` for sums, ``(F.count, F.sum)`` for counts. The salt is
-    position-derived (``_row_salt``) so even byte-identical hot rows
-    spread; the RESULT is independent of the salt by construction.
+    deterministic (``_row_salt``: hash of ``id_cols`` when given, else
+    of all columns) so stage retries re-route identically; the RESULT
+    is independent of the salt by construction. Pass ``id_cols`` when
+    hot rows may be byte-identical (see module docstring).
     """
-    salted = df.withColumn(SALT, _row_salt(n_salts))
+    salted = df.withColumn(
+        SALT, _row_salt(n_salts, id_cols=id_cols, fallback_cols=df.columns)
+    )
     phase1 = salted.groupBy(*keys, SALT).agg(
         *[fn1(F.col(out)).alias(out) for out, (fn1, _) in aggs.items()]
     )
@@ -71,35 +115,46 @@ def salted_agg(
 
 
 def salted_sum(df: DataFrame, keys: list[str], value_col: str, out_col: str,
-               n_salts: int = 16) -> DataFrame:
+               n_salts: int = 16,
+               id_cols: Sequence[str] | None = None) -> DataFrame:
+    sel = df.select(*keys, F.col(value_col).alias(out_col), *(id_cols or []))
     out = salted_agg(
-        df.select(*keys, F.col(value_col).alias(out_col)),
+        sel,
         keys,
         {out_col: (F.sum, F.sum)},
         n_salts,
+        id_cols=id_cols,
     )
     return out
 
 
 def salted_count(df: DataFrame, keys: list[str], out_col: str = "n",
-                 n_salts: int = 16) -> DataFrame:
+                 n_salts: int = 16,
+                 id_cols: Sequence[str] | None = None) -> DataFrame:
+    sel = df.select(*keys, F.lit(1).alias(out_col), *(id_cols or []))
     return salted_agg(
-        df.select(*keys, F.lit(1).alias(out_col)),
+        sel,
         keys,
         {out_col: (F.count, F.sum)},
         n_salts,
+        id_cols=id_cols,
     )
 
 
 def salted_broadcast_join(
-    big: DataFrame, small: DataFrame, on: str, n_salts: int = 8
+    big: DataFrame, small: DataFrame, on: str, n_salts: int = 8,
+    id_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skew-spread equi-join for when the small side is past the broadcast
     threshold: the small side is replicated ``n_salts`` times (explode over
-    the salt range), the big side salts by row hash, and the join key
-    becomes (on, salt) — a hot key's rows land on n_salts reducers."""
+    the salt range), the big side salts by a deterministic row hash
+    (``id_cols`` when given, else all columns — see module docstring),
+    and the join key becomes (on, salt) — a hot key's rows land on
+    n_salts reducers."""
     small_rep = small.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
-    big_salted = big.withColumn(SALT, _row_salt(n_salts))
+    big_salted = big.withColumn(
+        SALT, _row_salt(n_salts, id_cols=id_cols, fallback_cols=big.columns)
+    )
     return big_salted.join(small_rep, [on, SALT]).drop(SALT)

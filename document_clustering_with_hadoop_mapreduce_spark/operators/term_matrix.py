@@ -59,7 +59,9 @@ def filter_min_corpus_freq(matrix: DataFrame, min_total: int = 3) -> DataFrame:
     )
 
 
-def filter_min_corpus_freq_joined(matrix: DataFrame, min_total: int = 3) -> DataFrame:
+def filter_min_corpus_freq_joined(
+    matrix: DataFrame, min_total: int = 3, materialize: bool = True
+) -> DataFrame:
     """A2's skew escape: the same row set via aggregate + LEFT SEMI join.
 
     The qualifying-term list comes from a map-side-partial groupBy (its
@@ -69,7 +71,16 @@ def filter_min_corpus_freq_joined(matrix: DataFrame, min_total: int = 3) -> Data
     term's whole df on one task. Two exchanges instead of one, so the
     DEFAULT form wins whenever no term is hot (measured at fixture scale
     — see round-12 COVERAGE); this form wins unboundedly once one is.
+
+    The matrix lineage has TWO consumers here (the keep-list aggregate
+    and the fan-back probe) and Catalyst does not unify them, so by
+    default the matrix is lazily checkpointed once — a caller passing a
+    raw tokenize plan would otherwise tokenize the corpus twice. Pass
+    ``materialize=False`` for inputs that are cheap to recompute (a
+    materialized triples file).
     """
+    if materialize:
+        matrix = matrix.localCheckpoint(eager=False)
     keep = (
         matrix.groupBy("term")
         .agg(F.sum("cnt").alias("__tot"))

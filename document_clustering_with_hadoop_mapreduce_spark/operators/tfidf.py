@@ -40,9 +40,11 @@ def tfidf(
     footer count is nearly free, and with a known N the matrix has exactly
     one consumer, so no checkpoint/re-scan trade exists at any scale.
 
-    ``materialize`` (only relevant when ``n_docs`` is None): lazily
-    checkpoint the matrix so the derived-count branch does not re-run the
-    matrix pipeline. Pass False when the input is cheap to recompute (an
+    ``materialize`` (relevant when the matrix has two consumers: ``n_docs``
+    None, or ``df_via_join`` — either adds a second aggregate branch over
+    the matrix): lazily checkpoint the matrix so the extra branch does not
+    re-run the matrix pipeline. Pass False when the input is cheap to
+    recompute (an
     already-materialized triples file) or when the CALLER materializes the
     tf-idf output itself — double-checkpointing pins two nnz-sized copies
     in executor storage for no benefit. NB: each materialization lives
@@ -64,18 +66,21 @@ def tfidf(
         w = Window.partitionBy("doc_id")
     else:
         w = Window.partitionBy("term")
+    # The matrix lineage gains a SECOND consumer in two cases: the
+    # derived-count branch (n_docs None) and the df_via_join dfreq
+    # aggregate. Catalyst does NOT unify such branches (the
+    # tokenize-lambda canonicalization failure; plan-audited: two
+    # FileScans), so in either case the matrix is lazily materialized
+    # once and both branches read the nnz-sized checkpoint instead of
+    # re-tokenizing the corpus. ``materialize=False`` opts out for
+    # inputs that are cheap to recompute.
+    two_consumers = n_docs is None or (df_via_join and not compat_n1)
+    if materialize and two_consumers:
+        matrix = matrix.localCheckpoint(eager=False)
     if n_docs is not None:
         with_n = tf(matrix)
         n_col = F.lit(float(n_docs))
     else:
-        # scalar subquery, not a separate .count() action — but Catalyst
-        # does NOT actually unify the count branch with the main branch
-        # (the tokenize-lambda canonicalization failure; plan-audited:
-        # two FileScans), so the shared matrix is lazily materialized
-        # once and both branches read the nnz-sized checkpoint instead of
-        # re-tokenizing the corpus.
-        if materialize:
-            matrix = matrix.localCheckpoint(eager=False)
         with_tf = tf(matrix)
         n_df = matrix.agg(F.countDistinct("doc_id").cast("double").alias("__n_docs"))
         with_n = with_tf.crossJoin(F.broadcast(n_df))

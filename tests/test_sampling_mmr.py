@@ -388,3 +388,68 @@ class TestHardNegativeAnchorsGuard:
         assert sorted(map(tuple, fast.collect())) == sorted(
             map(tuple, derived.collect())
         )
+
+    def test_deferred_validation_fires_at_execution(self, spark):
+        """ADVICE r12: validate_anchors='deferred' must (a) construct
+        without raising (no construction-time job over positives),
+        (b) raise at the FIRST ACTION when an anchor is uncovered —
+        including when the visible output would be EMPTY — and (c) be
+        row-identical to the eager mode when coverage holds."""
+        import math
+
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+            mine_hard_negatives,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [math.cos(i * 0.2), math.sin(i * 0.2)]) for i in range(6)],
+            "vec_id int, embedding array<double>",
+        )
+        pos = spark.createDataFrame(
+            [(0, 1), (999, 2)], "anchor_id int, positive_id int"
+        )
+        partial = emb.filter(F.col("vec_id") == 0)
+        # (a) construction succeeds (the eager mode raises here)
+        lazy = mine_hard_negatives(
+            pos, emb, n_neg=1, search_k=3, anchor_vectors=partial,
+            validate_anchors="deferred",
+        )
+        # (b) first action raises, naming the count
+        with pytest.raises((PySparkException, Py4JJavaError), match="1 anchors"):
+            lazy.collect()
+        # (b') EMPTY visible output still fires: an empty anchor_vectors
+        # frame yields zero probes (zero output rows), but the guard
+        # branch's 1-row scalar input evaluates regardless
+        only_missing = spark.createDataFrame(
+            [(999, 2)], "anchor_id int, positive_id int"
+        )
+        empty_out = mine_hard_negatives(
+            only_missing, emb, n_neg=1, search_k=3,
+            anchor_vectors=emb.filter(F.lit(False)),
+            validate_anchors="deferred",
+        )
+        with pytest.raises((PySparkException, Py4JJavaError), match="1 anchors"):
+            empty_out.count()
+        # (c) covering frame: deferred == eager, row for row
+        ok_pos = spark.createDataFrame(
+            [(0, 1), (3, 2)], "anchor_id int, positive_id int"
+        )
+        cover = emb.filter(F.col("vec_id").isin(0, 3))
+        a = mine_hard_negatives(
+            ok_pos, emb, n_neg=2, search_k=4, anchor_vectors=cover,
+            validate_anchors="deferred",
+        )
+        b = mine_hard_negatives(
+            ok_pos, emb, n_neg=2, search_k=4, anchor_vectors=cover
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+        with pytest.raises(ValueError, match="deferred"):
+            mine_hard_negatives(
+                ok_pos, emb, n_neg=1, search_k=2, anchor_vectors=cover,
+                validate_anchors="nonsense",
+            )
