@@ -705,6 +705,7 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     # (a raw parquet read fails unix_micros with a type mismatch)
     ev_hot = load_table(spark, out, "events")
     escape_hot = min_of_runs(lambda: sessionize_chunked(ev_hot).count())
+    relwin = bench_relational_window_skew(spark, out)
     shutil.rmtree(out, ignore_errors=True)
     return {
         "skew_build_sec": build_sec,
@@ -714,6 +715,93 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
             n: round(skewed[n] / uniform[n], 2) for n in skew_q
         },
         "sessionize_chunked_hot_10x": escape_hot,
+        **relwin,
+    }
+
+
+def bench_relational_window_skew(spark, out: str) -> dict:
+    """Round 13 (VERDICT r12 #1): planted hot-CUSTOMER twin for the two
+    per-customer windows (``customer_recent_orders``, ``rolling_30d_
+    spend``) and their chunked escapes. Orders ships unscaled in the 10x
+    dir (it's a headline dimension elsewhere), so this block builds its
+    own 10x pair: uniform (offset custkeys) and hot (50% of all rows
+    re-keyed to ONE customer — the events pattern).
+
+    Timing action: a full-row hash aggregate, NOT count() — count() lets
+    Catalyst PRUNE the cumsum/RANGE window columns (only row_number
+    survives the rn filter), which silently under-times exactly the
+    operator under test. (The headline slot keeps count() for
+    round-over-round comparability; this block measures the windows
+    themselves.)
+    """
+    from pyspark.sql import functions as F
+
+    from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+        customer_recent_orders,
+        customer_recent_orders_chunked,
+        rolling_30d_spend,
+        rolling_30d_spend_chunked,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    reps = spark.range(10).select(F.col("id").alias("rep"))
+    rest = [c for c in orders.columns if c not in ("o_orderkey", "o_custkey")]
+    (
+        orders.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + F.col("rep") * 10_000_000).alias("o_custkey"),
+            *rest,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders_uniform.parquet")
+    )
+    (
+        orders.crossJoin(reps)
+        .select(
+            (F.col("o_orderkey") + F.col("rep") * 100_000_000).alias("o_orderkey"),
+            F.when(F.col("o_orderkey") % 2 == 0, F.lit(1).cast("long"))
+            .otherwise(F.col("o_custkey") + F.col("rep") * 10_000_000)
+            .alias("o_custkey"),
+            *rest,
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out}/orders_hot.parquet")
+    )
+    o_uni = spark.read.parquet(f"{out}/orders_uniform.parquet")
+    o_hot = spark.read.parquet(f"{out}/orders_hot.parquet")
+
+    def _force(df):
+        # ANSI-safe: mod the hashes before the overflow-checked long sum
+        return df.agg(
+            F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(1_000_000)))
+        ).collect()
+
+    builders = {
+        "customer_recent_orders": lambda o: customer_recent_orders(cust, o),
+        "rolling_30d_spend": rolling_30d_spend,
+    }
+    escapes = {
+        "customer_recent_orders": lambda o: customer_recent_orders_chunked(
+            cust, o, chunk="month"
+        ),
+        "rolling_30d_spend": lambda o: rolling_30d_spend_chunked(o, 30),
+    }
+    uniform = {
+        n: min_of_runs(lambda b=b: _force(b(o_uni))) for n, b in builders.items()
+    }
+    hot = {n: min_of_runs(lambda b=b: _force(b(o_hot))) for n, b in builders.items()}
+    escape_hot = {
+        n: min_of_runs(lambda b=b: _force(b(o_hot))) for n, b in escapes.items()
+    }
+    return {
+        "relwin_uniform_10x": uniform,
+        "relwin_hot_10x": hot,
+        "relwin_ratio": {
+            n: round(hot[n] / uniform[n], 2) for n in builders if uniform[n]
+        },
+        "relwin_escape_hot_10x": escape_hot,
     }
 
 

@@ -119,8 +119,19 @@ def repeat_customers(customer: DataFrame, orders: DataFrame, min_orders: int = 5
 def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -> DataFrame:
     """Window: each customer's k most recent orders with running spend.
 
-    The cumulative sum's frame is fully ordered (orderdate, orderkey), so the
-    summation order — and hence the double result — is engine-independent.
+    The cumulative sum runs over DECIMAL casts (house float discipline):
+    exact, hence order-independent — which also makes the chunked hot-key
+    escape (``customer_recent_orders_chunked``) bit-equal by construction
+    (decimal adds are associative; a double cumsum's prefix+local split
+    would drift past round-2 exactly for the huge-history customers the
+    escape exists for).
+
+    Hot-key bound: BOTH windows buffer every order of a customer in one
+    task and AQE cannot split a window partition — the same class as
+    ``sessionize``/``filter_min_corpus_freq``. Orders-per-customer is
+    bounded in most real schemas, but for power-law shapes (a marketplace
+    aggregator account) ``customer_recent_orders_chunked`` bounds the
+    task at orders-per-(customer, chunk).
     """
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     wsum = (
@@ -129,9 +140,97 @@ def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        orders.withColumn("running_spend", F.round(F.sum("o_totalprice").over(wsum), 2))
+        orders.withColumn(
+            "running_spend",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(wsum).cast("double"), 2
+            ),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
+    )
+
+
+def customer_recent_orders_chunked(
+    customer: DataFrame, orders: DataFrame, k: int = 3, chunk: str = "month"
+) -> DataFrame:
+    """``customer_recent_orders`` with the hot-customer task BOUNDED:
+    row-identical output (pinned in tests), computed per (customer,
+    date_trunc(chunk, orderdate)) plus an exact prefix merge — the same
+    pattern as ``events.sessionize_chunked``.
+
+    The one-pass form sorts EVERY order of a customer in one task (twice:
+    cumsum asc + row_number desc). Here both local passes partition on
+    (custkey, chunk), so the sort task is bounded by one customer's
+    orders per chunk; the cross-chunk state is carried by a per-(cust,
+    chunk) SUMMARY frame (exclusive decimal prefix sum + exclusive
+    row-count prefix + customer total), which is calendar x customer
+    sized, not order sized.
+
+    Exactness: the running spend is an exact DECIMAL sum, so prefix +
+    local-cumsum equals the one-pass cumsum bit-for-bit (associativity);
+    the global recency rank of a row with local ascending rank ``lrn``
+    is ``tot_n - (prefix_n + lrn) + 1`` — pure integer arithmetic. A row
+    in the global top-k most recent is necessarily in its own chunk's
+    top-k (fewer than k rows are more recent anywhere, a fortiori in its
+    chunk), so filtering to per-chunk top-k candidates BEFORE the summary
+    join loses nothing and bounds the join input at k rows per (cust,
+    chunk).
+
+    Cost: the summary aggregate reuses the local window's (cust, chunk)
+    partitioning (no extra exchange); the summary window + candidate
+    join add exchanges over calendar-bounded / k-bounded frames. The
+    one-pass form wins when no customer is hot (measured — see bench's
+    skew block); this form wins unboundedly once one is.
+    """
+    price_dec = F.col("o_totalprice").cast("decimal(28,6)")
+    ords = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        price_dec.alias("__p"),
+        F.date_trunc(chunk, F.col("o_orderdate").cast("timestamp")).alias("__chunk"),
+    )
+    wc = Window.partitionBy("o_custkey", "__chunk").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wc_run = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wc_all = Window.partitionBy("o_custkey", "__chunk")
+    local = (
+        ords.withColumn("__lrn", F.row_number().over(wc))
+        .withColumn("__run", F.sum("__p").over(wc_run))
+        .withColumn("__nc", F.count(F.lit(1)).over(wc_all))
+    )
+    # per-chunk top-k most recent = the k largest ascending ranks
+    cands = local.filter(F.col("__nc") - F.col("__lrn") < k).drop("__nc")
+    summary = ords.groupBy("o_custkey", "__chunk").agg(
+        F.sum("__p").alias("__tot_p"), F.count(F.lit(1)).alias("__n")
+    )
+    ws = Window.partitionBy("o_custkey").orderBy(F.col("__chunk").asc())
+    ws_excl = ws.rowsBetween(Window.unboundedPreceding, -1)
+    ws_all = Window.partitionBy("o_custkey")
+    summary = summary.select(
+        "o_custkey",
+        "__chunk",
+        F.coalesce(
+            F.sum("__tot_p").over(ws_excl), F.lit(0).cast("decimal(38,6)")
+        ).alias("__pfx_p"),
+        F.coalesce(F.sum("__n").over(ws_excl), F.lit(0)).alias("__pfx_n"),
+        F.sum("__n").over(ws_all).alias("__tot_n"),
+    )
+    return (
+        cands.join(summary, ["o_custkey", "__chunk"])
+        .withColumn(
+            "rn",
+            (F.col("__tot_n") - (F.col("__pfx_n") + F.col("__lrn")) + 1).cast("int"),
+        )
+        .filter(F.col("rn") <= k)
+        .withColumn(
+            "running_spend",
+            F.round((F.col("__pfx_p") + F.col("__run")).cast("double"), 2),
+        )
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
     )
@@ -216,7 +315,12 @@ def asof_last_purchase(events: DataFrame) -> DataFrame:
 def rolling_30d_spend(orders: DataFrame) -> DataFrame:
     """Time-RANGE window: each order with the customer's trailing-30-day
     spend (inclusive). RANGE frames bound by event-time, not row count —
-    the shape behind sliding feature windows; one exchange on custkey."""
+    the shape behind sliding feature windows; one exchange on custkey.
+
+    Hot-key bound: the RANGE window buffers every order of a customer in
+    one task (same unsplittable-window class as ``sessionize``);
+    ``rolling_30d_spend_chunked`` bounds the task at two time-chunks of
+    one customer's orders, row-identical."""
     w = (
         Window.partitionBy("o_custkey")
         # NTZ -> epoch seconds (session tz is pinned to UTC) for the RANGE
@@ -230,4 +334,64 @@ def rolling_30d_spend(orders: DataFrame) -> DataFrame:
         F.round(
             F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(w).cast("double"), 2
         ).alias("spend_30d"),
+    )
+
+
+def rolling_30d_spend_chunked(
+    orders: DataFrame, chunk_days: int = 30
+) -> DataFrame:
+    """``rolling_30d_spend`` with the hot-customer task BOUNDED:
+    row-identical output (pinned in tests), computed inside aligned
+    ``chunk_days``-wide time chunks with each order REPLICATED into its
+    successor chunk as a contributor — the standard two-chunk trick for
+    sliding windows.
+
+    Alignment argument (the RANGE twin of ``sessionize_chunked``'s
+    boundary merge): the frame is [t - 30d, t] inclusive and chunks are
+    aligned multiples of ``chunk_days`` >= 30 epoch days, so for a
+    target order at t in chunk c, every contributor s in [t - 30d, t]
+    satisfies s >= t - 30d >= chunk_start(c) - chunk_width, i.e. s lies
+    in chunk c or c-1 — never earlier. Partitioning the window on
+    (custkey, chunk) over {chunk-c rows} U {chunk-(c-1) rows replicated
+    forward} therefore sees exactly the one-pass frame for every target;
+    each original order appears in the partition exactly once (own rows
+    with shift 0, predecessors only via their shift-1 copy). The sum is
+    exact DECIMAL, so it is bit-equal regardless of the split.
+
+    Cost: 2x rows through the one exchange (each order ships to its own
+    and its successor chunk); the sort task is bounded by TWO chunks of
+    one customer's orders instead of their whole history. The one-pass
+    form wins when no customer is hot (measured — bench skew block);
+    this form wins unboundedly once one is.
+    """
+    if chunk_days < 30:
+        raise ValueError(
+            f"chunk_days must be >= the 30-day frame width, got {chunk_days}"
+        )
+    width = chunk_days * 86400
+    sec = F.unix_seconds(F.col("o_orderdate").cast("timestamp"))
+    replicated = (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            sec.alias("__sec"),
+            F.col("o_totalprice").cast("decimal(28,6)").alias("__p"),
+        )
+        .withColumn("__shift", F.explode(F.array(F.lit(0), F.lit(1))))
+        .withColumn(
+            "__pchunk", F.floor(F.col("__sec") / F.lit(width)) + F.col("__shift")
+        )
+    )
+    w = (
+        Window.partitionBy("o_custkey", "__pchunk")
+        .orderBy("__sec")
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return (
+        replicated.withColumn(
+            "spend_30d", F.round(F.sum("__p").over(w).cast("double"), 2)
+        )
+        .filter(F.col("__shift") == 0)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "spend_30d")
     )

@@ -123,9 +123,9 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH w AS (
       SELECT o_custkey, o_orderkey,
-             round(sum(o_totalprice) OVER (
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,6))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend,
              row_number() OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC)::INT AS rn
       FROM orders

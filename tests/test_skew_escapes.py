@@ -111,6 +111,116 @@ def test_min_freq_join_escape_matches_window_form(spark, sf_dir):
     assert len(a) < full, "max-total threshold dropped nothing — vacuous check"
 
 
+class TestRelationalWindowEscapes:
+    """VERDICT r12 #1: the two remaining unsplittable per-customer windows
+    get chunked escapes, row-identical to the one-pass forms."""
+
+    @staticmethod
+    def _recent_rows(df):
+        return sorted(
+            (r["c_custkey"], r["o_orderkey"], r["rn"], r["running_spend"])
+            for r in df.collect()
+        )
+
+    @staticmethod
+    def _rolling_rows(df):
+        return sorted(
+            (r["o_custkey"], r["o_orderkey"], r["spend_30d"]) for r in df.collect()
+        )
+
+    def test_recent_orders_chunked_matches_on_fixture(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+            customer_recent_orders,
+            customer_recent_orders_chunked,
+        )
+
+        cust = load_table(spark, sf_dir, "customer")
+        orders = load_table(spark, sf_dir, "orders")
+        for chunk in ("month", "year"):
+            assert self._recent_rows(
+                customer_recent_orders_chunked(cust, orders, chunk=chunk)
+            ) == self._recent_rows(customer_recent_orders(cust, orders))
+
+    def test_rolling_chunked_matches_on_fixture(self, spark, sf_dir):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+            rolling_30d_spend,
+            rolling_30d_spend_chunked,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        for chunk_days in (30, 45):
+            assert self._rolling_rows(
+                rolling_30d_spend_chunked(orders, chunk_days=chunk_days)
+            ) == self._rolling_rows(rolling_30d_spend(orders))
+        with pytest.raises(ValueError, match="chunk_days"):
+            rolling_30d_spend_chunked(orders, chunk_days=7)
+
+    def _hot_customer_frames(self, spark):
+        """One customer with 3,000 orders over ~8 years (several per day)
+        among 40 normal customers; includes exact chunk-boundary dates."""
+        rows = []
+        base = dt.date(1992, 1, 1)
+        for i in range(3000):
+            rows.append((100_000 + i, 7, base + dt.timedelta(days=i % 2900), 100.01 + (i % 97)))
+        for u in range(40):
+            for j in range(3):
+                rows.append((200_000 + u * 10 + j, 100 + u, base + dt.timedelta(days=30 * j), 250.5 + u))
+        orders = spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+        )
+        cust = spark.createDataFrame(
+            [(c, f"Customer#{c}") for c in [7] + [100 + u for u in range(40)]],
+            "c_custkey long, c_name string",
+        )
+        return cust, orders
+
+    def test_recent_orders_chunked_hot_customer(self, spark):
+        from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+            customer_recent_orders,
+            customer_recent_orders_chunked,
+        )
+
+        cust, orders = self._hot_customer_frames(spark)
+        want = self._recent_rows(customer_recent_orders(cust, orders, k=5))
+        for chunk in ("month", "year"):
+            assert (
+                self._recent_rows(
+                    customer_recent_orders_chunked(cust, orders, k=5, chunk=chunk)
+                )
+                == want
+            )
+
+    def test_rolling_chunked_hot_customer_and_boundaries(self, spark):
+        """The planted hot customer has same-date ties and orders exactly
+        30 days apart (the inclusive frame edge) and exactly at aligned
+        chunk boundaries — the cases where a two-chunk split could lose
+        or double-count a contributor."""
+        from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+            rolling_30d_spend,
+            rolling_30d_spend_chunked,
+        )
+
+        cust, orders = self._hot_customer_frames(spark)
+        # add exact-boundary rows: epoch multiples of 30d, and pairs 30d apart
+        extra = spark.createDataFrame(
+            [
+                (900_001, 7, dt.date(1992, 3, 1), 10.0),
+                (900_002, 7, dt.date(1992, 3, 31), 20.0),
+                (900_003, 7, dt.date(1992, 4, 30), 40.0),
+                (900_004, 99, dt.date(1970, 1, 31), 1.25),
+                (900_005, 99, dt.date(1970, 3, 2), 2.5),
+            ],
+            "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double",
+        )
+        orders = orders.unionByName(extra)
+        want = self._rolling_rows(rolling_30d_spend(orders))
+        for chunk_days in (30, 60):
+            assert (
+                self._rolling_rows(rolling_30d_spend_chunked(orders, chunk_days=chunk_days))
+                == want
+            )
+
+
 def test_tfidf_df_via_join_matches_window_form(spark, sf_dir):
     """tfidf(df_via_join=True) — the AQE-splittable hot-term escape — is
     row-identical to the window form, with n_docs driver-known AND
