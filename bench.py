@@ -705,6 +705,32 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     # (a raw parquet read fails unix_micros with a type mismatch)
     ev_hot = load_table(spark, out, "events")
     escape_hot = min_of_runs(lambda: sessionize_chunked(ev_hot).count())
+    # round 13 (VERDICT r12 #2): the auto redirect's DECISION on record —
+    # the sampled occupancy probe must fire on the planted hot user
+    # (~750k rows on one key at 10x) and must NOT fire at fixture scale,
+    # and sessionize(mode='auto') carries a timing that includes the
+    # probe itself
+    from document_clustering_with_hadoop_mapreduce_spark.operators.events import (
+        sessionize,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.skew import (
+        HOT_KEY_ROWS_THRESHOLD,
+        sampled_max_key_rows,
+    )
+
+    ev_sf = load_table(spark, SF_DIR, "events")
+    probe_hot = sampled_max_key_rows(ev_hot, ["user_id"])
+    probe_sf = sampled_max_key_rows(ev_sf, ["user_id"])
+    auto_block = {
+        "threshold": HOT_KEY_ROWS_THRESHOLD,
+        "hot_max_user_rows_est": probe_hot,
+        "fires_hot": probe_hot > HOT_KEY_ROWS_THRESHOLD,
+        "sf_max_user_rows_est": probe_sf,
+        "fires_sf": probe_sf > HOT_KEY_ROWS_THRESHOLD,
+        "sessionize_auto_hot_sec": min_of_runs(
+            lambda: sessionize(ev_hot, mode="auto").count()
+        ),
+    }
     relwin = bench_relational_window_skew(spark, out)
     shutil.rmtree(out, ignore_errors=True)
     return {
@@ -715,6 +741,7 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
             n: round(skewed[n] / uniform[n], 2) for n in skew_q
         },
         "sessionize_chunked_hot_10x": escape_hot,
+        "auto_redirect": auto_block,
         **relwin,
     }
 

@@ -34,7 +34,11 @@ def events_hourly(events: DataFrame) -> DataFrame:
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+def sessionize(
+    events: DataFrame,
+    gap_minutes: int = SESSION_GAP_MINUTES,
+    mode: str = "onepass",
+) -> DataFrame:
     """Gaps-and-islands sessionization: a session breaks after a
     ``gap_minutes`` silence. Per-session stats, exact micros arithmetic.
 
@@ -42,7 +46,28 @@ def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> Dat
     one task. For corpora with viral users, ``sessionize_chunked`` is the
     row-identical escape that bounds the task at events-per-(user, chunk)
     (one extra session-row exchange — measured +40% at fixture scale with
-    no hot key, 3.5x faster on a planted 3M-event user)."""
+    no hot key, 3.5x faster on a planted 3M-event user).
+
+    ``mode``: 'onepass' (default), 'chunked' (the escape), or 'auto' —
+    sample user occupancy (``skew.sampled_max_key_rows``, one ~1/10-scan
+    probe at construction) and take the escape when the hottest user
+    exceeds the measured ``HOT_KEY_ROWS_THRESHOLD`` crossover
+    (one-pass wins 1.35x at 3e5 hot events, loses 1.14x at 1e6 and
+    2.08x at 3e6 — the r13 sweep)."""
+    if mode not in ("onepass", "chunked", "auto"):
+        raise ValueError(
+            f"mode must be 'onepass', 'chunked', or 'auto', got {mode!r}"
+        )
+    if mode == "auto":
+        from .skew import HOT_KEY_ROWS_THRESHOLD, sampled_max_key_rows
+
+        mode = (
+            "chunked"
+            if sampled_max_key_rows(events, ["user_id"]) > HOT_KEY_ROWS_THRESHOLD
+            else "onepass"
+        )
+    if mode == "chunked":
+        return sessionize_chunked(events, gap_minutes)
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

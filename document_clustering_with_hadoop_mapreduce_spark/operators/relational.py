@@ -116,7 +116,9 @@ def repeat_customers(customer: DataFrame, orders: DataFrame, min_orders: int = 5
     )
 
 
-def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -> DataFrame:
+def customer_recent_orders(
+    customer: DataFrame, orders: DataFrame, k: int = 3, mode: str = "onepass"
+) -> DataFrame:
     """Window: each customer's k most recent orders with running spend.
 
     The cumulative sum runs over DECIMAL casts (house float discipline):
@@ -132,7 +134,25 @@ def customer_recent_orders(customer: DataFrame, orders: DataFrame, k: int = 3) -
     bounded in most real schemas, but for power-law shapes (a marketplace
     aggregator account) ``customer_recent_orders_chunked`` bounds the
     task at orders-per-(customer, chunk).
+
+    ``mode``: 'onepass' (default), 'chunked', or 'auto' — sample customer
+    occupancy (``skew.sampled_max_key_rows``) and take the chunked
+    escape past the measured ``HOT_KEY_ROWS_THRESHOLD`` crossover.
     """
+    if mode not in ("onepass", "chunked", "auto"):
+        raise ValueError(
+            f"mode must be 'onepass', 'chunked', or 'auto', got {mode!r}"
+        )
+    if mode == "auto":
+        from .skew import HOT_KEY_ROWS_THRESHOLD, sampled_max_key_rows
+
+        mode = (
+            "chunked"
+            if sampled_max_key_rows(orders, ["o_custkey"]) > HOT_KEY_ROWS_THRESHOLD
+            else "onepass"
+        )
+    if mode == "chunked":
+        return customer_recent_orders_chunked(customer, orders, k)
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
     wsum = (
         Window.partitionBy("o_custkey")
@@ -312,7 +332,7 @@ def asof_last_purchase(events: DataFrame) -> DataFrame:
     )
 
 
-def rolling_30d_spend(orders: DataFrame) -> DataFrame:
+def rolling_30d_spend(orders: DataFrame, mode: str = "onepass") -> DataFrame:
     """Time-RANGE window: each order with the customer's trailing-30-day
     spend (inclusive). RANGE frames bound by event-time, not row count —
     the shape behind sliding feature windows; one exchange on custkey.
@@ -320,7 +340,25 @@ def rolling_30d_spend(orders: DataFrame) -> DataFrame:
     Hot-key bound: the RANGE window buffers every order of a customer in
     one task (same unsplittable-window class as ``sessionize``);
     ``rolling_30d_spend_chunked`` bounds the task at two time-chunks of
-    one customer's orders, row-identical."""
+    one customer's orders, row-identical.
+
+    ``mode``: 'onepass' (default), 'chunked', or 'auto' — sample customer
+    occupancy (``skew.sampled_max_key_rows``) and take the chunked
+    escape past the measured ``HOT_KEY_ROWS_THRESHOLD`` crossover."""
+    if mode not in ("onepass", "chunked", "auto"):
+        raise ValueError(
+            f"mode must be 'onepass', 'chunked', or 'auto', got {mode!r}"
+        )
+    if mode == "auto":
+        from .skew import HOT_KEY_ROWS_THRESHOLD, sampled_max_key_rows
+
+        mode = (
+            "chunked"
+            if sampled_max_key_rows(orders, ["o_custkey"]) > HOT_KEY_ROWS_THRESHOLD
+            else "onepass"
+        )
+    if mode == "chunked":
+        return rolling_30d_spend_chunked(orders)
     w = (
         Window.partitionBy("o_custkey")
         # NTZ -> epoch seconds (session tz is pinned to UTC) for the RANGE

@@ -39,7 +39,9 @@ def term_doc_counts(
     return terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
 
 
-def filter_min_corpus_freq(matrix: DataFrame, min_total: int = 3) -> DataFrame:
+def filter_min_corpus_freq(
+    matrix: DataFrame, min_total: int = 3, mode: str = "window"
+) -> DataFrame:
     """A2: keep all (doc, term) rows of terms whose corpus-wide total >= N.
 
     Window-sum per term, then filter — the fan-back is free because the rows
@@ -50,7 +52,22 @@ def filter_min_corpus_freq(matrix: DataFrame, min_total: int = 3) -> DataFrame:
     and AQE cannot split a window partition — a term present in most of
     a 100 TB corpus serializes its df rows. ``filter_min_corpus_freq_
     joined`` is the row-identical escape whose hot term rides a semi
-    join, which AQE's skew-join handling CAN split."""
+    join, which AQE's skew-join handling CAN split.
+
+    ``mode``: 'window' (default), 'join' (the escape), or 'auto' —
+    sample term occupancy (``skew.sampled_max_key_rows``, one ~1/10-scan
+    probe at construction) and take the escape when the hottest term
+    exceeds the measured ``HOT_KEY_ROWS_THRESHOLD`` crossover, so the
+    caller of a 100 TB job need not know their key is hot."""
+    if mode not in ("window", "join", "auto"):
+        raise ValueError(f"mode must be 'window', 'join', or 'auto', got {mode!r}")
+    if mode == "auto":
+        from .skew import HOT_KEY_ROWS_THRESHOLD, sampled_max_key_rows
+
+        if sampled_max_key_rows(matrix, ["term"]) > HOT_KEY_ROWS_THRESHOLD:
+            mode = "join"
+    if mode == "join":
+        return filter_min_corpus_freq_joined(matrix, min_total)
     w = Window.partitionBy("term")
     return (
         matrix.withColumn("corpus_freq", F.sum("cnt").over(w))

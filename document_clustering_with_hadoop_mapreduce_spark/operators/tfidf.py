@@ -29,7 +29,7 @@ def tfidf(
     n_docs: int | None = None,
     compat_n1: bool = False,
     materialize: bool = True,
-    df_via_join: bool = False,
+    df_via_join: bool | str = False,
 ) -> DataFrame:
     """(doc_id, term, cnt, tf, idf, tfidf).
 
@@ -60,7 +60,23 @@ def tfidf(
     ``filter_min_corpus_freq_joined`` rationale; row-identical, pinned).
     Default stays the single-exchange window — optimal when no term is
     hot, which the fixture corpora and most real vocabularies are.
+    Pass ``df_via_join='auto'`` to sample term occupancy at construction
+    (``skew.sampled_max_key_rows``) and flip to the join past the
+    measured ``HOT_KEY_ROWS_THRESHOLD`` crossover.
     """
+    if df_via_join not in (True, False, "auto"):
+        raise ValueError(
+            f"df_via_join must be True, False, or 'auto', got {df_via_join!r}"
+        )
+    if df_via_join == "auto":
+        if compat_n1:
+            df_via_join = False  # doc-keyed window is doc-length-bounded
+        else:
+            from .skew import HOT_KEY_ROWS_THRESHOLD, sampled_max_key_rows
+
+            df_via_join = (
+                sampled_max_key_rows(matrix, ["term"]) > HOT_KEY_ROWS_THRESHOLD
+            )
     if compat_n1:
         # N1: "df" is the number of distinct terms in the same DOCUMENT.
         w = Window.partitionBy("doc_id")
