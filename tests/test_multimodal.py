@@ -115,3 +115,58 @@ def test_media_histogram_pairs_matches_bruteforce_and_planted_dups(spark, sf_dir
     # (cos desc, a asc, b asc) still keeps the a=0 pair inside top-k)
     perfect = {(r["media_a"], r["media_b"]) for r in got if r["cos"] == 1.0}
     assert (0, 900_000) in perfect, got[:3]
+
+
+def test_media_histogram_pairs_planted_hot_histogram(spark, sf_dir):
+    """VERDICT r12 #7 — the LSH-skew-fixture pattern for the multimodal
+    near-dup path: 20% of all blobs carry ONE byte-identical payload
+    (one hot histogram, the boilerplate-header case). The block-pair
+    partitioning must stay correct under the planted mass — equality
+    with the O(n^2) brute-force scorer on the same signatures, every
+    surviving hot-hot pair at cos == 1.0, and the hot group dominating
+    the perfect tier (the planted truth)."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.multimodal import (
+        N_HIST_BINS,
+        byte_histograms,
+        media_histogram_pairs,
+    )
+    from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
+        top_similar_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 500)
+    )
+    # 20% hot: ids 0-99 (BELOW the fixture range, so the (cos desc, a
+    # asc, b asc) tie-break ranks hot-hot pairs ahead of any fixture-
+    # internal exact dups that also tie at 1.0) all carry the same
+    # boilerplate payload
+    hot = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "common boilerplate header repeated on every page of the site"
+        ).alias("text"),
+        F.lit("en").alias("lang"),
+        F.lit("planted").alias("source"),
+        F.lit(61).cast("int").alias("n_chars"),
+    )
+    media = as_media(docs.unionByName(hot))
+    got = media_histogram_pairs(media, k=15, n_blocks=8).collect()
+    hists = byte_histograms(media).select(
+        F.col("media_id").alias("vec_id"),
+        F.array(*[F.col(f"h{b}").cast("double") for b in range(N_HIST_BINS)]).alias(
+            "embedding"
+        ),
+    )
+    want = top_similar_pairs(hists, k=15).collect()
+    assert [(r["media_a"], r["media_b"], r["cos"]) for r in got] == [
+        (r["vec_a"], r["vec_b"], r["cos"]) for r in want
+    ]
+    hot_ids = set(range(100))
+    hot_hot = [
+        r for r in got if r["media_a"] in hot_ids and r["media_b"] in hot_ids
+    ]
+    assert hot_hot and all(r["cos"] == 1.0 for r in hot_hot)
+    # planted truth: 4,950 hot-hot pairs tie at 1.0 and the id tie-break
+    # favors them, so the ENTIRE top-k is the hot group at cos 1.0
+    assert len(hot_hot) == len(got) and all(r["cos"] == 1.0 for r in got)
