@@ -333,6 +333,64 @@ def test_fuzz_tfidf_join_equals_window(spark, batches, pass_n_docs):
     assert a == b
 
 
+_order_batch = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4000),   # day offset from 1992-01-01
+        st.integers(min_value=1, max_value=99_999_999),  # price cents
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@FUZZ
+@given(batches=st.lists(_order_batch, min_size=8, max_size=10),
+       k=st.sampled_from([1, 3, 5]))
+def test_fuzz_relational_chunked_escapes(spark, batches, k):
+    """Randomized per-customer order histories (same-date ties, arbitrary
+    gaps, prices at cent precision): both relational chunked escapes are
+    row-identical to their one-pass forms across chunk granularities."""
+    from document_clustering_with_hadoop_mapreduce_spark.operators.relational import (
+        customer_recent_orders,
+        customer_recent_orders_chunked,
+        rolling_30d_spend,
+        rolling_30d_spend_chunked,
+    )
+
+    base = dt.date(1992, 1, 1)
+    rows = []
+    okey = 0
+    for cust, batch in enumerate(batches):
+        for day, cents in batch:
+            rows.append(
+                (okey, cust, base + dt.timedelta(days=day), cents / 100.0)
+            )
+            okey += 1
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_custkey long, o_orderdate date, o_totalprice double"
+    ).localCheckpoint()
+    cust = spark.createDataFrame(
+        [(c, f"C{c}") for c in range(len(batches))], "c_custkey long, c_name string"
+    )
+    want_recent = sorted(
+        map(tuple, customer_recent_orders(cust, orders, k=k).collect())
+    )
+    for chunk in ("month", "year"):
+        got = sorted(
+            map(
+                tuple,
+                customer_recent_orders_chunked(cust, orders, k=k, chunk=chunk).collect(),
+            )
+        )
+        assert got == want_recent
+    want_roll = sorted(map(tuple, rolling_30d_spend(orders).collect()))
+    for chunk_days in (30, 45):
+        got = sorted(
+            map(tuple, rolling_30d_spend_chunked(orders, chunk_days).collect())
+        )
+        assert got == want_roll
+
+
 class TestAutoRedirect:
     """VERDICT r12 #2: mode='auto' makes the hot-key escapes reachable
     without the caller knowing the knob — a sampled occupancy pre-pass
