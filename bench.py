@@ -707,9 +707,12 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     escape_hot = min_of_runs(lambda: sessionize_chunked(ev_hot).count())
     # round 13 (VERDICT r12 #2): the auto redirect's DECISION on record —
     # the sampled occupancy probe must fire on the planted hot user
-    # (~750k rows on one key at 10x) and must NOT fire at fixture scale,
-    # and sessionize(mode='auto') carries a timing that includes the
-    # probe itself
+    # (~750k rows on one key at 10x) and must NOT fire at fixture scale.
+    # The sessionize(mode='auto') timing below is probe-WARM (the
+    # explicit probes above populate the plan-hash cache for the same
+    # frame), i.e. it measures the redirected plan, not the probe; the
+    # probe's own cost is the gap between the two probe calls' wall time
+    # and is ~a 10% sampled scan by construction.
     from document_clustering_with_hadoop_mapreduce_spark.operators.events import (
         sessionize,
     )

@@ -122,6 +122,15 @@ def sessionize_chunked(
     the dense viral user this exists for; for sparse users whose every
     event is its own session it degenerates to the one-pass width, which
     is exactly the regime where the one-pass form was already fine.
+
+    Crossover (measured, round 13 — the constant behind mode='auto'):
+    one-pass is ahead 1.35x at 3e5 events on the hottest user, behind
+    1.14x at 1e6 and 2.08x at 3e6 on local[32]; the shared
+    ``skew.HOT_KEY_ROWS_THRESHOLD`` (500k) sits mid-band. The sort-task
+    bound this form buys is events-per-(user, chunk): a 10-min-cadence
+    user is ~144 events/day-chunk, ~6/hour-chunk — pick ``chunk`` so the
+    hottest user's densest chunk stays comfortably inside one task's
+    memory (the fixture pins day-chunk width <= 145 for that cadence).
     """
     gap_us = gap_minutes * 60 * 1_000_000
     us = F.unix_micros(F.col("ts"))
