@@ -145,8 +145,20 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank
 
     sigs = minhash_signatures(shingle_hashes(_docs(spark, sf_dir), n=3), num_hashes=16, seed=42)
-    # two consumers (pair rows + the pagerank edge list) — materialize once
-    pairs = lazy_cut(lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2))
+    # two consumers (pair rows + the pagerank edge list) — materialize once.
+    # PLAIN lazy checkpoint, not session.lazy_cut: the pairs sub-plan is
+    # corpus-scale (banded window + self-join + distinct over every doc),
+    # and the aqe_off-frozen variant executes it with static shuffle
+    # partitions and no AQE join/coalesce rewrites — A/B at sf0.1 on the
+    # round-13 duplicate-heavy corpus: 11.9 s frozen vs 4.3 s with AQE
+    # (noop sink, min-of-2, construction included). The price is ONE
+    # construction-time job (AQE materializes the checkpoint's shuffle
+    # stages at .rdd creation: 4 jobs total vs 3 frozen, ceiling 8 in
+    # test_pagerank.py) — the corpus-scale-cut trade the construction
+    # audit documents as deliberate.
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, rows_per_band=2).localCheckpoint(
+        eager=False
+    )
     ranks = pagerank(
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")),
         damping=_PR_DAMPING,
