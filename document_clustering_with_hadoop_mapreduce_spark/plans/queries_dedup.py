@@ -691,7 +691,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("query_id"), "term")
         .localCheckpoint(eager=False)  # 3 consumers of a k-row frame
     )
-    bm = bm25_batch_topk(m, queries, k=_RET_K).localCheckpoint(eager=False)  # rows + RRF input
+    # bm and fused are NOT checkpointed (round 13): they sit entirely
+    # ABOVE the m/queries RDD-scan cuts, so their sub-plans canonicalize
+    # (no tokenize lambdas) and both consumers execute inside the ONE
+    # final job where the k-row recomputation is cheap and concurrently
+    # scheduled — while a checkpoint materializes each frame as an extra
+    # SEQUENTIAL construction-time job. Paired fresh-JVM A/B at sf0.1
+    # (alternating, 4 rounds): no-cut wins every pair, median -0.56 s
+    # (6.8->5.5 s typical); cutting `queries` as well re-aggregates the
+    # corpus matrix 3x and LOSES ~0.6 s, so that cut stays.
+    bm = bm25_batch_topk(m, queries, k=_RET_K)
     posting = m.join(F.broadcast(queries.select("term").distinct()), "term")
     graded = posting.join(F.broadcast(queries), "term").groupBy("query_id", "doc_id")
     tfr = top_k_per_group(
@@ -700,7 +709,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("score"), F.asc("doc_id")],
         _RET_K,
     )
-    fused = rrf_fuse([bm, tfr], k=_RET_RRF_K, top_n=_RET_K).localCheckpoint(eager=False)
+    fused = rrf_fuse([bm, tfr], k=_RET_RRF_K, top_n=_RET_K)
     qrels = graded.agg(F.count_distinct("term").cast("int").alias("rel"))
     mets = retrieval_metrics(fused, qrels, k=_RET_K)
 

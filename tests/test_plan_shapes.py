@@ -333,6 +333,12 @@ def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
         # node-count scalar crossJoin(broadcast(...)) (graph.py::pagerank)
         # — same bounded scalar-attach class as the two entries above
         "lsh_candidate_pairs",
+        # round 13: dropping the bm/fused checkpoints (measured win, see
+        # queries_dedup.py::q_tfidf_cosine_pairs) exposes bm25's 1-ROW
+        # avgdl + N scalar crossJoins (bm25.py:80-87) in the registered
+        # plan — previously hidden inside the materialized checkpoint;
+        # same bounded scalar-attach class
+        "tfidf_cosine_pairs",
     }
     for name, q in sorted(all_queries().items()):
         plan = _plan(q.spark(spark, sf_dir))
