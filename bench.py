@@ -706,13 +706,21 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     ev_hot = load_table(spark, out, "events")
     escape_hot = min_of_runs(lambda: sessionize_chunked(ev_hot).count())
     # round 13 (VERDICT r12 #2): the auto redirect's DECISION on record —
-    # the sampled occupancy probe must fire on the planted hot user
-    # (~750k rows on one key at 10x) and must NOT fire at fixture scale.
-    # The sessionize(mode='auto') timing below is probe-WARM (the
-    # explicit probes above populate the plan-hash cache for the same
-    # frame), i.e. it measures the redirected plan, not the probe; the
-    # probe's own cost is the gap between the two probe calls' wall time
-    # and is ~a 10% sampled scan by construction.
+    # the probe must NOT fire at fixture scale, and must fire on a key
+    # decisively past the threshold. MEASUREMENT-BUG NOTE (optimization
+    # round 1): the original block probed only the skew fixture's hot
+    # user, assuming ~750k rows (150k base events x 10 reps / 2); the
+    # regenerated round-13 data has 100k base events, putting that key at
+    # exactly 500k = HOT_KEY_ROWS_THRESHOLD, so fires_hot flipped on
+    # sampling noise (recorded est 498,130). The fixture keys below keep
+    # their original meanings; the added auto_* keys probe a DERIVED
+    # frame with 3/4 of events on one user (~750k rows at this SF — the
+    # size the original comment intended) so the firing decision is on
+    # record away from the threshold boundary. The sessionize(mode=
+    # 'auto') timings are probe-WARM (the explicit probes populate the
+    # plan-hash cache for the same frames), i.e. they measure the chosen
+    # plan, not the probe; the probe's own cost is ~a 10% sampled scan
+    # by construction.
     from document_clustering_with_hadoop_mapreduce_spark.operators.events import (
         sessionize,
     )
@@ -722,16 +730,28 @@ def bench_scale_skew(spark, registry, uniform_dir, docs, ev, emb, reps) -> dict:
     )
 
     ev_sf = load_table(spark, SF_DIR, "events")
+    ev_auto = ev_hot.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 4 != 3, F.lit(1).cast("long")).otherwise(
+            F.col("user_id")
+        ),
+    )
     probe_hot = sampled_max_key_rows(ev_hot, ["user_id"])
+    probe_auto = sampled_max_key_rows(ev_auto, ["user_id"])
     probe_sf = sampled_max_key_rows(ev_sf, ["user_id"])
     auto_block = {
         "threshold": HOT_KEY_ROWS_THRESHOLD,
         "hot_max_user_rows_est": probe_hot,
         "fires_hot": probe_hot > HOT_KEY_ROWS_THRESHOLD,
+        "auto_hot_max_user_rows_est": probe_auto,
+        "fires_auto_hot": probe_auto > HOT_KEY_ROWS_THRESHOLD,
         "sf_max_user_rows_est": probe_sf,
         "fires_sf": probe_sf > HOT_KEY_ROWS_THRESHOLD,
         "sessionize_auto_hot_sec": min_of_runs(
             lambda: sessionize(ev_hot, mode="auto").count()
+        ),
+        "sessionize_auto_redirected_sec": min_of_runs(
+            lambda: sessionize(ev_auto, mode="auto").count()
         ),
     }
     relwin = bench_relational_window_skew(spark, out)
