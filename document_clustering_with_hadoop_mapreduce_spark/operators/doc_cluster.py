@@ -314,18 +314,41 @@ def sparse_lloyd(
             )
         else:
             wcss_col = F.sum("dist_sq")
-        wcss = new_assigned.agg(wcss_col.alias("w")).collect()[0]["w"]
+        new_cents = None
+        if final_centroids or it < max_iter - 1:
+            new_cents = recompute_sparse_centroids(
+                matrix, new_assigned, weight_col,
+                round_decimals=round_centroids, top_t=centroid_top_t,
+            ).cache()
+            # ONE action per iteration (round 14, guide §1/§5): the WCSS
+            # scalar and the new-centroid materialization used to be two
+            # sequential jobs (agg collect + count). Unioning the WCSS
+            # aggregate with a 1-row count over new_cents computes BOTH in
+            # one job — the assignment cache populates once and feeds both
+            # branches, new_cents' cache fills as its branch evaluates,
+            # and the WCSS value that lands in the trace is produced by
+            # the IDENTICAL aggregate sub-plan as before (bit-equal).
+            rows = (
+                new_assigned.agg(wcss_col.alias("w"))
+                .select(F.lit(0).alias("t"), F.col("w"))
+                .unionAll(
+                    new_cents.agg(
+                        F.count(F.lit(1)).cast("double").alias("w")
+                    ).select(F.lit(1).alias("t"), F.col("w"))
+                )
+                .collect()
+            )
+            wcss = {r["t"]: r["w"] for r in rows}[0]
+        else:
+            wcss = new_assigned.agg(wcss_col.alias("w")).collect()[0]["w"]
         wcss_trace.append(float(wcss))
         if assigned is not None:
             assigned.unpersist()  # stale frame — don't leak cache per round
         assigned = new_assigned
-        new_cents = None
-        if final_centroids or it < max_iter - 1:
-            new_cents = recompute_sparse_centroids(
-                matrix, assigned, weight_col,
-                round_decimals=round_centroids, top_t=centroid_top_t,
-            ).cache()
-            new_cents.count()  # materialize before unpersisting the old
+        if new_cents is not None:
+            # new_cents is materialized by the fused job above; only now is
+            # the OLD centroid frame (an input to new_assigned's plan) safe
+            # to release
             cents.unpersist()
             cents = new_cents
         if on_iteration is not None:

@@ -153,12 +153,17 @@ def customer_recent_orders(
         )
     if mode == "chunked":
         return customer_recent_orders_chunked(customer, orders, k)
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
-    wsum = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # ONE sort, not two: (o_orderdate, o_orderkey) is unique per row, so
+    # the recency rank over the DESC ordering equals n - asc_rank + 1 —
+    # the count(*) window has no required ordering and the asc row_number
+    # shares the cumsum's sort, removing the second full Sort pass the
+    # old desc row_number window forced (guide §2.4: two operations keyed
+    # the same way share one exchange AND, here, one sort).
+    w_asc = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
     )
+    wsum = w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("o_custkey")
     return (
         orders.withColumn(
             "running_spend",
@@ -166,7 +171,10 @@ def customer_recent_orders(
                 F.sum(F.col("o_totalprice").cast("decimal(28,6)")).over(wsum).cast("double"), 2
             ),
         )
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "rn",
+            (F.count(F.lit(1)).over(w_all) - F.row_number().over(w_asc) + 1).cast("int"),
+        )
         .filter(F.col("rn") <= k)
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
@@ -195,15 +203,27 @@ def customer_recent_orders_chunked(
     is ``tot_n - (prefix_n + lrn) + 1`` — pure integer arithmetic. A row
     in the global top-k most recent is necessarily in its own chunk's
     top-k (fewer than k rows are more recent anywhere, a fortiori in its
-    chunk), so filtering to per-chunk top-k candidates BEFORE the summary
-    join loses nothing and bounds the join input at k rows per (cust,
-    chunk).
+    chunk), so filtering to per-chunk top-k candidates loses nothing and
+    bounds everything downstream at k rows per (cust, chunk).
 
-    Cost: the summary aggregate reuses the local window's (cust, chunk)
-    partitioning (no extra exchange); the summary window + candidate
-    join add exchanges over calendar-bounded / k-bounded frames. The
-    one-pass form wins when no customer is hot (measured — see bench's
-    skew block); this form wins unboundedly once one is.
+    JOIN-FREE since round 14 (the r13 form paid a second orders scan +
+    a partial-agg exchange for a per-chunk summary, then joined it back —
+    the escape LOST to the one-pass window until a key carried millions
+    of rows): every chunk's LAST row (``lrn == nc``) is itself a top-k
+    candidate (``nc - lrn = 0 < k``) and already carries the chunk total
+    (``run`` at the last row = the chunk's exact decimal sum) and the
+    chunk count (``nc``) — so the candidate frame contains the whole
+    summary. The cross-chunk prefix state is a SECOND window over the
+    k-bounded candidate rows, partitioned on custkey, ordered by
+    (chunk, lrn): chunk-last contributions accumulate in order (the last
+    row has the chunk-max lrn, so it sorts after every same-chunk
+    candidate and its contribution never leaks into same-chunk
+    prefixes); subtracting a row's OWN contribution yields the strict
+    predecessor-chunk prefix. One scan, ONE corpus-scale exchange (same
+    as the one-pass form), plus one k-per-(cust,chunk)-bounded exchange.
+
+    Cost vs one-pass: the bounded second exchange only; the sort task
+    shrinks from one customer's whole history to one (customer, chunk).
     """
     price_dec = F.col("o_totalprice").cast("decimal(28,6)")
     ords = orders.select(
@@ -223,34 +243,40 @@ def customer_recent_orders_chunked(
         .withColumn("__run", F.sum("__p").over(wc_run))
         .withColumn("__nc", F.count(F.lit(1)).over(wc_all))
     )
-    # per-chunk top-k most recent = the k largest ascending ranks
-    cands = local.filter(F.col("__nc") - F.col("__lrn") < k).drop("__nc")
-    summary = ords.groupBy("o_custkey", "__chunk").agg(
-        F.sum("__p").alias("__tot_p"), F.count(F.lit(1)).alias("__n")
-    )
-    ws = Window.partitionBy("o_custkey").orderBy(F.col("__chunk").asc())
-    ws_excl = ws.rowsBetween(Window.unboundedPreceding, -1)
-    ws_all = Window.partitionBy("o_custkey")
-    summary = summary.select(
+    # per-chunk top-k most recent = the k largest ascending ranks; this
+    # set necessarily includes every chunk's last row (nc - lrn = 0 < k),
+    # the summary carrier
+    is_last = F.col("__lrn") == F.col("__nc")
+    cands = local.filter(F.col("__nc") - F.col("__lrn") < k).select(
         "o_custkey",
+        "o_orderkey",
+        "__lrn",
+        "__run",
+        # chunk-summary contributions, nonzero only on chunk-last rows
+        F.when(is_last, F.col("__run"))
+        .otherwise(F.lit(0).cast("decimal(38,6)"))
+        .alias("__cp"),
+        F.when(is_last, F.col("__nc")).otherwise(F.lit(0)).alias("__cn"),
         "__chunk",
-        F.coalesce(
-            F.sum("__tot_p").over(ws_excl), F.lit(0).cast("decimal(38,6)")
-        ).alias("__pfx_p"),
-        F.coalesce(F.sum("__n").over(ws_excl), F.lit(0)).alias("__pfx_n"),
-        F.sum("__n").over(ws_all).alias("__tot_n"),
     )
+    wp = Window.partitionBy("o_custkey").orderBy(
+        F.col("__chunk").asc(), F.col("__lrn").asc()
+    )
+    wp_cum = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp_all = Window.partitionBy("o_custkey")
+    # strict predecessor-chunk prefixes: cumulative contribution minus own
+    pfx_p = F.sum("__cp").over(wp_cum) - F.col("__cp")
+    pfx_n = F.sum("__cn").over(wp_cum) - F.col("__cn")
+    tot_n = F.sum("__cn").over(wp_all)
     return (
-        cands.join(summary, ["o_custkey", "__chunk"])
-        .withColumn(
-            "rn",
-            (F.col("__tot_n") - (F.col("__pfx_n") + F.col("__lrn")) + 1).cast("int"),
+        cands.withColumn(
+            "rn", (tot_n - (pfx_n + F.col("__lrn")) + 1).cast("int")
         )
-        .filter(F.col("rn") <= k)
         .withColumn(
             "running_spend",
-            F.round((F.col("__pfx_p") + F.col("__run")).cast("double"), 2),
+            F.round((pfx_p + F.col("__run")).cast("double"), 2),
         )
+        .filter(F.col("rn") <= k)
         .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_name", "o_orderkey", "rn", "running_spend")
     )

@@ -27,7 +27,6 @@ from ..operators.dedup import (
 )
 from ..operators.term_matrix import term_doc_counts
 from ..operators.tfidf import tfidf
-from ..session import lazy_cut
 from ..sources.tables import load_table
 from .oracles import MATRIX_CTE, TFIDF_CTE, TOKENS_CTE
 from .registry import _n_docs, register

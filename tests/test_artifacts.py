@@ -33,6 +33,7 @@ def _ref(path: str) -> str:
     return p
 
 
+@pytest.mark.slow
 def test_points_iteration_dir_matches_golden_layout(spark, tmp_path):
     """Replay golden iter_0 -> iter_1 and write the iteration dir; the
     written file must parse identically to the committed golden (multiset
@@ -88,6 +89,7 @@ def test_points_iteration_dir_matches_golden_layout(spark, tmp_path):
                 current = c
 
 
+@pytest.mark.slow
 def test_doc_kmeans_artifact_rotation_and_formats(spark, sf_dir, tmp_path):
     """2.2 layout: final iteration drops the _iter<i> infix, earlier
     iterations are rotated away, .losses/.txt are append-only with per-

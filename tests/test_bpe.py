@@ -65,6 +65,7 @@ def test_sennrich_corpus_first_merges(spark):
     assert merges == [("e", "s"), ("es", "t"), ("est", EOW)]
 
 
+@pytest.mark.slow
 def test_train_matches_python_oracle_on_corpus(spark, sf_dir):
     # deterministic subset, NOT limit(120): this frame is evaluated by
     # both the oracle collect AND bpe_train's per-merge actions, and

@@ -47,6 +47,7 @@ class TestSfKey:
 
 
 class TestDocQualityLazyTraining:
+    @pytest.mark.slow
     def test_cold_construction_runs_no_training_jobs(self, spark, sf_dir):
         """VERDICT r10 #1 done-criterion: a COLD caller constructing the
         doc_quality plan (fresh BPE cache) schedules no more Spark jobs
@@ -72,6 +73,7 @@ class TestDocQualityLazyTraining:
         # the plan is real: schema resolves without execution
         assert "n_bpe_learned" in df.columns and "merge_rank" in df.columns
 
+    @pytest.mark.slow
     def test_repeat_invocations_share_the_lazy_frames(self, spark, sf_dir):
         clear_caches()
         all_queries()["doc_quality"].spark(spark, sf_dir)
@@ -100,6 +102,7 @@ class TestClearCachesFreshness:
             rows, "vec_id long, embedding array<float>, label int"
         ).coalesce(1).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
 
+    @pytest.mark.slow
     def test_ivf_index_refreshes_after_clear(self, spark, fixture_dir):
         """Rewrite the fixture IN PLACE, clear, re-run: the indexed slice
         must agree with the (always-fresh) direct slice on the new data —

@@ -67,6 +67,7 @@ def _golden_ari(classes_path: str, truth: dict[int, str]) -> float:
     return adjusted_rand_index([truth[i] for i in ids], [assign[i] for i in ids])
 
 
+@pytest.mark.slow
 def test_seeded_doc_kmeans_beats_reference_ari(spark):
     """tf-idf + seeded MLlib cosine KMeans over the reference's OWN
     committed term-doc matrix recovers the 5 BBC categories far better

@@ -5,6 +5,8 @@ corpus, and the map-side-rebuild plan shape.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
@@ -131,6 +133,7 @@ def test_cut_duplicate_spans_rebuild_is_map_side(spark, sf_dir):
     assert plan.count("Generate") == 2
 
 
+@pytest.mark.slow
 def test_cut_duplicate_spans_matches_pure_python_property(spark):
     """Property: the cut output equals a pure-Python reimplementation of
     keep-first-occurrence span removal on small random corpora."""

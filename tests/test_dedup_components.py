@@ -3,6 +3,8 @@ cosine pairs (value-level parity is covered by the oracle sweep)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
@@ -61,6 +63,7 @@ def _python_cc(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
+@pytest.mark.slow
 def test_star_components_matches_flood_on_lsh_graph(spark, sf_dir):
     """Kiveris star contraction and the min-label flood resolve the SAME
     components on the real LSH candidate graph."""
@@ -73,6 +76,7 @@ def test_star_components_matches_flood_on_lsh_graph(spark, sf_dir):
     assert got == flood
 
 
+@pytest.mark.slow
 def test_star_components_random_graphs_vs_union_find(spark):
     """Randomized cross-check: star contraction equals a python union-find
     on arbitrary (non-LSH-shaped) graphs."""
@@ -98,6 +102,7 @@ def test_star_components_random_graphs_vs_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_star_components_survives_adversarial_chain(spark):
     """An 80-hop path graph: the flood needs diameter rounds (raises loudly
     at max_rounds=10 — the documented failure mode), while star contraction
@@ -140,6 +145,7 @@ def test_lsh_hot_bucket_guard_bounds_output(spark):
     guarded.unpersist()
 
 
+@pytest.mark.slow
 def test_lsh_guard_inactive_below_cap_and_preserves_components(spark, sf_dir):
     """On the real corpus (max bucket 4 at sf0.001) the default cap never
     triggers — guarded output is pair-for-pair identical to unguarded. And
@@ -177,6 +183,7 @@ def test_cosine_pairs_bounds_and_canonical_order(spark, sf_dir):
     assert got.select("doc_a", "doc_b").distinct().count() == n
 
 
+@pytest.mark.slow
 def test_cosine_pairs_engines_identical(spark, sf_dir):
     """The block-matmul engine must produce the EXACT frame of the
     inverted-index triples engine — same pairs, same 6dp HALF_UP cosines —

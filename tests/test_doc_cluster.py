@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.doc_cluster import (
@@ -54,6 +56,7 @@ def test_pivot_vectors_term_aligned(spark, sf_dir):
         assert len(r["features"].indices) == nnz[r["doc_id"]]
 
 
+@pytest.mark.slow
 def test_sparse_lloyd_wcss_non_increasing(spark, sf_dir):
     """Full sparse Lloyd: WCSS monotone, k clusters, sparse centroids."""
     from document_clustering_with_hadoop_mapreduce_spark.operators.doc_cluster import sparse_lloyd
@@ -70,6 +73,7 @@ def test_sparse_lloyd_wcss_non_increasing(spark, sf_dir):
     assert all(r["count"] <= vocab for r in per_cluster_nnz)
 
 
+@pytest.mark.slow
 def test_sparse_lloyd_centroid_truncation_caps_broadcast(spark, sf_dir):
     """centroid_top_t (the spherical-k-means sparse-projection scale path)
     caps every centroid's support at T terms — the k x V densification an

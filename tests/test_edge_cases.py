@@ -6,6 +6,8 @@ mislabels on them poisons a whole job.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
@@ -75,6 +77,7 @@ def test_all_stopword_and_subshingle_docs(spark):
     assert got[2] == 2 and got[3] == 3
 
 
+@pytest.mark.slow
 def test_single_doc_corpus_tfidf_and_pairs(spark):
     """One document: idf = ln(1/1) = 0 -> all tfidf 0; no pair operator
     may emit anything."""
@@ -100,6 +103,7 @@ def test_components_on_empty_and_singleton_graphs(spark):
         assert got == {1: 1, 2: 2, 3: 3}, algo.__name__
 
 
+@pytest.mark.slow
 def test_similarity_empty_and_overlong_k(spark):
     """Degenerate similarity inputs flow through (round 9): an EMPTY query
     frame yields an empty result (not an error) on both closure-probe

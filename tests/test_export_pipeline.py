@@ -3,11 +3,14 @@ deterministic."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.pipelines import build_training_export
 
 
+@pytest.mark.slow
 def test_export_round_trip_and_determinism(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     n = docs.count()

@@ -5,6 +5,8 @@ equals the registered corpus_curation capstone's row count.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.funnel import funnel_report
@@ -29,6 +31,7 @@ def test_funnel_is_single_aggregate(spark):
     assert "Join" not in plan
 
 
+@pytest.mark.slow
 def test_curation_funnel_matches_capstone_survivors(spark, sf_dir):
     """Compose the capstone's three gates as funnel stages; the final
     n_kept must equal the registered corpus_curation query's row count

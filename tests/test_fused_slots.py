@@ -42,6 +42,7 @@ class TestLshPagerankFusion:
         assert abs(total - 1.0) <= n * 5e-7 + 1e-6
         assert ranks.where(F.col("rank") <= 0).count() == 0
 
+    @pytest.mark.slow
     def test_hub_outranks_leaf_on_a_star(self, spark):
         # centrality sanity on a constructed star: the hub of identical
         # boilerplate docs must hold the highest pagerank of its component
@@ -57,6 +58,7 @@ class TestLshPagerankFusion:
 
 
 class TestRetrievalFusion:
+    @pytest.mark.slow
     def test_all_kinds_present(self, ret_fused):
         kinds = {r["kind"] for r in ret_fused.select("kind").distinct().collect()}
         assert {"bm25", "rrf", "m_nrel", "m_recall", "m_mrr", "m_ndcg"} <= kinds
@@ -456,6 +458,7 @@ class TestHardNegativeFusion:
         yield df
         df.unpersist()
 
+    @pytest.mark.slow
     def test_hardneg_slice_matches_standalone(self, etp_fused, spark, sf_dir):
         from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
             cosine_topk,

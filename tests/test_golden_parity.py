@@ -65,6 +65,7 @@ def test_mtx_reader_dims_and_counts(spark):
     assert (agg["mt"], agg["md"]) == (9635, 2225)
 
 
+@pytest.mark.slow
 def test_task1_1_bbc_corpus_exact(spark, tmp_path):
     """Full task 1.1 parity: 142,278 (termId, docId, count) triples, exact."""
     zpath = _ref("1.1/input/bbc-fulltext.zip")

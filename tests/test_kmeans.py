@@ -4,6 +4,8 @@ seeded reproducibility, label agreement."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.kmeans import (
@@ -78,6 +80,7 @@ def test_mllib_assignment_is_nearest_final_centroid(spark, sf_dir):
         assert r["cluster"] == dists.index(min(dists))
 
 
+@pytest.mark.slow
 def test_scalable_init_deterministic_and_bahmani_shaped(spark, sf_dir):
     """Deterministic k-means|| (M3/A15/M1): two runs select byte-identical
     candidate sets (hash-Bernoulli draws, no RNG), the top-k come back

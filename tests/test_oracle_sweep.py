@@ -15,8 +15,32 @@ from conftest import assert_matches_oracle
 
 QUERIES = all_queries()
 
+# Round-14 suite tiering (VERDICT r13 #1): the FULL 50-query value-parity
+# sweep runs in the slow tier (`--runslow`, or by name) — the driver runs
+# its own 50/50 oracle gate, so the default profile keeps only a cheap
+# smoke slice (one representative per plan family, all < ~5 s at sf0.001)
+# that catches registry/oracle plumbing breaks fast.
+FAST_SMOKE = {
+    "pricing_summary",
+    "revenue_by_nation",
+    "customer_recent_orders",
+    "rolling_30d_spend",
+    "events_sessionized",
+    "term_doc_matrix",
+    "minhash_signatures",
+    "dedup_components",
+    "top_terms_global",
+    "kmeans_assign_seeded",
+}
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        n if n in FAST_SMOKE else pytest.param(n, marks=pytest.mark.slow)
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_against_oracle(name, spark, sf_dir, duck):
     q = QUERIES[name]
     df = q.spark(spark, sf_dir)

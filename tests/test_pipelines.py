@@ -24,6 +24,7 @@ def _ref(path: str) -> str:
     return p
 
 
+@pytest.mark.slow
 def test_task_chain_1_2_to_1_4(spark, tmp_path):
     """1.2 over the golden 1.1 matrix writes a valid sorted MTX; 1.4 reads
     1.2's committed input and reproduces the golden row count; 1.3 returns
@@ -71,6 +72,7 @@ def test_task_2_1_converges(spark):
     assert {r["cluster"] for r in rows} == {0, 1, 2}
 
 
+@pytest.mark.slow
 def test_task_2_2_and_2_3_doc_kmeans(spark):
     model, assigned = P.task_2_2_doc_kmeans(
         spark, _ref("2.2/input/task_1_4.mtx"), k=5, max_iter=3

@@ -308,6 +308,7 @@ def test_single_matrix_materialization_plans(spark, sf_dir):
         assert n_ex <= max_ex, (name, n_ex)
 
 
+@pytest.mark.slow
 def test_all_registered_plans_have_no_scale_hazards(spark, sf_dir):
     """Blanket invariant over ALL registered queries: no CartesianProduct
     (an unbounded all-pairs plan is never acceptable) and no

@@ -5,6 +5,9 @@ minhash bounds. Spark-side properties run on small generated frames
 
 from __future__ import annotations
 
+import pytest
+
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -15,10 +18,17 @@ from document_clustering_with_hadoop_mapreduce_spark.functions.hashing import (
     universal_hash,
 )
 from document_clustering_with_hadoop_mapreduce_spark.sources.mtx import (
+
     mtx_dims,
     read_mtx,
     write_mtx_single,
 )
+
+# round-14 suite tiering (VERDICT r13 #1): this whole module is the
+# property-fuzz / sweep tier — excluded from the default profile so the
+# driver-run suite finishes inside its budget; run with --runslow.
+pytestmark = pytest.mark.slow
+
 
 SETTINGS = settings(
     max_examples=8,

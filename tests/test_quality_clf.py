@@ -5,6 +5,8 @@ and the Pareto keep rule is deterministic with the right tail behavior.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.quality_clf import (
@@ -30,6 +32,7 @@ def _fit(spark, sf_dir):
     return docs, coefs, intercept
 
 
+@pytest.mark.slow
 def test_classifier_separates_text_derived_slice(spark, sf_dir):
     docs, coefs, intercept = _fit(spark, sf_dir)
     scored = (
@@ -50,6 +53,7 @@ def test_classifier_separates_text_derived_slice(spark, sf_dir):
     assert auc > 0.95, auc
 
 
+@pytest.mark.slow
 def test_jvm_scorer_matches_mllib_transform(spark, sf_dir):
     """The corpus-path scorer (literal coefficient array, no Python, no
     vector type) must reproduce MLlib's own probability to fp-sum noise."""

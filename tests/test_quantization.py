@@ -114,6 +114,7 @@ def test_quantize_plan_is_map_side(spark, sf_dir):
     assert "Exchange" not in plan and "Python" not in plan
 
 
+@pytest.mark.slow
 def test_quantized_ivf_composition(spark, sf_dir):
     """IVF over int8 codes — the composed 100 TB configuration. Pins:
     (a) full probe == quantized_topk exactly (IVF adds no loss at
@@ -148,6 +149,7 @@ def test_quantized_ivf_composition(spark, sf_dir):
     assert full == pairs(quantized_topk(corpus, q, 10))
 
 
+@pytest.mark.slow
 def test_quantized_wrappers_forward_max_queries(spark):
     """Round-9 review fix: the probe-cap escape hatch must be reachable
     through the quantized wrappers — an oversized query frame raises with
@@ -173,6 +175,7 @@ def test_quantized_wrappers_forward_max_queries(spark):
     assert quantized_ivf_topk(emb, q, n_cells=2, nprobe=1, k=3, max_queries=12).count() > 0
 
 
+@pytest.mark.slow
 def test_fused_int8_slice_matches_standalone(spark, sf_dir):
     """The ann_ivf_topk kind='int8' slice (cached params + driver-side
     requantized centroids) must be ROW-IDENTICAL to the standalone

@@ -59,6 +59,7 @@ SELECT doc_id FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50
         assert s1.count() == 40
         assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
 
+    @pytest.mark.slow
     def test_weight_proportionality(self, spark):
         # one heavy row (w=200) among 200 light rows (w=1): its inclusion
         # frequency across salts must approach 1 (p ~= 1-(1/201)*... ~ .99+),
@@ -112,6 +113,7 @@ def _mmr_py(pool, k, lam):
 
 
 class TestMMR:
+    @pytest.mark.slow
     def test_matches_pure_python_greedy(self, spark, sf_dir):
         emb = (
             spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -307,6 +309,7 @@ class TestHardNegatives:
         with pytest.raises(ValueError):
             mine_hard_negatives(pos, emb, n_neg=5, search_k=3)
 
+    @pytest.mark.slow
     def test_forwards_max_queries(self, spark):
         """ADVICE r9: the probe cap must be raisable through THIS signature
         — a 4-anchor frame trips a cap of 3 (proving the cap reaches the
@@ -347,6 +350,7 @@ class TestHardNegativeAnchorsGuard:
         with pytest.raises(ValueError, match="have no row in embeddings"):
             mine_hard_negatives(pos, emb, n_neg=1, search_k=3)
 
+    @pytest.mark.slow
     def test_anchor_vectors_fast_path_keeps_contract(self, spark):
         """ADVICE r11: the anchor_vectors fast path must keep the
         missing-anchor contract by default — a positives frame whose
@@ -389,6 +393,7 @@ class TestHardNegativeAnchorsGuard:
             map(tuple, derived.collect())
         )
 
+    @pytest.mark.slow
     def test_deferred_validation_fires_at_execution(self, spark):
         """ADVICE r12: validate_anchors='deferred' must (a) construct
         without raising (no construction-time job over positives),

@@ -9,15 +9,25 @@ ambient-dependent; the plan invariants are pinned elsewhere).
 
 from __future__ import annotations
 
+import pytest
+
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.dedup import (
+
     duplicate_components,
     jaccard_verify_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     shingle_hashes,
 )
+
+# round-14 suite tiering (VERDICT r13 #1): this whole module is the
+# property-fuzz / sweep tier — excluded from the default profile so the
+# driver-run suite finishes inside its budget; run with --runslow.
+pytestmark = pytest.mark.slow
+
 
 N_DOCS = 50_000
 N_CLUSTERS = 1_000  # docs 0..2999 form 1000 planted triplet clusters

@@ -111,6 +111,7 @@ def fixture(spark, sf_dir):
     con.close()
 
 
+@pytest.mark.slow
 def test_semdedup_docs_match_duckdb_oracle(fixture):
     sdf, con, cents = fixture
     docs, _ = semdedup(sdf, cents, threshold=THRESH)
@@ -118,6 +119,7 @@ def test_semdedup_docs_match_duckdb_oracle(fixture):
     assert_matches_oracle(docs, con, docs_sql)
 
 
+@pytest.mark.slow
 def test_semdedup_pairs_match_duckdb_oracle(fixture):
     sdf, con, cents = fixture
     _, pairs = semdedup(sdf, cents, threshold=THRESH)
@@ -125,6 +127,7 @@ def test_semdedup_pairs_match_duckdb_oracle(fixture):
     assert_matches_oracle(pairs, con, pair_sql)
 
 
+@pytest.mark.slow
 def test_semdedup_planted_duplicates_resolved(fixture):
     """The exact copy (9001 of 7) and the scaled copy (9002 of 11) must be
     found (cos=1.0 pairs) and the planted member dropped while the original
@@ -146,6 +149,7 @@ def test_semdedup_planted_duplicates_resolved(fixture):
             assert k is True
 
 
+@pytest.mark.slow
 def test_semdedup_exactly_one_member_of_each_pair_dropped(fixture):
     """Per above-threshold edge, exactly one endpoint is marked dropped —
     the higher-centroid_cos member (larger vec_id on ties)."""
@@ -172,6 +176,7 @@ def test_semdedup_plan_is_cluster_equijoin(fixture):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_semdedup_sub_blocking_invariant(fixture):
     """The hot-cluster skew guard (sub-blocked pair tasks) must never
     change the result: docs and pairs identical across sub_blocks=1 (the

@@ -4,6 +4,8 @@ nested-loop baseline (bit-identical contract)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
@@ -37,6 +39,7 @@ def test_lsh_buckets_match_pure_python(spark, sf_dir):
     assert len(got) == len(rows)
 
 
+@pytest.mark.slow
 def test_block_topk_pairs_equals_bruteforce(spark, sf_dir):
     """The block-partitioned exact top-k pair search returns exactly the
     nested-loop baseline's rows (values AND order), for several block
@@ -147,6 +150,7 @@ class TestRound10AutoSubBlocks:
         ]
         return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
+    @pytest.mark.slow
     def test_hot_bucket_auto_equals_explicit(self, spark):
         from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
             lsh_bucketed_topk,
@@ -247,6 +251,7 @@ class TestRound9Hardening:
     bounded-by-contract driver collects in cosine_topk/ivf_topk are
     ENFORCED caps that raise with a redirect, not silent materializations."""
 
+    @pytest.mark.slow
     def test_lsh_bucketed_topk_sub_blocks_and_chunking_invariant(self, spark, sf_dir):
         from document_clustering_with_hadoop_mapreduce_spark.operators.similarity import (
             lsh_bucketed_topk,
@@ -381,6 +386,7 @@ class TestRound11SecondLevelSplit:
         assert hot_s > CAP, (kind, val)
         assert hot_s <= CAP * CAP
 
+    @pytest.mark.slow
     def test_second_level_output_identical_and_width_bounded(self, spark):
         """10x-the-cap regime (done-criterion): auto sizing with the
         second level engaged returns EXACTLY the static-S=1 rows, and the

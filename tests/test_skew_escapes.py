@@ -252,6 +252,7 @@ _stream = st.lists(_gap_s, min_size=1, max_size=12)
     start_min=st.integers(min_value=0, max_value=5000),
     gap_minutes=st.sampled_from([30, 7]),
 )
+@pytest.mark.slow
 def test_fuzz_sessionize_chunked_equals_onepass(spark, streams, start_min, gap_minutes):
     """Randomized event streams: chunked == one-pass for chunk hour/day,
     including zero-gap ties, gaps exactly at the threshold (strictly >
@@ -289,6 +290,7 @@ _mat_rows = st.lists(
 @FUZZ
 @given(batches=st.lists(_mat_rows, min_size=8, max_size=10),
        min_total=st.integers(min_value=1, max_value=2**32))
+@pytest.mark.slow
 def test_fuzz_min_freq_join_equals_window(spark, batches, min_total):
     """Randomized matrices (cnt up to 2^31 — the window/join sums must
     agree under ANSI with no overflow divergence): joined == window at a
@@ -314,6 +316,7 @@ def test_fuzz_min_freq_join_equals_window(spark, batches, min_total):
 @FUZZ
 @given(batches=st.lists(_mat_rows, min_size=8, max_size=10),
        pass_n_docs=st.booleans())
+@pytest.mark.slow
 def test_fuzz_tfidf_join_equals_window(spark, batches, pass_n_docs):
     """Randomized matrices: tfidf(df_via_join=True) == window form with
     n_docs driver-known AND derived, under ANSI."""
@@ -346,6 +349,7 @@ _order_batch = st.lists(
 @FUZZ
 @given(batches=st.lists(_order_batch, min_size=8, max_size=10),
        k=st.sampled_from([1, 3, 5]))
+@pytest.mark.slow
 def test_fuzz_relational_chunked_escapes(spark, batches, k):
     """Randomized per-customer order histories (same-date ties, arbitrary
     gaps, prices at cent precision): both relational chunked escapes are

@@ -3,6 +3,8 @@ batch results when run over the same closed set of files."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from document_clustering_with_hadoop_mapreduce_spark.operators.events import events_hourly
@@ -114,6 +116,7 @@ def test_stream_term_counts_equals_batch(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_incremental_dedup_equals_batch(spark, sf_dir, tmp_path):
     """Telescoping equivalence: streaming the corpus in one-file micro-
     batches and deduping each against the accumulated signature store

@@ -3,8 +3,11 @@
 Usage: python tools/capture_plans.py <outdir> <suffix> [name ...]
 
 Writes <outdir>/<query>_<suffix>.txt for each named query (default: all).
-The plan is the AQE initial plan (isFinalPlan=false) — construction only,
-no execution — which is what plan-shape claims in OPTIMIZATION_*.md cite.
+The plan is the AQE initial plan (isFinalPlan=false). Capture invokes no
+result-producing action, but constructing a registered plan MAY run real
+Spark jobs: plain localCheckpoint(eager=False) under AQE materializes the
+checkpointed sub-plan's shuffle stages at .rdd creation (session.py's
+lazy_cut notes) — the construction-audit job class, tracked separately.
 """
 
 from __future__ import annotations
